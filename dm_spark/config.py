@@ -1,0 +1,107 @@
+"""Task configuration — the engine's "query".
+
+The reference's unit of work is a task YAML declaring sources, target
+and the transform pipeline (reference: dm/config/task.go:279-338 —
+routes :316, binlog filters :317, column mappings :318, expression
+filters :319, block/allow lists :323, tuning :325-327). Here the same
+surface is a dataclass, interpretable from a dict/YAML, compiled into
+DataFrame transforms by `dm_spark.operators.apply.ApplyPipeline`.
+
+Patterns use MySQL-wildcard style (`*` any run, `?` one char), matched
+against `schema.table` source names, as the reference's
+table-rule/router libraries do.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+def pattern_to_regex(p: str) -> str:
+    """'shard_*.transcripts_*' -> anchored regex."""
+    out = []
+    for ch in p:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+@dataclass
+class RouteRule:
+    """Shard-merge routing (syncer/syncer.go:2943-2960)."""
+
+    pattern: str  # source 'schema.table' wildcard
+    target: str
+
+
+@dataclass
+class EventFilterRule:
+    """Binlog event-type filter (syncer/filter.go:30-120)."""
+
+    pattern: str
+    ignore_ops: list[str]  # subset of ['I','U','D']
+
+
+@dataclass
+class ExprFilterRule:
+    """Expression filter (syncer/expr_filter_group.go:30-215).
+
+    Expressions are Spark SQL over the envelope's row images, e.g.
+    "after.role = 'tool' AND after.tool = 'debug'". Matching DMLs are
+    DROPPED (DM semantics): insert checks `insert_expr` on the new
+    image, delete checks `delete_expr` on the old image, update drops
+    only when BOTH old and new expressions hold (syncer/dml.go:130-146).
+    """
+
+    pattern: str
+    insert_expr: str | None = None
+    update_old_expr: str | None = None
+    update_new_expr: str | None = None
+    delete_expr: str | None = None
+
+
+@dataclass
+class ColumnMappingRule:
+    """Column mapping (syncer/dml.go:331-352). `expr` is Spark SQL over
+    `before.*`/`after.*`/`source_table`, written into image field
+    `column` of both images."""
+
+    pattern: str
+    column: str
+    expr: str
+
+
+@dataclass
+class TaskConfig:
+    target_table: str = "transcripts"
+    key: list[str] = field(default_factory=lambda: ["conv_id", "turn_idx"])
+    # block/allow: allow wins if set; then deny drops (dm/config/task.go:323)
+    allow_tables: list[str] = field(default_factory=list)
+    deny_tables: list[str] = field(default_factory=list)
+    routes: list[RouteRule] = field(default_factory=list)
+    event_filters: list[EventFilterRule] = field(default_factory=list)
+    expr_filters: list[ExprFilterRule] = field(default_factory=list)
+    column_mappings: list[ColumnMappingRule] = field(default_factory=list)
+    generated_columns: list[str] = field(default_factory=list)  # pruned (dml.go:358)
+    # physical tuning (dm/config/task.go:70-73 analogs)
+    n_buckets: int = 32
+    shuffle_partitions: int | None = None
+    salt_hot_keys: bool = False
+
+    @staticmethod
+    def from_dict(d: dict) -> "TaskConfig":
+        c = TaskConfig()
+        for k in ("target_table", "key", "allow_tables", "deny_tables",
+                  "generated_columns", "n_buckets", "shuffle_partitions", "salt_hot_keys"):
+            if k in d:
+                setattr(c, k, d[k])
+        c.routes = [RouteRule(**r) for r in d.get("routes", [])]
+        c.event_filters = [EventFilterRule(**r) for r in d.get("event_filters", [])]
+        c.expr_filters = [ExprFilterRule(**r) for r in d.get("expr_filters", [])]
+        c.column_mappings = [ColumnMappingRule(**r) for r in d.get("column_mappings", [])]
+        return c

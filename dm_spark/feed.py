@@ -1,0 +1,155 @@
+"""Change-event feed: the binlog analog.
+
+The reference consumes a totally-ordered stream of binlog events, each
+carrying row images (reference: syncer/syncer.go:1953-2109
+`handleRowsEvent`; update old/new pairing syncer/dml.go:104-108; the
+checkpoint coordinate pkg/binlog/position.go:229-235 `Location{file,pos}`).
+
+Here the feed is a DataFrame of envelope rows:
+
+    op           'I' | 'U' | 'D'
+    before       struct<conv_id,turn_idx,role,text,tool,ts>   (null for I)
+    after        struct<conv_id,turn_idx,role,text,tool,ts>   (null for D)
+    source_table 'shard_<i>.transcripts_<j>'   (router input)
+    file_seq     long   -- binlog file ordinal   } Location analog,
+    pos          long   -- offset within file    } totally ordered
+    ts           timestamp -- commit ts (LWW primary ordering)
+    txn_id       long   -- XID analog
+
+Two constructors:
+
+- :func:`change_feed` derives the feed **deterministically from the
+  driver's `events` parquet table** by a fixed arithmetic law, so a
+  DuckDB oracle (:data:`FEED_SQL`) can reproduce it exactly in ANSI SQL
+  for the correctness gate.
+- :func:`synthetic_feed` generates an arbitrarily large feed on the fly
+  with `spark.range` + vectorized column expressions (no driver-side
+  data, no Python row loop) — the bench path; a zipf-ish skewed
+  `conv_id` distribution exercises hot-key handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAYLOAD_FIELDS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+KEY_COLS = ["conv_id", "turn_idx"]
+ORDER_COLS = ["ts", "file_seq", "pos"]  # LWW ordering: ts, tiebreak binlog location
+
+PAYLOAD_DDL = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+ENVELOPE_DDL = (
+    "op string, "
+    f"before struct<{PAYLOAD_DDL}>, after struct<{PAYLOAD_DDL}>, "
+    "source_table string, file_seq bigint, pos bigint, ts timestamp, txn_id bigint"
+)
+
+
+def _image(eid: Column, uid: Column, etype: Column, ts: Column) -> Column:
+    """Row image by the shared deterministic law (see FEED_SQL)."""
+    role = (
+        F.when(eid % 3 == 0, F.lit("user"))
+        .when(eid % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+    )
+    return F.struct(
+        F.concat(F.lit("conv_"), uid.cast("string")).alias("conv_id"),
+        (eid % 50).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.concat(etype, F.lit(" #"), eid.cast("string")).alias("text"),
+        F.when(eid % 3 == 2, F.concat(F.lit("tool_"), (eid % 7).cast("string"))).alias("tool"),
+        ts.alias("ts"),
+    )
+
+
+def _envelope(eid: Column, uid: Column, etype: Column, ts: Column) -> list[Column]:
+    op = (
+        F.when(eid % 20 < 14, F.lit("I"))
+        .when(eid % 20 < 19, F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    img = _image(eid, uid, etype, ts)
+    return [
+        op.alias("op"),
+        F.when(op != "I", img).alias("before"),
+        F.when(op != "D", img).alias("after"),
+        F.concat(
+            F.lit("shard_"), (uid % 4).cast("string"),
+            F.lit(".transcripts_"), (eid % 2).cast("string"),
+        ).alias("source_table"),
+        (eid / 1000).cast("bigint").alias("file_seq"),
+        (eid % 1000).cast("bigint").alias("pos"),
+        ts.alias("ts"),
+        (eid / 10).cast("bigint").alias("txn_id"),
+    ]
+
+
+def change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic change feed derived from `<sf_dir>/events.parquet`.
+
+    Pure column arithmetic — stays in whole-stage codegen; the parquet
+    scan only reads (event_id, user_id, event_type, ts).
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    return ev.select(*_envelope(eid, uid, F.col("event_type"), F.col("ts")))
+
+
+# DuckDB rendition of the same law, flattened (structs unnested). The
+# driver's oracle CTEs build on this. NOTE: `pos` not `offset` (keyword).
+FEED_SQL = """
+  SELECT
+    CASE WHEN event_id % 20 < 14 THEN 'I'
+         WHEN event_id % 20 < 19 THEN 'U' ELSE 'D' END AS op,
+    'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+    CAST(event_id % 50 AS INTEGER) AS turn_idx,
+    CASE WHEN event_id % 3 = 0 THEN 'user'
+         WHEN event_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
+    event_type || ' #' || CAST(event_id AS VARCHAR) AS text,
+    CASE WHEN event_id % 3 = 2
+         THEN 'tool_' || CAST(event_id % 7 AS VARCHAR) END AS tool,
+    ts,
+    'shard_' || CAST(user_id % 4 AS VARCHAR)
+      || '.transcripts_' || CAST(event_id % 2 AS VARCHAR) AS source_table,
+    event_id // 1000 AS file_seq,
+    event_id % 1000 AS pos,
+    event_id // 10 AS txn_id
+  FROM events
+"""
+
+
+def synthetic_feed(
+    spark: SparkSession,
+    n_events: int,
+    n_convs: int = 10_000,
+    zipf_exponent: float = 1.1,
+    partitions: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Unbounded-scale feed generator: `spark.range` + column math only.
+
+    conv_id follows a zipf-ish law (rank ~ u^(-1/(s-1)) inversion on a
+    deterministic per-row hash), so a handful of conversations are hot —
+    the skew fixture the salted repartition path must survive.
+    Generation is per-partition and embarrassingly parallel: no data is
+    materialized on the driver, which is what makes a 10^10-event replay
+    law expressible on a cluster (SURVEY §7.3d).
+    """
+    rng = spark.range(0, n_events, numPartitions=partitions)
+    eid = F.col("id")
+    # deterministic uniform in [0,1) from a 64-bit mix
+    u = (F.abs(F.xxhash64(eid, F.lit(seed))) % 1_000_000_007) / 1_000_000_007.0
+    # inverse-CDF zipf-ish rank in [0, n_convs)
+    s = zipf_exponent
+    rank = F.least(
+        F.lit(n_convs - 1),
+        F.floor(F.pow(F.lit(float(n_convs)), F.pow(u, F.lit(s))) - 1).cast("bigint"),
+    )
+    uid = F.abs(rank)
+    etype = (
+        F.when(eid % 5 == 0, F.lit("error"))
+        .when(eid % 5 < 3, F.lit("click"))
+        .otherwise(F.lit("view"))
+    )
+    ts = F.timestamp_seconds(F.lit(1704067200) + (eid / 100).cast("bigint"))
+    return rng.select(*_envelope(eid, uid, etype, ts))

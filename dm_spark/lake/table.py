@@ -1,0 +1,440 @@
+"""LakeTable — an Iceberg-style snapshot table with MERGE INTO semantics.
+
+The sandbox ships no Iceberg/Delta runtime jar, so the sink the
+reference pipeline needs (key-partitioned `MERGE INTO` with snapshot
+atomicity, schema evolution, time travel) is implemented natively on
+parquet. The design mirrors Iceberg's:
+
+- **Snapshot isolation / atomic commit**: every mutation writes new
+  parquet files into an immutable `data/commit-<v>/` directory and then
+  atomically swaps a `HEAD` pointer (os.rename) to a new `_meta/v<v>.json`
+  manifest. Readers only ever see a committed manifest; a crash mid-write
+  leaves orphan files, never a corrupt table (Iceberg's
+  metadata-pointer-swap model).
+- **Hash-bucket partitioning + partition-level copy-on-write**: rows are
+  bucketed by `pmod(xxhash64(key), n_buckets)` (Iceberg `bucket(N, key)`
+  transform). A MERGE only reads and rewrites the buckets that contain
+  incoming keys — cost is proportional to touched buckets, not table
+  size, which is what makes continuous upserts viable at 10^10 rows
+  (size n_buckets so bucket ≈ a few GB at target scale).
+- **Field-ID schema evolution**: columns carry stable integer field ids;
+  add/rename/widen/drop never rewrite data files. Each data file records
+  the schema version it was written under, and the read path projects it
+  to the current schema (rename = alias by id, add = null fill,
+  widen = cast) — exactly Iceberg's name-mapping-by-id semantics.
+- **Exactly-once**: `merge_into(batch_id=...)` is gated on a monotone
+  last-committed batch id, so a Structured Streaming `foreachBatch`
+  replay after restart is a no-op (the reference's safe-mode +
+  checkpoint model, syncer/checkpoint.go:49-56 invariants, collapses to
+  idempotent upsert + batch gate, per SURVEY §4 "checkpoint dedup").
+
+MERGE semantics (reference: generated DML forms syncer/dml.go:586-666;
+safe-mode upsert rewrite = `ON DUPLICATE KEY UPDATE` / delete+insert):
+incoming change rows (op I/U/D + payload + lineage (_cdc_ts,
+_cdc_file_seq, _cdc_pos)) are resolved **last-write-wins** against each
+other and against the stored base rows on `(ts, file_seq, pos)` — the
+causality/conflict machinery of syncer/causality.go:25-136 is replaced
+by per-batch LWW dedup because a whole batch commits atomically
+(SURVEY §2.3). Update-as-upsert == DM safe mode. A 'D' winner removes
+the row. Replayed (older) events lose LWW and cannot regress the table.
+
+On a real cluster with the Iceberg runtime, `dm_spark.lake.iceberg`
+provides the same interface over a genuine Iceberg catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import functions as F
+
+LINEAGE_COLS = ["_cdc_ts", "_cdc_file_seq", "_cdc_pos"]
+HASH_SEED_COL = "__dm_bucket"
+
+
+@dataclass
+class MergeStats:
+    version: int
+    batch_id: int | None
+    skipped: bool = False
+    n_incoming: int = 0
+    n_deletes_in: int = 0
+    n_buckets_touched: int = 0
+    rows_written: int = 0
+
+
+@dataclass
+class _Meta:
+    version: int
+    schema_version: int
+    key: list[str]
+    n_buckets: int
+    next_field_id: int
+    # schema_version (str) -> [ {id, name, type} ]
+    schema_history: dict[str, list[dict]]
+    # bucket (str) -> [ {path, schema_version} ]
+    buckets: dict[str, list[dict]]
+    last_batch_id: int = -1
+    applied_ddl: list[dict] = field(default_factory=list)
+    lineage: list[dict] = field(default_factory=list)
+    totals: dict = field(default_factory=dict)
+    checkpoint: dict = field(default_factory=dict)  # {file_seq, pos} global point
+
+    def fields(self) -> list[dict]:
+        return self.schema_history[str(self.schema_version)]
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1)
+
+    @staticmethod
+    def from_json(s: str) -> "_Meta":
+        return _Meta(**json.loads(s))
+
+
+def _bucket_expr(key: list[str], n_buckets: int):
+    # normalize types so the bucket function is stable across widenings
+    cols = [F.col(key[0]).cast("string")] + [F.col(k).cast("long") for k in key[1:]]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "_meta")
+        self.data_dir = os.path.join(path, "data")
+
+    # ------------------------------------------------------------- meta
+    def _head_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "HEAD")) as f:
+            return int(f.read().strip())
+
+    def _load_meta(self, version: int | None = None) -> _Meta:
+        v = self._head_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return _Meta.from_json(f.read())
+
+    def _commit(self, meta: _Meta) -> None:
+        """Atomic: manifest file first, then HEAD pointer rename-swap."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        mp = os.path.join(self.meta_dir, f"v{meta.version}.json")
+        with open(mp, "w") as f:
+            f.write(meta.to_json())
+        tmp = os.path.join(self.meta_dir, f".HEAD.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(meta.version))
+        os.replace(tmp, os.path.join(self.meta_dir, "HEAD"))
+
+    @property
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, "HEAD"))
+
+    # ------------------------------------------------------------ create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: list[tuple[str, str]],
+        key: list[str],
+        n_buckets: int = 32,
+    ) -> "LakeTable":
+        """schema: [(name, spark simpleString type), ...]; key ⊆ schema."""
+        t = cls(spark, path)
+        if t.exists:
+            raise ValueError(f"table already exists at {path}")
+        fields = [{"id": i + 1, "name": n, "type": ty} for i, (n, ty) in enumerate(schema)]
+        names = [f["name"] for f in fields]
+        for k in key:
+            if k not in names:
+                raise ValueError(f"key column {k} not in schema")
+        meta = _Meta(
+            version=0,
+            schema_version=0,
+            key=list(key),
+            n_buckets=n_buckets,
+            next_field_id=len(fields) + 1,
+            schema_history={"0": fields},
+            buckets={str(b): [] for b in range(n_buckets)},
+            totals={"rows_upserted": 0, "rows_deleted": 0, "batches": 0},
+        )
+        t._commit(meta)
+        return t
+
+    # -------------------------------------------------------------- read
+    def _projection(self, file_sv: int, cur: list[dict], meta: _Meta, extra: list[str]):
+        old = {f["id"]: f for f in meta.schema_history[str(file_sv)]}
+        cols = []
+        for f_ in cur:
+            o = old.get(f_["id"])
+            if o is None:
+                cols.append(F.lit(None).cast(f_["type"]).alias(f_["name"]))
+            else:
+                cols.append(F.col(o["name"]).cast(f_["type"]).alias(f_["name"]))
+        cols += [F.col(c) for c in extra]
+        return cols
+
+    def _read_files(self, meta: _Meta, entries: list[dict], with_lineage: bool) -> DataFrame | None:
+        if not entries:
+            return None
+        cur = meta.fields()
+        extra = LINEAGE_COLS if with_lineage else []
+        by_sv: dict[int, list[str]] = {}
+        for e in entries:
+            by_sv.setdefault(e["schema_version"], []).append(e["path"])
+        parts = []
+        for sv, paths in by_sv.items():
+            df = self.spark.read.parquet(*paths)
+            parts.append(df.select(*self._projection(sv, cur, meta, extra)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current (or time-travel) table contents as a DataFrame."""
+        meta = self._load_meta(version)
+        entries = [e for lst in meta.buckets.values() for e in lst]
+        df = self._read_files(meta, entries, with_lineage=False)
+        if df is None:
+            ddl = ", ".join(f"{f['name']} {f['type']}" for f in meta.fields())
+            return self.spark.createDataFrame([], ddl)
+        return df
+
+    def schema_fields(self) -> list[dict]:
+        return self._load_meta().fields()
+
+    # ------------------------------------------------------------- merge
+    def merge_into(self, changes: DataFrame, batch_id: int | None = None) -> MergeStats:
+        """Apply a batch of change rows with LWW upsert/delete semantics.
+
+        `changes` columns: current payload schema + `op` ('I'|'U'|'D') +
+        `_cdc_ts` timestamp, `_cdc_file_seq` long, `_cdc_pos` long.
+        Single shuffle: repartition by bucket, then a window keyed
+        (bucket, key...) — HashPartitioning(bucket) satisfies the
+        window's ClusteredDistribution since bucket is key-functional.
+        """
+        meta = self._load_meta()
+        if batch_id is not None and batch_id <= meta.last_batch_id:
+            return MergeStats(version=meta.version, batch_id=batch_id, skipped=True)
+
+        key = meta.key
+        payload = [f["name"] for f in meta.fields()]
+        bexpr = _bucket_expr(key, meta.n_buckets)
+        inc = changes.withColumn(HASH_SEED_COL, bexpr)
+
+        # one pass over incoming: touched buckets + global checkpoint + counts
+        agg = inc.agg(
+            F.collect_set(HASH_SEED_COL).alias("bks"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
+            F.max(F.struct("_cdc_file_seq", "_cdc_pos")).alias("loc"),
+        ).collect()[0]
+        touched = sorted(agg["bks"] or [])
+        stats = MergeStats(
+            version=meta.version + 1,
+            batch_id=batch_id,
+            n_incoming=agg["n"],
+            n_deletes_in=agg["nd"] or 0,
+            n_buckets_touched=len(touched),
+        )
+        if not touched:
+            meta.version += 1
+            if batch_id is not None:
+                meta.last_batch_id = batch_id
+            meta.totals["batches"] += 1
+            self._commit(meta)
+            return stats
+
+        base_entries = [e for b in touched for e in meta.buckets[str(b)]]
+        base = self._read_files(meta, base_entries, with_lineage=True)
+        sel = payload + ["op"] + LINEAGE_COLS + [HASH_SEED_COL]
+        inc = inc.select(*sel)
+        if base is not None:
+            base = base.withColumn("op", F.lit("I")).withColumn(HASH_SEED_COL, bexpr).select(*sel)
+            merged = inc.unionByName(base)
+        else:
+            merged = inc
+
+        npart = max(1, min(len(touched), int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
+        w = (
+            Window.partitionBy(HASH_SEED_COL, *key)
+            .orderBy(*[F.col(c).desc() for c in LINEAGE_COLS])
+        )
+        obs = Observation()
+        out = (
+            merged.repartition(npart, HASH_SEED_COL)
+            .withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") == 1) & (F.col("op") != "D"))
+            .select(*payload, *LINEAGE_COLS, F.col(HASH_SEED_COL).alias("_bucket"))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+        )
+        commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}")
+        out.write.partitionBy("_bucket").mode("errorifexists").parquet(commit_dir)
+        stats.rows_written = obs.get["rows"]
+
+        # manifest: touched buckets now point at the new commit's files
+        new_lists: dict[str, list[dict]] = {str(b): [] for b in touched}
+        if os.path.isdir(commit_dir):
+            for d in os.listdir(commit_dir):
+                if not d.startswith("_bucket="):
+                    continue
+                b = d.split("=", 1)[1]
+                files = [
+                    {"path": os.path.join(commit_dir, d, fn), "schema_version": meta.schema_version}
+                    for fn in os.listdir(os.path.join(commit_dir, d))
+                    if fn.endswith(".parquet")
+                ]
+                new_lists[b] = files
+        for b in touched:
+            meta.buckets[str(b)] = new_lists[str(b)]
+
+        meta.version += 1
+        if batch_id is not None:
+            meta.last_batch_id = batch_id
+        loc = agg["loc"]
+        if loc is not None:
+            prev = meta.checkpoint or {"file_seq": -1, "pos": -1}
+            cand = {"file_seq": loc["_cdc_file_seq"], "pos": loc["_cdc_pos"]}
+            if (cand["file_seq"], cand["pos"]) > (prev["file_seq"], prev["pos"]):
+                meta.checkpoint = cand
+        meta.totals["batches"] += 1
+        meta.totals["rows_upserted"] += stats.n_incoming - stats.n_deletes_in
+        meta.totals["rows_deleted"] += stats.n_deletes_in
+        meta.lineage.append(
+            {
+                "version": meta.version,
+                "batch_id": batch_id,
+                "n_incoming": stats.n_incoming,
+                "n_deletes_in": stats.n_deletes_in,
+                "buckets_touched": len(touched),
+                "rows_written": stats.rows_written,
+            }
+        )
+        meta.lineage = meta.lineage[-200:]
+        self._commit(meta)
+        return stats
+
+    # --------------------------------------------------------- overwrite
+    def overwrite(self, df: DataFrame) -> int:
+        """Full-snapshot load (the load-unit analog, loader/loader.go:566):
+        replaces all data with `df` (payload columns only; lineage zeroed).
+        """
+        meta = self._load_meta()
+        payload = [f["name"] for f in meta.fields()]
+        out = (
+            df.select(*payload)
+            .withColumn("_cdc_ts", F.to_timestamp(F.lit("1970-01-01 00:00:00")))
+            .withColumn("_cdc_file_seq", F.lit(-1).cast("long"))
+            .withColumn("_cdc_pos", F.lit(-1).cast("long"))
+            .withColumn("_bucket", _bucket_expr(meta.key, meta.n_buckets))
+        )
+        npart = max(1, min(meta.n_buckets, int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
+        out = out.repartition(npart, "_bucket")
+        commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}")
+        out.write.partitionBy("_bucket").mode("errorifexists").parquet(commit_dir)
+        meta.buckets = {str(b): [] for b in range(meta.n_buckets)}
+        n = 0
+        for d in os.listdir(commit_dir):
+            if d.startswith("_bucket="):
+                b = d.split("=", 1)[1]
+                meta.buckets[b] = [
+                    {"path": os.path.join(commit_dir, d, fn), "schema_version": meta.schema_version}
+                    for fn in os.listdir(os.path.join(commit_dir, d))
+                    if fn.endswith(".parquet")
+                ]
+                n += 1
+        meta.version += 1
+        self._commit(meta)
+        return meta.version
+
+    # --------------------------------------------------------------- ddl
+    def apply_ddl(self, action: dict) -> bool:
+        """Apply one schema action; returns False if obsolete (already
+        applied at-or-before this location — syncer/checkpoint.go:460-488
+        gating analog). No data files are rewritten (field-id evolution).
+
+        action: {action: add_column|rename_column|widen_type|drop_column,
+                 column, new_name?, new_type?, file_seq, pos}
+        """
+        meta = self._load_meta()
+        loc = (action.get("file_seq", 0), action.get("pos", 0))
+        for d in meta.applied_ddl:
+            if (d["file_seq"], d["pos"]) >= loc:
+                return False
+        fields = [dict(f) for f in meta.fields()]
+        kind = action["action"]
+        names = {f["name"]: f for f in fields}
+        if kind == "add_column":
+            if action["column"] in names:
+                return False
+            fields.append(
+                {"id": meta.next_field_id, "name": action["column"], "type": action["new_type"]}
+            )
+            meta.next_field_id += 1
+        elif kind == "rename_column":
+            if action["column"] in meta.key:
+                raise ValueError("cannot rename a key column")
+            names[action["column"]]["name"] = action["new_name"]
+        elif kind == "widen_type":
+            names[action["column"]]["type"] = action["new_type"]
+        elif kind == "drop_column":
+            if action["column"] in meta.key:
+                raise ValueError("cannot drop a key column")
+            fields = [f for f in fields if f["name"] != action["column"]]
+        else:
+            raise ValueError(f"unknown ddl action {kind}")
+        meta.schema_version += 1
+        meta.schema_history[str(meta.schema_version)] = fields
+        meta.applied_ddl.append(
+            {
+                "action": kind,
+                "column": action.get("column"),
+                "new_name": action.get("new_name"),
+                "new_type": action.get("new_type"),
+                "file_seq": loc[0],
+                "pos": loc[1],
+                "schema_version": meta.schema_version,
+            }
+        )
+        meta.version += 1
+        self._commit(meta)
+        return True
+
+    # ------------------------------------------------------------ maint
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the HEAD manifest."""
+        meta = self._load_meta()
+        live = {e["path"] for lst in meta.buckets.values() for e in lst}
+        removed = 0
+        if not os.path.isdir(self.data_dir):
+            return 0
+        for commit in os.listdir(self.data_dir):
+            cdir = os.path.join(self.data_dir, commit)
+            for root, _dirs, files in os.walk(cdir, topdown=False):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    if p not in live and fn.endswith(".parquet"):
+                        os.remove(p)
+                        removed += 1
+            # prune empty commit dirs
+            if not any(files for _r, _d, files in os.walk(cdir)):
+                shutil.rmtree(cdir, ignore_errors=True)
+        return removed
+
+    def lineage_log(self) -> list[dict]:
+        return self._load_meta().lineage
+
+    def applied_ddl_log(self) -> list[dict]:
+        return self._load_meta().applied_ddl
+
+    def totals(self) -> dict:
+        return self._load_meta().totals
+
+    def global_checkpoint(self) -> dict:
+        return self._load_meta().checkpoint

@@ -1,0 +1,70 @@
+"""The apply pipeline: change envelope -> per-target upsert batch.
+
+Mirrors the reference's rows-event path (syncer/syncer.go:1953-2109,
+ordered per SURVEY §3.2): route -> filters -> column mapping ->
+generated-column pruning -> DML generation. DML generation here is
+`flatten_changes`: the row image plus op plus lineage columns, which
+`LakeTable.merge_into` resolves LWW and commits atomically — replacing
+causality (syncer/causality.go), hash distribution
+(syncer/dml_worker.go:132-137) and the 100-stmt txn batches
+(syncer/dml_worker.go:144-238).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dm_spark.config import TaskConfig
+from dm_spark.operators.filters import ba_list_filter, event_type_filter, expression_filter
+from dm_spark.operators.mapping import apply_column_mappings, prune_generated_columns
+from dm_spark.operators.router import route_tables
+
+
+def flatten_changes(df: DataFrame, payload_fields: list[str] | None = None) -> DataFrame:
+    """Envelope -> flat change rows for MERGE.
+
+    Payload column X = before.X for deletes (old image carries identity,
+    syncer/dml.go:154-183) else after.X. Lineage columns carry the LWW
+    ordering (commit ts, then binlog location tiebreak).
+    """
+    if payload_fields is None:
+        payload_fields = df.schema["after"].dataType.fieldNames()
+    img = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+    cols = [img.getField(f).alias(f) for f in payload_fields]
+    keep = [c for c in ("target_table",) if c in df.columns]
+    return df.select(
+        *keep,
+        *cols,
+        F.col("op"),
+        F.col("ts").alias("_cdc_ts"),
+        F.col("file_seq").alias("_cdc_file_seq"),
+        F.col("pos").alias("_cdc_pos"),
+    )
+
+
+class ApplyPipeline:
+    """Compiles a TaskConfig into the envelope->batch transform."""
+
+    def __init__(self, config: TaskConfig):
+        self.config = config
+
+    def transform(self, feed: DataFrame) -> DataFrame:
+        c = self.config
+        df = ba_list_filter(feed, c.allow_tables, c.deny_tables)
+        df = event_type_filter(df, c.event_filters)
+        df = expression_filter(df, c.expr_filters)
+        df = apply_column_mappings(df, c.column_mappings)
+        if c.generated_columns:
+            df = prune_generated_columns(df, c.generated_columns)
+        df = route_tables(df, c.routes)
+        return flatten_changes(df)
+
+    def apply_batch(self, lakes: dict[str, "LakeTable"], batch: DataFrame, batch_id: int | None = None) -> dict:
+        """Route-partitioned MERGE: one atomic commit per target table.
+        `batch` is the output of `transform`."""
+        stats = {}
+        for target, lake in lakes.items():
+            part = batch.where(F.col("target_table") == target).drop("target_table")
+            stats[target] = lake.merge_into(part, batch_id=batch_id)
+        return stats

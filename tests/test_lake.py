@@ -1,0 +1,174 @@
+"""LakeTable unit tests: MERGE semantics, snapshot isolation,
+exactly-once batch gating, schema evolution, time travel, vacuum.
+
+Mirrors the reference's checkpoint/DML-gen unit suites
+(syncer/dml_test.go, syncer/checkpoint_test.go) re-expressed as final
+table-state assertions.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dm_spark.lake import LakeTable
+
+SCHEMA = [
+    ("conv_id", "string"),
+    ("turn_idx", "int"),
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", "string"),
+    ("ts", "timestamp"),
+]
+KEY = ["conv_id", "turn_idx"]
+CHANGE_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, "
+    "op string, _cdc_ts timestamp, _cdc_file_seq long, _cdc_pos long"
+)
+
+
+def T(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+def ch(conv, turn, op, text, seq, pos, tsec):
+    return (conv, turn, "user", text, None, T(tsec), op, T(tsec), seq, pos)
+
+
+def rows(df):
+    return sorted(
+        [(r.conv_id, r.turn_idx, r.text) for r in df.select("conv_id", "turn_idx", "text").collect()]
+    )
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEY, n_buckets=8)
+
+
+def test_insert_update_delete(spark, lake):
+    b1 = spark.createDataFrame(
+        [ch("a", 1, "I", "v1", 0, 1, 1), ch("a", 2, "I", "v1", 0, 2, 2), ch("b", 1, "I", "v1", 0, 3, 3)],
+        CHANGE_DDL,
+    )
+    s = lake.merge_into(b1, batch_id=0)
+    assert s.rows_written == 3 and s.n_incoming == 3
+    b2 = spark.createDataFrame(
+        [ch("a", 1, "U", "v2", 1, 1, 10), ch("b", 1, "D", None, 1, 2, 11), ch("c", 9, "I", "v1", 1, 3, 12)],
+        CHANGE_DDL,
+    )
+    lake.merge_into(b2, batch_id=1)
+    assert rows(lake.read()) == [("a", 1, "v2"), ("a", 2, "v1"), ("c", 9, "v1")]
+
+
+def test_within_batch_lww(spark, lake):
+    # same key three times in one batch: latest (by ts, then pos) wins
+    b = spark.createDataFrame(
+        [
+            ch("k", 1, "I", "first", 0, 1, 1),
+            ch("k", 1, "U", "second", 0, 2, 2),
+            ch("k", 1, "U", "third", 0, 3, 2),  # same ts, higher pos -> wins
+        ],
+        CHANGE_DDL,
+    )
+    lake.merge_into(b, batch_id=0)
+    assert rows(lake.read()) == [("k", 1, "third")]
+
+
+def test_delete_then_insert_same_batch(spark, lake):
+    b = spark.createDataFrame(
+        [ch("k", 1, "I", "a", 0, 1, 1), ch("k", 1, "D", None, 0, 2, 2), ch("k", 1, "I", "b", 0, 3, 3)],
+        CHANGE_DDL,
+    )
+    lake.merge_into(b, batch_id=0)
+    assert rows(lake.read()) == [("k", 1, "b")]
+
+
+def test_exactly_once_batch_gate(spark, lake):
+    b = spark.createDataFrame([ch("a", 1, "I", "v1", 0, 1, 1)], CHANGE_DDL)
+    lake.merge_into(b, batch_id=0)
+    v = lake._head_version()
+    s = lake.merge_into(b, batch_id=0)  # foreachBatch replay after restart
+    assert s.skipped and lake._head_version() == v
+    assert rows(lake.read()) == [("a", 1, "v1")]
+
+
+def test_stale_replay_does_not_regress(spark, lake):
+    # safe-mode/duplicate-window analog (pkg/streamer/reader.go:42-44):
+    # re-delivered OLD events lose LWW against the stored row
+    lake.merge_into(spark.createDataFrame([ch("a", 1, "I", "old", 0, 1, 1)], CHANGE_DDL), batch_id=0)
+    lake.merge_into(spark.createDataFrame([ch("a", 1, "U", "new", 1, 1, 10)], CHANGE_DDL), batch_id=1)
+    # replay the old insert (no batch gate — simulate at-least-once source)
+    lake.merge_into(spark.createDataFrame([ch("a", 1, "I", "old", 0, 1, 1)], CHANGE_DDL))
+    assert rows(lake.read()) == [("a", 1, "new")]
+
+
+def test_update_as_upsert_safe_mode(spark, lake):
+    # DM safe mode rewrites UPDATE as reentrant upsert (syncer/dml.go:586-615)
+    lake.merge_into(spark.createDataFrame([ch("ghost", 5, "U", "v", 0, 1, 1)], CHANGE_DDL), batch_id=0)
+    assert rows(lake.read()) == [("ghost", 5, "v")]
+
+
+def test_delete_missing_key_noop(spark, lake):
+    lake.merge_into(spark.createDataFrame([ch("nope", 1, "D", None, 0, 1, 1)], CHANGE_DDL), batch_id=0)
+    assert rows(lake.read()) == []
+
+
+def test_time_travel_and_vacuum(spark, lake):
+    lake.merge_into(spark.createDataFrame([ch("a", 1, "I", "v1", 0, 1, 1)], CHANGE_DDL), batch_id=0)
+    v1 = lake._head_version()
+    lake.merge_into(spark.createDataFrame([ch("a", 1, "U", "v2", 1, 1, 2)], CHANGE_DDL), batch_id=1)
+    assert rows(lake.read(version=v1)) == [("a", 1, "v1")]
+    assert rows(lake.read()) == [("a", 1, "v2")]
+    removed = lake.vacuum()
+    assert removed >= 1  # v1's file for that bucket is now unreferenced
+    assert rows(lake.read()) == [("a", 1, "v2")]
+
+
+def test_schema_evolution_add_rename_widen(spark, lake):
+    lake.merge_into(spark.createDataFrame([ch("a", 1, "I", "v1", 0, 1, 1)], CHANGE_DDL), batch_id=0)
+    assert lake.apply_ddl({"action": "add_column", "column": "rating", "new_type": "int", "file_seq": 1, "pos": 0})
+    # obsolete DDL at same location is gated (checkpoint.go:460-488 analog)
+    assert not lake.apply_ddl({"action": "add_column", "column": "rating2", "new_type": "int", "file_seq": 1, "pos": 0})
+    assert lake.apply_ddl({"action": "rename_column", "column": "tool", "new_name": "tool_name", "file_seq": 2, "pos": 0})
+    assert lake.apply_ddl({"action": "widen_type", "column": "turn_idx", "new_type": "bigint", "file_seq": 3, "pos": 0})
+
+    df = lake.read()
+    assert "rating" in df.columns and "tool_name" in df.columns and "tool" not in df.columns
+    assert dict(df.dtypes)["turn_idx"] == "bigint"
+    assert df.count() == 1 and df.collect()[0]["rating"] is None
+
+    # post-DDL merge writes the new shape; old files still readable
+    new_ddl = CHANGE_DDL.replace("turn_idx int", "turn_idx bigint").replace("tool string", "tool_name string") + ", rating int"
+    b = spark.createDataFrame(
+        [("b", 2, "user", "v1", None, T(5), "I", T(5), 4, 1, 7)], new_ddl
+    )
+    lake.merge_into(b, batch_id=1)
+    got = {(r.conv_id, r.turn_idx): r.rating for r in lake.read().collect()}
+    assert got == {("a", 1): None, ("b", 2): 7}
+    assert len(lake.applied_ddl_log()) == 3
+
+
+def test_lineage_and_checkpoint(spark, lake):
+    lake.merge_into(
+        spark.createDataFrame([ch("a", 1, "I", "v", 3, 44, 1), ch("b", 1, "D", None, 3, 45, 2)], CHANGE_DDL),
+        batch_id=0,
+    )
+    lin = lake.lineage_log()
+    assert lin[-1]["n_incoming"] == 2 and lin[-1]["n_deletes_in"] == 1
+    assert lake.global_checkpoint() == {"file_seq": 3, "pos": 45}
+    assert lake.totals()["batches"] == 1
+
+
+def test_key_change_update_as_delete_insert(spark, lake):
+    """SURVEY §7.3(a): an update that moves the key must be staged as
+    delete(old)+insert(new) — two change rows — inside one batch."""
+    lake.merge_into(spark.createDataFrame([ch("a", 1, "I", "v1", 0, 1, 1)], CHANGE_DDL), batch_id=0)
+    b = spark.createDataFrame(
+        [ch("a", 1, "D", None, 1, 1, 2), ch("a", 2, "I", "v1-moved", 1, 2, 2)], CHANGE_DDL
+    )
+    lake.merge_into(b, batch_id=1)
+    assert rows(lake.read()) == [("a", 2, "v1-moved")]
