@@ -80,6 +80,7 @@ class _Meta:
     # bucket (str) -> [ {path, schema_version} ]
     buckets: dict[str, list[dict]]
     last_batch_id: int = -1
+    stream_id: str = ""
     applied_ddl: list[dict] = field(default_factory=list)
     lineage: list[dict] = field(default_factory=list)
     totals: dict = field(default_factory=dict)
@@ -210,7 +211,9 @@ class LakeTable:
         return self._load_meta().fields()
 
     # ------------------------------------------------------------- merge
-    def merge_into(self, changes: DataFrame, batch_id: int | None = None) -> MergeStats:
+    def merge_into(
+        self, changes: DataFrame, batch_id: int | None = None, stream_id: str | None = None
+    ) -> MergeStats:
         """Apply a batch of change rows with LWW upsert/delete semantics.
 
         `changes` columns: current payload schema + `op` ('I'|'U'|'D') +
@@ -220,6 +223,12 @@ class LakeTable:
         window's ClusteredDistribution since bucket is key-functional.
         """
         meta = self._load_meta()
+        if stream_id is not None and stream_id != meta.stream_id:
+            # a new streaming query (fresh checkpoint) restarts batch ids
+            # at 0; the monotone gate is only valid within one stream.
+            # Cross-stream duplicate delivery is handled by LWW instead.
+            meta.stream_id = stream_id
+            meta.last_batch_id = -1
         if batch_id is not None and batch_id <= meta.last_batch_id:
             return MergeStats(version=meta.version, batch_id=batch_id, skipped=True)
 
