@@ -92,7 +92,10 @@ def change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     eid, uid = F.col("event_id"), F.col("user_id")
-    return ev.select(*_envelope(eid, uid, F.col("event_type"), F.col("ts")))
+    # parquet naive timestamps surface as TIMESTAMP_NTZ in Spark 4;
+    # session TZ is pinned UTC so this cast is value-preserving
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(*_envelope(eid, uid, F.col("event_type"), ts))
 
 
 # DuckDB rendition of the same law, flattened (structs unnested). The

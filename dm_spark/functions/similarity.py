@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — cross join pruned to
+  (a,b) pairs, dot/norm via built-in higher-order functions
+  (F.zip_with + F.aggregate), JVM-side.
+- LSH-bucketed ANN: random-hyperplane signature (numpy, Arrow batch)
+  -> candidates share a signature prefix bucket -> exact cosine rerank
+  within bucket. The scale path: the cross join collapses to an
+  equi-join on bucket.
+
+At 100 TB the brute-force path is only for rerank within candidates;
+IVF/LSH bounds candidates per query to a bucket. Embeddings are cast
+to double before arithmetic so results are engine-stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k neighbors per vector by cosine similarity.
+    Returns (vec_id, rank, neighbor_id). O(n^2) pairs — the correctness
+    baseline and the per-bucket rerank kernel."""
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("nbr"),
+            (_dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias("vec_id"), "rank", F.col("nbr").alias("neighbor_id"))
+    )
+
+
+def lsh_signatures(
+    df: DataFrame, n_planes: int = 16, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane signature: sign bits of V @ P, vectorized numpy
+    over Arrow batches. Deterministic planes from `seed`."""
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if planes is None:
+                rng = np.random.RandomState(seed)
+                planes = rng.standard_normal((V.shape[1], n_planes))
+            bits = (V @ planes) > 0
+            sig = (bits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].values, "bucket": sig})
+
+    return df.mapInPandas(compute, schema="id long, bucket long")
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    k: int = 3,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: bucket by hyperplane signature, exact rerank inside bucket.
+    Recall < 1.0 by construction; multiprobe = lower n_planes."""
+    sig = lsh_signatures(df, n_planes, id_col, vec_col)
+    base = (
+        with_norm(df, vec_col)
+        .select(F.col(id_col).alias("id"), "_v", "_norm")
+        .join(sig, "id")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("nbr"),
+            (_dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias("vec_id"), "rank", F.col("nbr").alias("neighbor_id"), "cos")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, min_cos: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t)."""
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (_dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))).alias("cos"),
+        )
+        .where(F.col("cos") >= min_cos)
+        .select("id_a", "id_b")
+    )

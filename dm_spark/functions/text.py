@@ -1,0 +1,80 @@
+"""Text analysis for training-data pipelines — all built-in Catalyst
+expressions (JVM-side, codegen), no Python in the hot path.
+
+These are the transcript-payload analogs of a large-scale corpus
+pipeline: token counting, quality signals, language ID heuristic,
+document fingerprinting. Each has an exact ANSI-SQL twin used by the
+DuckDB correctness oracle (integer/count outputs — no float drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small, fixed English stopword set (shared law with the SQL oracle)
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this",
+]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty strings filtered (BPE-ish regex
+    splitting is a drop-in replacement — whitespace keeps the oracle
+    law trivially shared with SQL)."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_count(col: Column) -> Column:
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return F.size(F.filter(tokens(col), lambda x: F.array_contains(sw, F.lower(x))))
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, r"[\.,;:!\?]", ""))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def is_english_heuristic(col: Column, min_ratio_pct: int = 10) -> Column:
+    """n-gram-free language ID: share of stopword tokens >= threshold.
+    Integer percent math so the SQL oracle is bit-identical."""
+    n = token_count(col)
+    return F.when(n > 0, (stopword_count(col) * 100 / n) >= min_ratio_pct).otherwise(F.lit(False))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint (md5 — shared with DuckDB)."""
+    return F.md5(col)
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_stopwords", stopword_count(c))
+        .withColumn("n_punct", punct_count(c))
+        .withColumn("n_chars_calc", char_count(c))
+        .withColumn("is_en_pred", is_english_heuristic(c))
+        .withColumn("fp", fingerprint(c))
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), built with sequence +
+    transform — pure Catalyst, no UDF."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))

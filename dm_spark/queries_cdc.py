@@ -1,0 +1,365 @@
+"""CDC operator queries + their DuckDB oracle SQL.
+
+Each entry exercises one operator from SURVEY.md §2 end-to-end on the
+deterministic change feed derived from the `events` table, and has an
+exact ANSI-SQL twin the driver runs on DuckDB. Timestamps are returned
+as epoch microseconds (bigint) so value hashing is engine-stable.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dm_spark.config import (
+    ColumnMappingRule,
+    EventFilterRule,
+    ExprFilterRule,
+    RouteRule,
+    TaskConfig,
+)
+from dm_spark.feed import FEED_SQL, change_feed
+from dm_spark.lake import LakeTable
+from dm_spark.operators import ApplyPipeline, flatten_changes, lww_latest
+from dm_spark.operators.filters import ba_list_filter, event_type_filter, expression_filter
+from dm_spark.operators.mapping import apply_column_mappings, shard_prefix_rule
+from dm_spark.operators.router import route_tables
+
+SCHEMA = [
+    ("conv_id", "string"),
+    ("turn_idx", "int"),
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", "string"),
+    ("ts", "timestamp"),
+]
+KEY = ["conv_id", "turn_idx"]
+
+_FLAT_COLS = [
+    "op",
+    "coalesce(after.conv_id, before.conv_id) AS conv_id",
+    "coalesce(after.turn_idx, before.turn_idx) AS turn_idx",
+    "coalesce(after.role, before.role) AS role",
+    "coalesce(after.text, before.text) AS text",
+    "coalesce(after.tool, before.tool) AS tool",
+    "unix_micros(ts) AS ts_us",
+    "source_table",
+    "file_seq",
+    "pos",
+    "txn_id",
+]
+
+_ORACLE_FLAT = "SELECT op, conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us, source_table, file_seq, pos, txn_id FROM feed"
+
+_REPLAY = """
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn
+  FROM feed
+)
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def _flat(df: DataFrame) -> DataFrame:
+    return df.selectExpr(*_FLAT_COLS)
+
+
+def _final_us(lake: LakeTable) -> DataFrame:
+    return lake.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+def _replay_through_lake(
+    spark: SparkSession, batch: DataFrame, n_batches: int = 4, n_buckets: int = 16,
+    schema=None, key=None,
+) -> LakeTable:
+    lake = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="dm_q_"), schema or SCHEMA, key or KEY, n_buckets=n_buckets
+    )
+    batch = batch.withColumn(
+        "__ord", F.col("_cdc_file_seq") * 1_000_000 + F.col("_cdc_pos")
+    ).persist()
+    try:
+        qs = [i / n_batches for i in range(1, n_batches)]
+        cuts = batch.approxQuantile("__ord", qs, 0.0) if n_batches > 1 else []
+        cuts = sorted(set(int(c) for c in cuts))
+        lo = None
+        for i, hi in enumerate([*cuts, None]):
+            part = batch
+            if lo is not None:
+                part = part.where(F.col("__ord") > lo)
+            if hi is not None:
+                part = part.where(F.col("__ord") <= hi)
+            lake.merge_into(part.drop("__ord"), batch_id=i)
+            lo = hi
+    finally:
+        batch.unpersist()
+    return lake
+
+
+# ------------------------------------------------------------------ queries
+
+def q_feed_decode(spark, sf_dir):
+    return _flat(change_feed(spark, sf_dir))
+
+
+def q_ba_list_filter(spark, sf_dir):
+    return _flat(ba_list_filter(change_feed(spark, sf_dir), deny=["shard_3.*"]))
+
+
+def q_event_type_filter(spark, sf_dir):
+    rules = [EventFilterRule(pattern="shard_*.transcripts_1", ignore_ops=["D"])]
+    return _flat(event_type_filter(change_feed(spark, sf_dir), rules))
+
+
+def q_expr_filter(spark, sf_dir):
+    rules = [
+        ExprFilterRule(
+            pattern="shard_*.transcripts_*",
+            insert_expr="after.role = 'tool' AND after.tool = 'tool_0'",
+            delete_expr="before.turn_idx < 5",
+        )
+    ]
+    return _flat(expression_filter(change_feed(spark, sf_dir), rules))
+
+
+def q_table_router(spark, sf_dir):
+    routes = [
+        RouteRule(pattern="shard_3.*", target="quarantine"),
+        RouteRule(pattern="shard_*.transcripts_*", target="transcripts"),
+    ]
+    return (
+        route_tables(change_feed(spark, sf_dir), routes)
+        .groupBy("source_table", "target_table")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_column_mapping(spark, sf_dir):
+    df = apply_column_mappings(
+        change_feed(spark, sf_dir), [shard_prefix_rule("shard_*.transcripts_*")]
+    )
+    return flatten_changes(df).selectExpr(
+        "op", "conv_id", "turn_idx", "_cdc_file_seq AS file_seq", "_cdc_pos AS pos"
+    )
+
+
+def q_dedup_lww(spark, sf_dir):
+    flat = _flat(change_feed(spark, sf_dir))
+    return lww_latest(flat, KEY, ["ts_us", "file_seq", "pos"]).select(
+        "conv_id", "turn_idx", "op", "text", "ts_us"
+    )
+
+
+def q_replay_merge(spark, sf_dir):
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    return _final_us(_replay_through_lake(spark, batch))
+
+
+def q_replay_filtered(spark, sf_dir):
+    cfg = TaskConfig(
+        deny_tables=["shard_3.*"],
+        event_filters=[EventFilterRule(pattern="shard_*.transcripts_1", ignore_ops=["D"])],
+        expr_filters=[
+            ExprFilterRule(
+                pattern="shard_*.transcripts_*",
+                insert_expr="after.role = 'tool' AND after.tool = 'tool_0'",
+            )
+        ],
+        routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")],
+    )
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    return _final_us(_replay_through_lake(spark, batch))
+
+
+def q_shard_merge_mapped(spark, sf_dir):
+    cfg = TaskConfig(
+        routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")],
+        column_mappings=[shard_prefix_rule("shard_*.transcripts_*")],
+    )
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    return _final_us(_replay_through_lake(spark, batch))
+
+
+def q_safe_mode_replay(spark, sf_dir):
+    """Duplicate-window redelivery: the last ~20% of txns are delivered
+    twice; idempotent LWW merge must converge to the plain replay."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    feed = change_feed(spark, sf_dir)
+    batch = ApplyPipeline(cfg).transform(feed).drop("target_table")
+    lake = _replay_through_lake(spark, batch)
+    mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
+    cut = mm[0] + (mm[1] - mm[0]) * 4 // 5
+    tail = ApplyPipeline(cfg).transform(feed.where(F.col("txn_id") > cut)).drop("target_table")
+    lake.merge_into(tail)  # redelivery, no batch gate
+    return _final_us(lake)
+
+
+def q_lineage_counts(spark, sf_dir):
+    return (
+        change_feed(spark, sf_dir)
+        .groupBy("source_table", "op")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_checkpoint_locations(spark, sf_dir):
+    agg = (
+        change_feed(spark, sf_dir)
+        .groupBy("source_table")
+        .agg(F.max(F.struct("file_seq", "pos")).alias("loc"))
+    )
+    return agg.select("source_table", "loc.file_seq", "loc.pos")
+
+
+def q_ddl_evolution(spark, sf_dir):
+    """Mid-feed schema evolution: add rating, rename tool->tool_name,
+    widen turn_idx to bigint (optimistic shard-DDL semantics:
+    pkg/shardddl/optimism/lock.go:115 schema join -> table-global ALTER)."""
+    feed = change_feed(spark, sf_dir)
+    mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
+    mid = (mm[0] + mm[1]) // 2
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    pipe = ApplyPipeline(cfg)
+
+    lake = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="dm_ddl_"), SCHEMA, KEY, n_buckets=16
+    )
+    a = pipe.transform(feed.where(F.col("txn_id") <= mid)).drop("target_table")
+    lake.merge_into(a, batch_id=0)
+
+    for i, act in enumerate(
+        [
+            {"action": "add_column", "column": "rating", "new_type": "int"},
+            {"action": "rename_column", "column": "tool", "new_name": "tool_name"},
+            {"action": "widen_type", "column": "turn_idx", "new_type": "bigint"},
+        ]
+    ):
+        lake.apply_ddl({**act, "file_seq": 10**6 + i, "pos": 0})
+
+    b = pipe.transform(feed.where(F.col("txn_id") > mid)).drop("target_table")
+    b = b.select(
+        "conv_id",
+        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        "role",
+        "text",
+        F.col("tool").alias("tool_name"),
+        "ts",
+        (F.col("_cdc_pos") % 5).cast("int").alias("rating"),
+        "op",
+        "_cdc_ts",
+        "_cdc_file_seq",
+        "_cdc_pos",
+    )
+    lake.merge_into(b, batch_id=1)
+    return lake.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool_name", "rating",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+QUERIES = {
+    "cdc_feed_decode": q_feed_decode,
+    "cdc_ba_list_filter": q_ba_list_filter,
+    "cdc_event_type_filter": q_event_type_filter,
+    "cdc_expr_filter": q_expr_filter,
+    "cdc_table_router": q_table_router,
+    "cdc_column_mapping": q_column_mapping,
+    "cdc_dedup_lww": q_dedup_lww,
+    "cdc_replay_merge": q_replay_merge,
+    "cdc_replay_filtered": q_replay_filtered,
+    "cdc_shard_merge_mapped": q_shard_merge_mapped,
+    "cdc_safe_mode_replay": q_safe_mode_replay,
+    "cdc_lineage_counts": q_lineage_counts,
+    "cdc_checkpoint_locations": q_checkpoint_locations,
+    "cdc_ddl_evolution": q_ddl_evolution,
+}
+
+
+def _with_feed(body: str, feed_where: str = "TRUE") -> str:
+    return f"WITH feed AS (SELECT * FROM ({FEED_SQL}) WHERE {feed_where}), {body}"
+
+
+_FILTER_MATRIX_WHERE = """
+  source_table NOT LIKE 'shard_3.%'
+  AND NOT (op = 'D' AND source_table LIKE '%.transcripts_1')
+  AND NOT (op = 'I' AND role = 'tool' AND tool = 'tool_0')
+"""
+
+ORACLES = {
+    "cdc_feed_decode": f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT}",
+    "cdc_ba_list_filter": (
+        f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT} WHERE source_table NOT LIKE 'shard_3.%'"
+    ),
+    "cdc_event_type_filter": (
+        f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT} "
+        "WHERE NOT (op = 'D' AND source_table LIKE '%.transcripts_1')"
+    ),
+    "cdc_expr_filter": (
+        f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT} "
+        "WHERE NOT (op = 'I' AND role = 'tool' AND tool = 'tool_0') "
+        "AND NOT (op = 'D' AND turn_idx < 5)"
+    ),
+    "cdc_table_router": (
+        f"WITH feed AS ({FEED_SQL}) "
+        "SELECT source_table, "
+        "CASE WHEN source_table LIKE 'shard_3.%' THEN 'quarantine' "
+        "WHEN source_table LIKE 'shard_%.transcripts_%' THEN 'transcripts' "
+        "ELSE source_table END AS target_table, count(*) AS n "
+        "FROM feed GROUP BY 1, 2"
+    ),
+    "cdc_column_mapping": (
+        f"WITH feed AS ({FEED_SQL}) "
+        "SELECT op, regexp_extract(source_table, '^shard_([0-9]+)\\.', 1) || '_' || conv_id AS conv_id, "
+        "turn_idx, file_seq, pos FROM feed"
+    ),
+    "cdc_dedup_lww": _with_feed(
+        """latest AS (
+             SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+               ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn FROM feed)
+           SELECT conv_id, turn_idx, op, text, epoch_us(ts) AS ts_us
+           FROM latest WHERE rn = 1"""
+    ),
+    "cdc_replay_merge": _with_feed(_REPLAY),
+    "cdc_replay_filtered": _with_feed(_REPLAY, _FILTER_MATRIX_WHERE),
+    "cdc_shard_merge_mapped": (
+        f"WITH feed0 AS ({FEED_SQL}), "
+        "feed AS (SELECT * REPLACE (regexp_extract(source_table, '^shard_([0-9]+)\\.', 1) "
+        "|| '_' || conv_id AS conv_id) FROM feed0), "
+        + _REPLAY
+    ),
+    "cdc_safe_mode_replay": _with_feed(_REPLAY),
+    "cdc_lineage_counts": (
+        f"WITH feed AS ({FEED_SQL}) "
+        "SELECT source_table, op, count(*) AS n FROM feed GROUP BY 1, 2"
+    ),
+    "cdc_checkpoint_locations": (
+        f"WITH feed AS ({FEED_SQL}), r AS ("
+        "SELECT source_table, file_seq, pos, row_number() OVER ("
+        "PARTITION BY source_table ORDER BY file_seq DESC, pos DESC) AS rn FROM feed) "
+        "SELECT source_table, file_seq, pos FROM r WHERE rn = 1"
+    ),
+    "cdc_ddl_evolution": _with_feed(
+        """mid AS (SELECT (min(txn_id) + max(txn_id)) // 2 AS m FROM feed),
+           feed2 AS (
+             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+                    tool AS tool_name,
+                    CASE WHEN txn_id > (SELECT m FROM mid)
+                         THEN CAST(pos % 5 AS INTEGER) END AS rating,
+                    ts, file_seq, pos, op
+             FROM feed),
+           latest AS (
+             SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+               ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn FROM feed2)
+           SELECT conv_id, turn_idx, role, text, tool_name, rating,
+                  epoch_us(ts) AS ts_us
+           FROM latest WHERE rn = 1 AND op <> 'D'"""
+    ),
+}

@@ -1,0 +1,242 @@
+"""Training-data pipeline queries over documents/embeddings/events,
+with DuckDB oracles where ANSI-SQL-expressible (MinHash/SimHash/LSH-ANN
+use engine-internal hash laws — rows-only checks, by design)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dm_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from dm_spark.functions.multimodal import attach_fake_media, decode_and_featurize
+from dm_spark.functions.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from dm_spark.functions.text import EN_STOPWORDS, quality_columns
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+# ------------------------------------------------------------- events
+
+def q_events_tumbling_agg(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+            F.min("event_id").alias("min_eid"),
+            F.max("event_id").alias("max_eid"),
+        )
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) per user — the classic
+    streaming session-window expressed as lag+cumsum."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > 1800 * 1_000_000)
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("event_id").alias("first_eid"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------- documents
+
+def q_doc_exact_dedup(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_doc_quality(spark, sf_dir):
+    return quality_columns(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_stopwords", "n_punct", "n_chars_calc", "is_en_pred", "fp"
+    )
+
+
+def q_doc_langid(spark, sf_dir):
+    q = quality_columns(_docs(spark, sf_dir))
+    return q.select(
+        "doc_id",
+        "lang",
+        "is_en_pred",
+        (F.col("is_en_pred") == (F.col("lang") == "en")).alias("agrees"),
+    )
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
+
+
+def q_doc_minhash_lsh(spark, sf_dir):  # rows-only (numpy hash law)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_doc_simhash(spark, sf_dir):  # rows-only (numpy hash law)
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    media = attach_fake_media(_docs(spark, sf_dir))
+    return decode_and_featurize(media).select("doc_id", "n_bytes", "n_frames")
+
+
+# --------------------------------------------------------- embeddings
+
+def q_emb_cosine_topk(spark, sf_dir):
+    return cosine_topk_bruteforce(_embs(spark, sf_dir), k=3)
+
+
+def q_emb_ann_lsh(spark, sf_dir):  # rows-only (recall < 1 by design)
+    return cosine_topk_lsh(_embs(spark, sf_dir), k=3, n_planes=8).select(
+        "vec_id", "rank", "neighbor_id"
+    )
+
+
+QUERIES = {
+    "events_tumbling_agg": q_events_tumbling_agg,
+    "events_sessionize": q_events_sessionize,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_simhash": q_doc_simhash,
+    "multimodal_decode": q_multimodal_decode,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_ann_lsh": q_emb_ann_lsh,
+}
+
+_SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_SHINGLES = f"""
+docs_sh AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    ELSE [] END AS shingles
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)
+"""
+
+ORACLES = {
+    "events_tumbling_agg": """
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+             count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+             min(event_id) AS min_eid, max(event_id) AS max_eid
+      FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+      WITH s AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      m AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess FROM s),
+      g AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess_id FROM m),
+      per AS (
+        SELECT user_id, sess_id, count(*) AS n_events FROM g GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+             max(n_events) AS max_session_events
+      FROM per GROUP BY 1
+    """,
+    "doc_exact_dedup": """
+      SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
+      FROM documents GROUP BY 1
+    """,
+    "doc_quality": f"""
+      SELECT doc_id,
+        len({_TOKS}) AS n_tokens,
+        len(list_filter({_TOKS}, x -> lower(x) IN ({_SW}))) AS n_stopwords,
+        length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+        length(text) AS n_chars_calc,
+        CASE WHEN len({_TOKS}) > 0 THEN
+          (len(list_filter({_TOKS}, x -> lower(x) IN ({_SW}))) * 100 / len({_TOKS})) >= 10
+        ELSE FALSE END AS is_en_pred,
+        md5(text) AS fp
+      FROM documents
+    """,
+    "doc_langid": f"""
+      WITH q AS (
+        SELECT doc_id, lang,
+          CASE WHEN len({_TOKS}) > 0 THEN
+            (len(list_filter({_TOKS}, x -> lower(x) IN ({_SW}))) * 100 / len({_TOKS})) >= 10
+          ELSE FALSE END AS is_en_pred
+        FROM documents)
+      SELECT doc_id, lang, is_en_pred, is_en_pred = (lang = 'en') AS agrees FROM q
+    """,
+    "doc_ngram_jaccard": f"""
+      WITH {_SHINGLES},
+      ex AS (
+        SELECT doc_id AS id, len(shingles) AS sz, unnest(shingles) AS s
+        FROM docs_sh),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter,
+               any_value(a.sz) AS size_a, any_value(b.sz) AS size_b
+        FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, inter, size_a, size_b FROM pairs
+      WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.5
+    """,
+    "multimodal_decode": """
+      SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
+      FROM documents
+    """,
+    "emb_cosine_topk": """
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+               list_cosine_similarity(a.v, b.v) AS cos
+        FROM base a JOIN base b ON a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT vec_id, nbr, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rank
+        FROM pairs)
+      SELECT vec_id, rank, nbr AS neighbor_id FROM ranked WHERE rank <= 3
+    """,
+}
