@@ -1,0 +1,106 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "headline_suite_sec", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "apply_events_per_sec_peak": ...,           # local[32], no decode
+   "decode_apply_events_per_sec_{n,4n}": ...,  # same job at N / 4N cores
+   "scaling_efficiency_n_to_4n": ...}
+
+- headline queries run at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+  local[$SPARK_GRAFT_CPUS].
+- scaling evidence (north rule: >=0.8 efficiency N -> 4N executors on
+  identical input with identical final state): the SAME end-to-end
+  decode+apply job (JSON wire decode via Arrow pandas UDF -> transform
+  pipeline -> LWW MERGE into the lake) at local[1] vs local[4], clean
+  subprocess JVMs. This box has 16 physical cores + SMT (32 hw
+  threads): 1->4 sits below the SMT/memory-bandwidth knee, which is
+  what N->4N *executors* (separate machines) corresponds to; 8->32
+  crosses hyperthread territory where 4x threads is physically ~2x
+  core capacity. BENCH.md records all measured pairs.
+  Skip with DM_BENCH_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dm_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SCALING_EVENTS = int(os.environ.get("DM_BENCH_SCALING_EVENTS", "4000000"))
+PEAK_EVENTS = int(os.environ.get("DM_BENCH_PEAK_EVENTS", "8000000"))
+
+HEADLINE = [
+    "cdc_replay_merge",
+    "cdc_replay_filtered",
+    "cdc_shard_merge_mapped",
+    "cdc_dedup_lww",
+    "cdc_ddl_evolution",
+    "cdc_wire_decode",
+    "events_sessionize",
+    "doc_minhash_lsh",
+    "doc_ngram_jaccard",
+    "emb_cosine_topk",
+]
+
+
+def run_headline() -> tuple[dict, float]:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    qs = entrymod.queries()
+    times = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        _ = df.count()
+        times[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return times, round(sum(times.values()), 3)
+
+
+def _kernel(kind: str, master: str, events: int, parts: int, batches: int) -> dict:
+    r = subprocess.run(
+        [sys.executable, "-m", "dm_spark.bench_support", kind, master,
+         str(events), str(parts), str(batches)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600,
+    )
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"kernel failed: {r.stdout[-500:]} {r.stderr[-500:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    queries, total = run_headline()
+    result = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    }
+    if os.environ.get("DM_BENCH_SKIP_SCALING") != "1":
+        peak = _kernel("apply", "local[32]", PEAK_EVENTS, 32, 4)
+        n1 = _kernel("apply_decode", "local[1]", SCALING_EVENTS, 1, 1)
+        n4 = _kernel("apply_decode", "local[4]", SCALING_EVENTS, 4, 1)
+        result["apply_events_per_sec_peak"] = peak["events_per_sec"]
+        result["decode_apply_events_per_sec_n"] = n1["events_per_sec"]
+        result["decode_apply_events_per_sec_4n"] = n4["events_per_sec"]
+        result["scaling_efficiency_n_to_4n"] = round(
+            n4["events_per_sec"] / (4 * n1["events_per_sec"]), 3
+        )
+        result["scaling_events"] = SCALING_EVENTS
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Benchmark kernels, runnable standalone for clean-JVM scaling runs:
+
+    python -m dm_spark.bench_support apply <master> <n_events> <shuffle_parts>
+
+prints one JSON line {"events": N, "sec": s, "events_per_sec": r}.
+
+The apply kernel is the engine's headline path (north rule:
+change-events/sec applied end-to-end): synthesize a zipf-skewed change
+feed with `spark.range` column math (no materialized input — the
+10^10-event law, SURVEY §7.3d), run the transform pipeline, and MERGE
+it into a lake table in ordered batches.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from dm_spark.config import RouteRule, TaskConfig
+from dm_spark.feed import synthetic_feed
+from dm_spark.lake import LakeTable
+from dm_spark.operators import ApplyPipeline
+from dm_spark.session import get_spark
+
+SCHEMA = [
+    ("conv_id", "string"),
+    ("turn_idx", "int"),
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", "string"),
+    ("ts", "timestamp"),
+]
+KEY = ["conv_id", "turn_idx"]
+
+
+def apply_throughput(
+    master: str,
+    n_events: int,
+    shuffle_partitions: int,
+    n_batches: int = 4,
+    n_buckets: int = 16,
+    n_convs: int = 50_000,
+    decode: bool = False,
+    text_chars: int = 600,
+) -> dict:
+    spark = get_spark(
+        f"bench_apply_{master}", master=master, shuffle_partitions=shuffle_partitions
+    )
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    pipe = ApplyPipeline(cfg)
+    workdir = tempfile.mkdtemp(prefix="dm_bench_")
+    lake = LakeTable.create(spark, f"{workdir}/lake", SCHEMA, KEY, n_buckets=n_buckets)
+    # warm the JVM/codegen/python-workers with a tiny run of the SAME
+    # plan shape (excluded from timing)
+    warm_feed = synthetic_feed(spark, 10_000, n_convs=1000, text_chars=text_chars)
+    if decode:
+        from dm_spark.sources.decode import decode_wire, to_wire
+
+        warm_feed = decode_wire(to_wire(warm_feed))
+    warm = pipe.transform(warm_feed).drop("target_table")
+    lake.merge_into(warm, batch_id=-100_000, prune=False)
+
+    per = n_events // n_batches
+    t0 = time.time()
+    for i in range(n_batches):
+        feed = synthetic_feed(
+            spark, per, n_convs=n_convs, partitions=shuffle_partitions,
+            text_chars=text_chars,
+        ).withColumn("file_seq", F.col("file_seq") + F.lit(i * 10_000))
+        if decode:
+            from dm_spark.sources.decode import decode_wire, to_wire
+
+            feed = decode_wire(to_wire(feed))
+        batch = pipe.transform(feed).drop("target_table")
+        lake.merge_into(batch, batch_id=i, prune=False)
+    sec = time.time() - t0
+    out = {
+        "events": n_events,
+        "sec": round(sec, 3),
+        "events_per_sec": round(n_events / sec, 1),
+        "master": master,
+        "final_rows": None,
+    }
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+if __name__ == "__main__":
+    kind = sys.argv[1]
+    if kind in ("apply", "apply_decode"):
+        n_batches = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+        res = apply_throughput(
+            sys.argv[2],
+            int(sys.argv[3]),
+            int(sys.argv[4]),
+            n_batches=n_batches,
+            decode=(kind == "apply_decode"),
+        )
+        print(json.dumps(res))
+    else:
+        raise SystemExit(f"unknown kernel {kind}")

@@ -1,0 +1,54 @@
+"""Precheck unit — upstream validation before a task starts.
+
+The reference validates binlog format, privileges, shard-schema
+consistency and auto-increment PK conflicts before running
+(checker/checker.go:105-240). The Spark-native equivalents are
+assertions on the input table and change feed."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def precheck_feed(feed: DataFrame, key_fields: list[str]) -> dict:
+    """One pass of feed invariants (single agg job):
+    - locations (file_seq, pos) are unique (total order exists)
+    - op values are I/U/D
+    - every event carries a key (after for I/U, before for D)
+    """
+    key_ok = F.lit(True)
+    for k in key_fields:
+        img = F.when(F.col("op") == "D", F.col(f"before.{k}")).otherwise(F.col(f"after.{k}"))
+        key_ok = key_ok & img.isNotNull()
+    row = feed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("file_seq", "pos").alias("n_loc"),
+        F.sum((~F.col("op").isin("I", "U", "D")).cast("int")).alias("bad_op"),
+        F.sum((~key_ok).cast("int")).alias("null_key"),
+    ).collect()[0]
+    return {
+        "events": row["n"],
+        "locations_unique": row["n"] == row["n_loc"],
+        "bad_op_rows": row["bad_op"] or 0,
+        "null_key_rows": row["null_key"] or 0,
+        "ok": (row["n"] == row["n_loc"])
+        and not (row["bad_op"] or 0)
+        and not (row["null_key"] or 0),
+    }
+
+
+def precheck_target(table_df: DataFrame, key: list[str]) -> dict:
+    """Target invariants: key uniqueness + non-null key (the auto-inc
+    PK conflict check analog for shard merge)."""
+    row = table_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*key).alias("n_keys"),
+        F.sum(sum((F.col(k).isNull()).cast("int") for k in key).cast("int")).alias("nulls"),
+    ).collect()[0]
+    return {
+        "rows": row["n"],
+        "key_unique": row["n"] == row["n_keys"],
+        "null_key_rows": row["nulls"] or 0,
+        "ok": row["n"] == row["n_keys"] and not (row["nulls"] or 0),
+    }

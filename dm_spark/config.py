@@ -88,6 +88,8 @@ class TaskConfig:
     expr_filters: list[ExprFilterRule] = field(default_factory=list)
     column_mappings: list[ColumnMappingRule] = field(default_factory=list)
     generated_columns: list[str] = field(default_factory=list)  # pruned (dml.go:358)
+    # drop gh-ost/pt-osc ghost & trash table DMLs (syncer/filter.go:74-78)
+    online_ddl: bool = True
     # physical tuning (dm/config/task.go:70-73 analogs)
     n_buckets: int = 32
     shuffle_partitions: int | None = None
@@ -97,7 +99,8 @@ class TaskConfig:
     def from_dict(d: dict) -> "TaskConfig":
         c = TaskConfig()
         for k in ("target_table", "key", "allow_tables", "deny_tables",
-                  "generated_columns", "n_buckets", "shuffle_partitions", "salt_hot_keys"):
+                  "generated_columns", "n_buckets", "shuffle_partitions",
+                  "salt_hot_keys", "online_ddl"):
             if k in d:
                 setattr(c, k, d[k])
         c.routes = [RouteRule(**r) for r in d.get("routes", [])]

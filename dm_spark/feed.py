@@ -128,6 +128,7 @@ def synthetic_feed(
     zipf_exponent: float = 1.1,
     partitions: int | None = None,
     seed: int = 42,
+    text_chars: int = 0,
 ) -> DataFrame:
     """Unbounded-scale feed generator: `spark.range` + column math only.
 
@@ -155,4 +156,23 @@ def synthetic_feed(
         .otherwise(F.lit("view"))
     )
     ts = F.timestamp_seconds(F.lit(1704067200) + (eid / 100).cast("bigint"))
-    return rng.select(*_envelope(eid, uid, etype, ts))
+    env = rng.select(*_envelope(eid, uid, etype, ts))
+    if text_chars > 0:
+        # realistic transcript turns: pad text to ~text_chars with a
+        # deterministic word stream (pure column ops, no driver data)
+        filler = F.repeat(
+            F.concat(F.lit(" lorem"), (F.col("pos") % 7).cast("string")),
+            text_chars // 7 + 1,
+        )
+        body = F.substring(filler, 1, text_chars)
+        for img in ("before", "after"):
+            env = env.withColumn(
+                img,
+                F.when(
+                    F.col(img).isNotNull(),
+                    F.col(img).withField(
+                        "text", F.concat(F.col(f"{img}.text"), body)
+                    ),
+                ),
+            )
+    return env

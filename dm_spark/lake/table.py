@@ -57,6 +57,18 @@ LINEAGE_COLS = ["_cdc_ts", "_cdc_file_seq", "_cdc_pos"]
 HASH_SEED_COL = "__dm_bucket"
 
 
+def _parquet_files_with_rows(commit_dir: str) -> list[tuple[str, int]]:
+    """(filename, num_rows) per part file, from parquet footers — the
+    manifest-stats read Iceberg does; local footer reads are cheap."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for fn in os.listdir(commit_dir):
+        if fn.startswith("part-") and fn.endswith(".parquet"):
+            out.append((fn, pq.ParquetFile(os.path.join(commit_dir, fn)).metadata.num_rows))
+    return out
+
+
 @dataclass
 class MergeStats:
     version: int
@@ -97,10 +109,18 @@ class _Meta:
         return _Meta(**json.loads(s))
 
 
-def _bucket_expr(key: list[str], n_buckets: int):
+def _norm_key_cols(key: list[str]) -> list:
     # normalize types so the bucket function is stable across widenings
-    cols = [F.col(key[0]).cast("string")] + [F.col(k).cast("long") for k in key[1:]]
-    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+    return [F.col(key[0]).cast("string")] + [F.col(k).cast("long") for k in key[1:]]
+
+
+def _bucket_expr(key: list[str], n_buckets: int):
+    """Bucket id == Spark's own shuffle slot for `repartition(B, keys)`:
+    pmod(murmur3(keys), B). This identity lets the merge write FLAT
+    parquet (no dynamic-partition writer, ~2x faster commit) — the
+    output task index IS the bucket id, recovered from part-NNNNN file
+    names for the manifest."""
+    return F.pmod(F.hash(*_norm_key_cols(key)), F.lit(n_buckets)).cast("int")
 
 
 class LakeTable:
@@ -212,15 +232,26 @@ class LakeTable:
 
     # ------------------------------------------------------------- merge
     def merge_into(
-        self, changes: DataFrame, batch_id: int | None = None, stream_id: str | None = None
+        self,
+        changes: DataFrame,
+        batch_id: int | None = None,
+        stream_id: str | None = None,
+        prune: bool = True,
     ) -> MergeStats:
         """Apply a batch of change rows with LWW upsert/delete semantics.
 
         `changes` columns: current payload schema + `op` ('I'|'U'|'D') +
         `_cdc_ts` timestamp, `_cdc_file_seq` long, `_cdc_pos` long.
-        Single shuffle: repartition by bucket, then a window keyed
-        (bucket, key...) — HashPartitioning(bucket) satisfies the
-        window's ClusteredDistribution since bucket is key-functional.
+        Single shuffle: repartition on the normalized key so the shuffle
+        slot equals the bucket id; the LWW window reuses that shuffle.
+
+        `prune=True` (CDC trickle): an extra pass finds the touched
+        buckets so only those are read+rewritten — cost proportional to
+        touched data, the partition-level CoW that keeps continuous
+        upserts viable on a 10^10-row table.
+        `prune=False` (bulk replay / backfill): every bucket is assumed
+        touched; stats are collected as observed metrics on the single
+        merge-write job — one Spark job per batch, no extra pass.
         """
         meta = self._load_meta()
         if stream_id is not None and stream_id != meta.stream_id:
@@ -232,84 +263,143 @@ class LakeTable:
         if batch_id is not None and batch_id <= meta.last_batch_id:
             return MergeStats(version=meta.version, batch_id=batch_id, skipped=True)
 
+        bexpr = _bucket_expr(meta.key, meta.n_buckets)
+        # merge makes two passes over the incoming batch (bucket/stats
+        # agg, then the LWW merge) — persist so an expensive upstream
+        # (pandas-UDF wire decode) runs once. MEMORY_AND_DISK: a micro-
+        # batch must never OOM the executor at scale.
+        from pyspark.storagelevel import StorageLevel
+
+        if not prune:
+            # bulk path is single-pass (stats ride the write job as
+            # observed metrics) — no second pass, so no cache needed
+            return self._merge_persisted(changes, meta, batch_id, bexpr, prune)
+        changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._merge_persisted(changes, meta, batch_id, bexpr, prune)
+        finally:
+            changes.unpersist()
+
+    def _merge_persisted(self, changes, meta, batch_id, bexpr, prune) -> MergeStats:
         key = meta.key
         payload = [f["name"] for f in meta.fields()]
-        bexpr = _bucket_expr(key, meta.n_buckets)
+        # schema-evolution tolerance: a source still emitting the old
+        # shape null-fills columns added downstream, and payload types
+        # are cast to the current schema (downstream_more_column /
+        # widen scenarios in the reference's suites)
+        have = set(changes.columns)
+        for f_ in meta.fields():
+            if f_["name"] not in have:
+                changes = changes.withColumn(f_["name"], F.lit(None).cast(f_["type"]))
+            else:
+                changes = changes.withColumn(f_["name"], F.col(f_["name"]).cast(f_["type"]))
         inc = changes.withColumn(HASH_SEED_COL, bexpr)
 
-        # one pass over incoming: touched buckets + global checkpoint + counts
-        agg = inc.agg(
-            F.collect_set(HASH_SEED_COL).alias("bks"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
-            F.max(F.struct("_cdc_file_seq", "_cdc_pos")).alias("loc"),
-        ).collect()[0]
-        touched = sorted(agg["bks"] or [])
-        stats = MergeStats(
-            version=meta.version + 1,
-            batch_id=batch_id,
-            n_incoming=agg["n"],
-            n_deletes_in=agg["nd"] or 0,
-            n_buckets_touched=len(touched),
-        )
-        if not touched:
-            meta.version += 1
-            if batch_id is not None:
-                meta.last_batch_id = batch_id
-            meta.totals["batches"] += 1
-            self._commit(meta)
-            return stats
+        obs_in = None
+        loc = None
+        if prune:
+            # extra pass over incoming: touched buckets + checkpoint + counts
+            agg = inc.agg(
+                F.collect_set(HASH_SEED_COL).alias("bks"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
+                F.max(F.struct("_cdc_file_seq", "_cdc_pos")).alias("loc"),
+            ).collect()[0]
+            touched = sorted(agg["bks"] or [])
+            loc = agg["loc"]
+            stats = MergeStats(
+                version=meta.version + 1,
+                batch_id=batch_id,
+                n_incoming=agg["n"],
+                n_deletes_in=agg["nd"] or 0,
+                n_buckets_touched=len(touched),
+            )
+            if not touched:
+                meta.version += 1
+                if batch_id is not None:
+                    meta.last_batch_id = batch_id
+                meta.totals["batches"] += 1
+                self._commit(meta)
+                return stats
+        else:
+            # bulk path: all buckets in play; stats ride the write job
+            touched = list(range(meta.n_buckets))
+            stats = MergeStats(
+                version=meta.version + 1, batch_id=batch_id, n_buckets_touched=len(touched)
+            )
+            obs_in = Observation()
+            inc = inc.observe(
+                obs_in,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
+                F.max(F.struct("_cdc_file_seq", "_cdc_pos")).alias("loc"),
+            )
 
         base_entries = [e for b in touched for e in meta.buckets[str(b)]]
         base = self._read_files(meta, base_entries, with_lineage=True)
-        sel = payload + ["op"] + LINEAGE_COLS + [HASH_SEED_COL]
+        sel = payload + ["op"] + LINEAGE_COLS
         inc = inc.select(*sel)
         if base is not None:
-            base = base.withColumn("op", F.lit("I")).withColumn(HASH_SEED_COL, bexpr).select(*sel)
+            base = base.withColumn("op", F.lit("I")).select(*sel)
             merged = inc.unionByName(base)
         else:
             merged = inc
 
-        npart = max(1, min(len(touched), int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
-        w = (
-            Window.partitionBy(HASH_SEED_COL, *key)
-            .orderBy(*[F.col(c).desc() for c in LINEAGE_COLS])
-        )
+        # normalize key columns once; repartition on THEM so the shuffle
+        # slot equals the bucket id (see _bucket_expr). The LWW step is a
+        # hash aggregation (max_by on the lineage-ordering struct) that
+        # reuses that clustering — single shuffle, no sort (hash agg
+        # scales better with cores than a window sort and replaces the
+        # reference's per-queue ordered apply, syncer/dml_worker.go).
+        nkeys = [f"__k{i}" for i in range(len(key))]
+        for n, c in zip(nkeys, _norm_key_cols(key)):
+            merged = merged.withColumn(n, c)
         obs = Observation()
+        winner = F.max_by(
+            F.struct(*payload, "op", *LINEAGE_COLS), F.struct(*LINEAGE_COLS)
+        ).alias("__w")
         out = (
-            merged.repartition(npart, HASH_SEED_COL)
-            .withColumn("__rn", F.row_number().over(w))
-            .where((F.col("__rn") == 1) & (F.col("op") != "D"))
-            .select(*payload, *LINEAGE_COLS, F.col(HASH_SEED_COL).alias("_bucket"))
+            merged.repartition(meta.n_buckets, *[F.col(n) for n in nkeys])
+            .groupBy(*nkeys)
+            .agg(winner)
+            .select("__w.*")
+            .where(F.col("op") != "D")
+            .select(*payload, *LINEAGE_COLS)
             .observe(obs, F.count(F.lit(1)).alias("rows"))
         )
         commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}")
-        out.write.partitionBy("_bucket").mode("errorifexists").parquet(commit_dir)
+        out.write.mode("errorifexists").parquet(commit_dir)
         stats.rows_written = obs.get["rows"]
+        if obs_in is not None:
+            m = obs_in.get
+            stats.n_incoming = m["n"]
+            stats.n_deletes_in = m["nd"] or 0
+            loc = m["loc"]
 
-        # manifest: touched buckets now point at the new commit's files
+        # manifest: part-NNNNN index == bucket id (empty buckets write
+        # no file). Touched buckets now point at the new commit's files.
         new_lists: dict[str, list[dict]] = {str(b): [] for b in touched}
         if os.path.isdir(commit_dir):
-            for d in os.listdir(commit_dir):
-                if not d.startswith("_bucket="):
-                    continue
-                b = d.split("=", 1)[1]
-                files = [
-                    {"path": os.path.join(commit_dir, d, fn), "schema_version": meta.schema_version}
-                    for fn in os.listdir(os.path.join(commit_dir, d))
-                    if fn.endswith(".parquet")
-                ]
-                new_lists[b] = files
-        for b in touched:
-            meta.buckets[str(b)] = new_lists[str(b)]
+            for fn, nrows in _parquet_files_with_rows(commit_dir):
+                if nrows == 0:
+                    continue  # schema-preserving empty part file
+                b = int(fn.split("-")[1])
+                new_lists.setdefault(str(b), []).append(
+                    {"path": os.path.join(commit_dir, fn), "schema_version": meta.schema_version}
+                )
+        stray = [b for b in new_lists if int(b) not in touched]
+        if stray:  # would mean the slot==bucket identity broke — refuse
+            raise RuntimeError(f"bucket/slot identity violated: {stray}")
+        for b, files in new_lists.items():
+            meta.buckets[str(b)] = files
 
         meta.version += 1
         if batch_id is not None:
             meta.last_batch_id = batch_id
-        loc = agg["loc"]
         if loc is not None:
             prev = meta.checkpoint or {"file_seq": -1, "pos": -1}
             cand = {"file_seq": loc["_cdc_file_seq"], "pos": loc["_cdc_pos"]}
+            cand = {k: int(v) for k, v in cand.items()}
             if (cand["file_seq"], cand["pos"]) > (prev["file_seq"], prev["pos"]):
                 meta.checkpoint = cand
         meta.totals["batches"] += 1
@@ -341,23 +431,18 @@ class LakeTable:
             .withColumn("_cdc_ts", F.to_timestamp(F.lit("1970-01-01 00:00:00")))
             .withColumn("_cdc_file_seq", F.lit(-1).cast("long"))
             .withColumn("_cdc_pos", F.lit(-1).cast("long"))
-            .withColumn("_bucket", _bucket_expr(meta.key, meta.n_buckets))
         )
-        npart = max(1, min(meta.n_buckets, int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
-        out = out.repartition(npart, "_bucket")
+        out = out.repartition(meta.n_buckets, *_norm_key_cols(meta.key))
         commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}")
-        out.write.partitionBy("_bucket").mode("errorifexists").parquet(commit_dir)
+        out.write.mode("errorifexists").parquet(commit_dir)
         meta.buckets = {str(b): [] for b in range(meta.n_buckets)}
-        n = 0
-        for d in os.listdir(commit_dir):
-            if d.startswith("_bucket="):
-                b = d.split("=", 1)[1]
-                meta.buckets[b] = [
-                    {"path": os.path.join(commit_dir, d, fn), "schema_version": meta.schema_version}
-                    for fn in os.listdir(os.path.join(commit_dir, d))
-                    if fn.endswith(".parquet")
-                ]
-                n += 1
+        for fn, nrows in _parquet_files_with_rows(commit_dir):
+            if nrows == 0:
+                continue
+            b = str(int(fn.split("-")[1]))
+            meta.buckets[b].append(
+                {"path": os.path.join(commit_dir, fn), "schema_version": meta.schema_version}
+            )
         meta.version += 1
         self._commit(meta)
         return meta.version

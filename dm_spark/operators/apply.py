@@ -51,7 +51,12 @@ class ApplyPipeline:
 
     def transform(self, feed: DataFrame) -> DataFrame:
         c = self.config
-        df = ba_list_filter(feed, c.allow_tables, c.deny_tables)
+        df = feed
+        if c.online_ddl:
+            from dm_spark.schema.online_ddl import filter_online_ddl_tables
+
+            df = filter_online_ddl_tables(df)
+        df = ba_list_filter(df, c.allow_tables, c.deny_tables)
         df = event_type_filter(df, c.event_filters)
         df = expression_filter(df, c.expr_filters)
         df = apply_column_mappings(df, c.column_mappings)

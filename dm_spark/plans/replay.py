@@ -1,0 +1,198 @@
+"""ReplayRunner — the task runner: interleaved DML/DDL replay.
+
+Implements the reference's query-event lifecycle (SURVEY §3.3) over
+micro-batches:
+
+1. DDL actions are totally ordered by location (file_seq, pos) like
+   every other event.
+2. **Flush-before-DDL**: all DMLs at locations before a DDL are merged
+   (and the lake snapshot committed) before the DDL applies
+   (syncer/syncer.go:2362-2366).
+3. Each DDL runs through the operator chain:
+   error-operator overrides (skip/replace, syncer/err-operator) →
+   online-DDL classification (ghost buffer / trash drop / rename swap,
+   syncer/online-ddl-tools) → shard barrier announce (pessimistic
+   sharding_group.go) → obsolete gating + apply to the lake catalog +
+   schema registry (optimistic join semantics live in the registry).
+4. DMLs of tables held by an unsatisfied barrier are spilled and
+   re-merged when the barrier releases (re-sync streamer analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dm_spark.lake import LakeTable
+from dm_spark.operators import ApplyPipeline
+from dm_spark.operators.errors import ErrorOperators
+from dm_spark.schema.online_ddl import OnlineDdlBuffer, classify
+from dm_spark.schema.registry import SchemaRegistry
+from dm_spark.streaming.ddl_coordinator import PendingSpill, ShardDdlBarrier, split_blocked
+
+
+@dataclass
+class DdlEvent:
+    """One schema action at a binlog location (FIXTURES.md §4 shape).
+    action: add_column | rename_column | widen_type | drop_column |
+    rename_table (online-DDL swap)."""
+
+    action: str
+    source_table: str
+    file_seq: int
+    pos: int
+    column: str | None = None
+    new_name: str | None = None
+    new_type: str | None = None
+    target_table: str | None = None  # for rename_table
+
+    def loc(self) -> tuple[int, int]:
+        return (self.file_seq, self.pos)
+
+    def to_action(self) -> dict:
+        return {
+            "action": self.action,
+            "column": self.column,
+            "new_name": self.new_name,
+            "new_type": self.new_type,
+            "file_seq": self.file_seq,
+            "pos": self.pos,
+        }
+
+
+@dataclass
+class ReplayRunner:
+    pipeline: ApplyPipeline
+    lake: LakeTable
+    registry: SchemaRegistry = field(default_factory=SchemaRegistry)
+    error_ops: ErrorOperators = field(default_factory=ErrorOperators)
+    online_ddl: OnlineDdlBuffer = field(default_factory=OnlineDdlBuffer)
+    barrier: ShardDdlBarrier | None = None
+    spill: PendingSpill | None = None
+    applied_ddl: list[dict] = field(default_factory=list)
+    # upstream column name -> current downstream name, built from applied
+    # renames (the schema-tracker name mapping: upstream images keep the
+    # old field name until the source itself evolves)
+    rename_map: dict = field(default_factory=dict)
+
+    # -------------------------------------------------------------- DDL
+    def handle_ddl(self, ev: DdlEvent) -> list[dict]:
+        """Operator chain for one DDL; returns the actions actually
+        applied to the lake (possibly empty)."""
+        if ev.action == "rename_table":
+            replay = self.online_ddl.on_rename(ev.source_table, ev.target_table)
+            applied = []
+            for i, act in enumerate(replay):
+                act = {**act, "file_seq": ev.file_seq, "pos": ev.pos * 1000 + i}
+                applied += self._apply_resolved(ev.target_table, act)
+            return applied
+
+        kind, _real = classify(ev.source_table)
+        action = ev.to_action()
+        if kind in ("ghost", "trash"):
+            self.online_ddl.on_ddl(ev.source_table, action)
+            return []
+        return self._apply_resolved(ev.source_table, action)
+
+    def _apply_resolved(self, source_table: str, action: dict) -> list[dict]:
+        applied = []
+        for act in self.error_ops.resolve(action):
+            ready = True
+            if self.barrier is not None:
+                ready = self.barrier.announce(source_table, act)
+            if not ready:
+                continue  # group not in sync yet; DMLs of announced tables spill
+            if self.lake.apply_ddl(act):
+                applied.append(act)
+                self.applied_ddl.append(act)
+                if act["action"] == "rename_column":
+                    # chain: if a->b existed and b->c arrives, a->c
+                    old, new = act["column"], act["new_name"]
+                    for k, v in list(self.rename_map.items()):
+                        if v == old:
+                            self.rename_map[k] = new
+                    self.rename_map[old] = new
+                if source_table in self.registry.schemas:
+                    self.registry.apply(source_table, act)
+                if self.barrier is not None:
+                    tgt = self.barrier.group_of(source_table)
+                    if tgt:
+                        self.barrier.release(tgt, act)
+        return applied
+
+    # -------------------------------------------------------------- DML
+    def apply_dml_batch(self, envelope: DataFrame, batch_id: int | None = None) -> None:
+        """Transform + merge one envelope batch, honoring the barrier:
+        blocked tables' rows spill; spilled rows re-merge once no
+        barrier blocks them."""
+        blocked = self.barrier.blocked_sources() if self.barrier else set()
+        env = envelope
+        if blocked and self.spill is not None:
+            # spill the *envelope* rows (pre-flatten keeps full fidelity)
+            env, defer_env = split_blocked(envelope, blocked)
+            self.spill.spill(defer_env)
+        flat = self._to_target_shape(self.pipeline.transform(env))
+        self.lake.merge_into(flat, batch_id=batch_id)
+
+    def _to_target_shape(self, flat: DataFrame) -> DataFrame:
+        target = self.pipeline.config.target_table
+        flat = flat.where(F.col("target_table") == target).drop("target_table")
+        for old, new in self.rename_map.items():
+            if old in flat.columns and new not in flat.columns:
+                flat = flat.withColumnRenamed(old, new)
+        return flat
+
+    def drain_pending(self) -> int:
+        """Re-merge spilled DMLs whose tables are no longer blocked."""
+        if self.spill is None:
+            return 0
+        drained = self.spill.drain()
+        if drained is None:
+            return 0
+        pend, old_dirs = drained
+        blocked = self.barrier.blocked_sources() if self.barrier else set()
+        ok_env, still = split_blocked(pend, blocked)
+        n = ok_env.count()
+        if n:
+            flat = self._to_target_shape(self.pipeline.transform(ok_env))
+            self.lake.merge_into(flat)
+        # re-spill still-blocked rows into a NEW dir while the old files
+        # are intact (lazy plans read them), then drop the old dirs
+        if self.barrier and still.count() > 0:
+            self.spill.spill(still)
+        self.spill.clear_dirs(old_dirs)
+        return n
+
+    # ------------------------------------------------------------ replay
+    def replay(self, envelope: DataFrame, ddl_events: list[DdlEvent]) -> None:
+        """Batch replay of a bounded feed with interleaved DDL:
+        split the feed at each DDL location (flush-before-DDL), merge
+        each range, apply the DDL, continue. Post-DDL ranges are
+        projected to the evolved schema by the pipeline's flatten (the
+        envelope's `after` may lack new columns — they fill as null)."""
+        evs = sorted(ddl_events, key=lambda e: e.loc())
+        lo: tuple[int, int] | None = None
+        for i, ev in enumerate(evs):
+            part = self._range(envelope, lo, ev.loc())
+            self.apply_dml_batch(part, batch_id=None)
+            self.handle_ddl(ev)
+            self.drain_pending()
+            lo = ev.loc()
+        self.apply_dml_batch(self._range(envelope, lo, None))
+        self.drain_pending()
+
+    @staticmethod
+    def _range(env: DataFrame, lo: tuple[int, int] | None, hi: tuple[int, int] | None) -> DataFrame:
+        loc = F.struct(F.col("file_seq"), F.col("pos"))
+        def lit_loc(t):
+            return F.struct(
+                F.lit(t[0]).cast("bigint").alias("file_seq"),
+                F.lit(t[1]).cast("bigint").alias("pos"),
+            )
+        if lo is not None:
+            env = env.filter(loc > lit_loc(lo))
+        if hi is not None:
+            env = env.filter(loc <= lit_loc(hi))
+        return env

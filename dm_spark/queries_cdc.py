@@ -109,6 +109,15 @@ def q_feed_decode(spark, sf_dir):
     return _flat(change_feed(spark, sf_dir))
 
 
+def q_wire_decode(spark, sf_dir):
+    """Round-trip through the wire format: envelope -> JSON wire rows ->
+    Arrow-batched pandas decode -> envelope (the go-mysql decode analog).
+    Must be value-identical to the direct feed."""
+    from dm_spark.sources.decode import decode_wire, to_wire
+
+    return _flat(decode_wire(to_wire(change_feed(spark, sf_dir))))
+
+
 def q_ba_list_filter(spark, sf_dir):
     return _flat(ba_list_filter(change_feed(spark, sf_dir), deny=["shard_3.*"]))
 
@@ -267,6 +276,7 @@ def q_ddl_evolution(spark, sf_dir):
 
 QUERIES = {
     "cdc_feed_decode": q_feed_decode,
+    "cdc_wire_decode": q_wire_decode,
     "cdc_ba_list_filter": q_ba_list_filter,
     "cdc_event_type_filter": q_event_type_filter,
     "cdc_expr_filter": q_expr_filter,
@@ -295,6 +305,7 @@ _FILTER_MATRIX_WHERE = """
 
 ORACLES = {
     "cdc_feed_decode": f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT}",
+    "cdc_wire_decode": f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT}",
     "cdc_ba_list_filter": (
         f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT} WHERE source_table NOT LIKE 'shard_3.%'"
     ),

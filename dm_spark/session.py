@@ -35,6 +35,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
+        # task-side commit renames (v2) — avoids driver-serial renames
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("DM_SPARK_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

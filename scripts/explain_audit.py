@@ -1,0 +1,121 @@
+"""Plan audits: verify the physical plans are the ones we want.
+
+Checks (prints PASS/FAIL lines + the formatted plans):
+1. feed scan prunes columns — ReadSchema on events.parquet contains
+   only event_id, user_id, event_type, ts.
+2. filter pushdown — a source_table predicate appears as PushedFilters
+   when reading a materialized feed.
+3. merge plan has exactly ONE shuffle (Exchange) between the incoming
+   batch and the written files (repartition reused by the LWW window).
+4. transform pipeline stays in WholeStageCodegen (no Python in the
+   non-decode path).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from dm_spark import feed as feedmod
+from dm_spark.config import RouteRule, TaskConfig
+from dm_spark.lake import LakeTable
+from dm_spark.operators import ApplyPipeline
+from dm_spark.session import get_spark
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain_audit", shuffle_partitions=8)
+    failures = []
+
+    # 1. column pruning on the events scan
+    p1 = plan_of(feedmod.change_feed(spark, sf))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p1)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",")) if m else []
+    ok1 = cols == ["event_id", "event_type", "ts", "user_id"]
+    print(f"{'PASS' if ok1 else 'FAIL'} column-pruning: ReadSchema={cols}")
+    if not ok1:
+        failures.append("column-pruning")
+        print(p1)
+
+    # 2. predicate pushdown through the pipeline filters
+    cfg = TaskConfig(
+        deny_tables=["shard_3.*"],
+        routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")],
+    )
+    feed_path = tempfile.mkdtemp() + "/feed"
+    feedmod.change_feed(spark, sf).write.parquet(feed_path)
+    stored = spark.read.parquet(feed_path)
+    p2 = plan_of(stored.filter(F.col("source_table") == "shard_1.transcripts_0"))
+    ok2 = "PushedFilters: [IsNotNull(source_table), EqualTo(source_table" in p2
+    print(f"{'PASS' if ok2 else 'FAIL'} predicate-pushdown on source_table")
+    if not ok2:
+        failures.append("pushdown")
+        print(p2)
+
+    # 3. single exchange in the merge write plan
+    lake = LakeTable.create(
+        spark,
+        tempfile.mkdtemp() + "/lake",
+        [("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+         ("text", "string"), ("tool", "string"), ("ts", "timestamp")],
+        ["conv_id", "turn_idx"],
+        n_buckets=8,
+    )
+    batch = ApplyPipeline(cfg).transform(feedmod.change_feed(spark, sf)).drop("target_table")
+    lake.merge_into(batch, batch_id=0)  # base now non-empty
+    # rebuild the merge plan the way merge_into does, and count exchanges
+    from dm_spark.lake.table import LINEAGE_COLS, _norm_key_cols
+    from pyspark.sql import Window
+
+    meta = lake._load_meta()
+    payload = [f["name"] for f in meta.fields()]
+    sel = payload + ["op"] + LINEAGE_COLS
+    base = lake._read_files(meta, [e for lst in meta.buckets.values() for e in lst], True)
+    merged = batch.select(*sel).unionByName(base.withColumn("op", F.lit("I")).select(*sel))
+    nkeys = ["__k0", "__k1"]
+    for n, c in zip(nkeys, _norm_key_cols(meta.key)):
+        merged = merged.withColumn(n, c)
+    w = Window.partitionBy(*nkeys).orderBy(*[F.col(c).desc() for c in LINEAGE_COLS])
+    out = (
+        merged.repartition(meta.n_buckets, *[F.col(n) for n in nkeys])
+        .withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("op") != "D"))
+        .select(*payload, *LINEAGE_COLS)
+    )
+    p3 = plan_of(out)
+    n_ex = len(re.findall(r"\bExchange\b", p3))
+    ok3 = n_ex == 1
+    print(f"{'PASS' if ok3 else 'FAIL'} single-shuffle merge: exchanges={n_ex}")
+    if not ok3:
+        failures.append("single-shuffle")
+        print(p3)
+
+    # 4. no Python eval in the non-decode pipeline
+    p4 = plan_of(ApplyPipeline(cfg).transform(feedmod.change_feed(spark, sf)))
+    ok4 = "Python" not in p4 and "WholeStageCodegen" in p4
+    print(f"{'PASS' if ok4 else 'FAIL'} JVM-only transform pipeline (codegen)")
+    if not ok4:
+        failures.append("codegen")
+        print(p4)
+
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

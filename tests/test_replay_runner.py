@@ -1,0 +1,142 @@
+"""ReplayRunner integration: interleaved DML/DDL replay with
+flush-before-DDL, online-DDL swap, error operators, and the
+pessimistic barrier with pending-DML spill (the shardddl / online_ddl
+/ handle_error suite analogs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dm_spark.config import RouteRule, TaskConfig
+from dm_spark.feed import ENVELOPE_DDL
+from dm_spark.lake import LakeTable
+from dm_spark.operators import ApplyPipeline
+from dm_spark.plans import DdlEvent, ReplayRunner
+from dm_spark.streaming.ddl_coordinator import PendingSpill, ShardDdlBarrier
+
+SCHEMA = [
+    ("conv_id", "string"),
+    ("turn_idx", "int"),
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", "string"),
+    ("ts", "timestamp"),
+]
+KEY = ["conv_id", "turn_idx"]
+
+
+def T(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+def ev(spark, rows):
+    """rows: (op, conv, turn, text, table, file_seq, pos)"""
+    data = []
+    for op, conv, turn, text, table, fs, pos in rows:
+        img = (conv, turn, "user", text, None, T(pos))
+        data.append(
+            (
+                op,
+                img if op != "I" else None,
+                img if op != "D" else None,
+                table,
+                fs,
+                pos,
+                T(pos),
+                pos // 10,
+            )
+        )
+    return spark.createDataFrame(data, ENVELOPE_DDL)
+
+
+@pytest.fixture()
+def runner(spark, tmp_path):
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=4)
+    return ReplayRunner(
+        pipeline=ApplyPipeline(cfg),
+        lake=lake,
+        barrier=ShardDdlBarrier(groups={"transcripts": ["shard_0.t", "shard_1.t"]}),
+        spill=PendingSpill(spark, str(tmp_path / "pending")),
+    )
+
+
+def rows(lake):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in lake.read().select("conv_id", "turn_idx", "text").collect()
+    )
+
+
+def test_flush_before_ddl_and_evolution(spark, runner):
+    feed = ev(
+        spark,
+        [
+            ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+            ("I", "b", 1, "v1", "shard_1.t", 0, 2),
+            ("U", "a", 1, "v2", "shard_0.t", 0, 5),
+        ],
+    )
+    ddls = [
+        DdlEvent("add_column", "shard_0.t", 0, 3, column="rating", new_type="int"),
+        DdlEvent("add_column", "shard_1.t", 0, 4, column="rating", new_type="int"),
+    ]
+    runner.replay(feed, ddls)
+    assert rows(runner.lake) == [("a", 1, "v2"), ("b", 1, "v1")]
+    assert "rating" in runner.lake.read().columns
+    # the DDL applied exactly once (barrier: second announce released it)
+    assert len(runner.applied_ddl) == 1
+
+
+def test_barrier_spills_and_drains(spark, runner):
+    """shard_0 announces the DDL first; its subsequent DMLs spill until
+    shard_1 catches up, then drain — final state includes them."""
+    feed = ev(
+        spark,
+        [
+            ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+            ("I", "a", 2, "post-ddl-0", "shard_0.t", 0, 5),  # after shard_0's DDL
+            ("I", "b", 1, "v1", "shard_1.t", 0, 6),
+        ],
+    )
+    ddls = [
+        DdlEvent("add_column", "shard_0.t", 0, 2, column="rating", new_type="int"),
+        DdlEvent("add_column", "shard_1.t", 0, 7, column="rating", new_type="int"),
+    ]
+    runner.replay(feed, ddls)
+    got = rows(runner.lake)
+    assert ("a", 2, "post-ddl-0") in got and ("b", 1, "v1") in got
+    assert len(runner.applied_ddl) == 1
+
+
+def test_online_ddl_ghost_swap(spark, runner):
+    feed = ev(
+        spark,
+        [
+            ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+            ("I", "zz", 9, "ghost-noise", "shard_0._t_gho", 0, 2),  # must be dropped
+        ],
+    )
+    ddls = [
+        DdlEvent("add_column", "shard_0._t_gho", 0, 3, column="rating", new_type="int"),
+        DdlEvent("rename_table", "shard_0._t_gho", 0, 4, target_table="shard_0.t"),
+    ]
+    # disable barrier for this one (single shard)
+    runner.barrier = None
+    runner.replay(feed, ddls)
+    assert rows(runner.lake) == [("a", 1, "v1")]  # ghost DML dropped...
+    assert "rating" in runner.lake.read().columns  # ...but its DDL replayed on swap
+
+
+def test_error_operator_replace(spark, runner):
+    runner.barrier = None
+    runner.error_ops.set_replace(
+        0, 3, [{"action": "add_column", "column": "rating2", "new_type": "string"}]
+    )
+    feed = ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)])
+    ddls = [DdlEvent("add_column", "shard_0.t", 0, 3, column="bad", new_type="json")]
+    runner.replay(feed, ddls)
+    cols = runner.lake.read().columns
+    assert "rating2" in cols and "bad" not in cols
