@@ -34,7 +34,7 @@ from dm_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-SCALING_EVENTS = int(os.environ.get("DM_BENCH_SCALING_EVENTS", "4000000"))
+SCALING_EVENTS = int(os.environ.get("DM_BENCH_SCALING_EVENTS", "8000000"))
 PEAK_EVENTS = int(os.environ.get("DM_BENCH_PEAK_EVENTS", "8000000"))
 
 HEADLINE = [

@@ -47,6 +47,7 @@ def apply_throughput(
     n_convs: int = 50_000,
     decode: bool = False,
     text_chars: int = 600,
+    lww_strategy: str = "sort",
 ) -> dict:
     spark = get_spark(
         f"bench_apply_{master}", master=master, shuffle_partitions=shuffle_partitions
@@ -54,7 +55,7 @@ def apply_throughput(
     cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
     pipe = ApplyPipeline(cfg)
     workdir = tempfile.mkdtemp(prefix="dm_bench_")
-    lake = LakeTable.create(spark, f"{workdir}/lake", SCHEMA, KEY, n_buckets=n_buckets)
+    lake = LakeTable.create(spark, f"{workdir}/lake", SCHEMA, KEY, n_buckets=n_buckets, lww_strategy=lww_strategy)
     # warm the JVM/codegen/python-workers with a tiny run of the SAME
     # plan shape (excluded from timing)
     warm_feed = synthetic_feed(spark, 10_000, n_convs=1000, text_chars=text_chars)
@@ -95,12 +96,14 @@ if __name__ == "__main__":
     kind = sys.argv[1]
     if kind in ("apply", "apply_decode"):
         n_batches = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+        strat = sys.argv[6] if len(sys.argv) > 6 else "sort"
         res = apply_throughput(
             sys.argv[2],
             int(sys.argv[3]),
             int(sys.argv[4]),
             n_batches=n_batches,
             decode=(kind == "apply_decode"),
+            lww_strategy=strat,
         )
         print(json.dumps(res))
     else:

@@ -36,6 +36,8 @@ class CdcStreamDriver:
         pipeline: ApplyPipeline,
         lakes: dict[str, LakeTable],
         max_files_per_trigger: int | None = 1,
+        runner: "ReplayRunner | None" = None,
+        ddl_events: list | None = None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -46,10 +48,28 @@ class CdcStreamDriver:
         # stream identity ties the lake's batch-id gate to this checkpoint
         self.stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:16]
         self.batch_stats: list[dict] = []
+        # DDL mode: batches route through a ReplayRunner so schema
+        # actions interleave with DMLs at their exact location
+        # (flush-before-DDL inside the batch); exactly-once then rests
+        # on LWW + the applied-DDL location gate rather than batch ids.
+        self.runner = runner
+        self.ddl_events = sorted(ddl_events or [], key=lambda e: e.loc())
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
+            if self.runner is not None:
+                mx = batch_df.agg(
+                    F.max(F.struct(F.col("file_seq"), F.col("pos")))
+                ).collect()[0][0]
+                due = [
+                    e for e in self.ddl_events
+                    if mx is not None and e.loc() <= (mx["file_seq"], mx["pos"])
+                ]
+                self.ddl_events = self.ddl_events[len(due):]
+                self.runner.replay(batch_df, due)
+                self.batch_stats.append({"batch_id": batch_id, "ddls": len(due)})
+                return
             flat = self.pipeline.transform(batch_df)
             flat.persist()
             for target, lake in self.lakes.items():

@@ -30,10 +30,10 @@ from dm_spark.operators import ApplyPipeline
 from dm_spark.session import get_spark
 
 
-def plan_of(df) -> str:
+def plan_of(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
-        df.explain("formatted")
+        df.explain(mode)
     return buf.getvalue()
 
 
@@ -98,16 +98,18 @@ def main() -> int:
         .select(*payload, *LINEAGE_COLS)
     )
     p3 = plan_of(out)
-    n_ex = len(re.findall(r"\bExchange\b", p3))
+    # count Exchange NODES (detail headers "(n) Exchange"), not mentions
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p3))
     ok3 = n_ex == 1
     print(f"{'PASS' if ok3 else 'FAIL'} single-shuffle merge: exchanges={n_ex}")
     if not ok3:
         failures.append("single-shuffle")
         print(p3)
 
-    # 4. no Python eval in the non-decode pipeline
-    p4 = plan_of(ApplyPipeline(cfg).transform(feedmod.change_feed(spark, sf)))
-    ok4 = "Python" not in p4 and "WholeStageCodegen" in p4
+    # 4. no Python eval in the non-decode pipeline (simple mode shows
+    # whole-stage-codegen as "*(n)" operator prefixes)
+    p4 = plan_of(ApplyPipeline(cfg).transform(feedmod.change_feed(spark, sf)), "simple")
+    ok4 = "Python" not in p4 and "*(" in p4
     print(f"{'PASS' if ok4 else 'FAIL'} JVM-only transform pipeline (codegen)")
     if not ok4:
         failures.append("codegen")

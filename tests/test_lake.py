@@ -159,7 +159,9 @@ def test_lineage_and_checkpoint(spark, lake):
     )
     lin = lake.lineage_log()
     assert lin[-1]["n_incoming"] == 2 and lin[-1]["n_deletes_in"] == 1
-    assert lake.global_checkpoint() == {"file_seq": 3, "pos": 45}
+    cp = lake.global_checkpoint()
+    assert (cp["file_seq"], cp["pos"]) == (3, 45)
+    assert cp["max_applied_ts"] == "2024-01-01 00:00:02"
     assert lake.totals()["batches"] == 1
 
 

@@ -1,0 +1,60 @@
+"""Misc operator tests: generated-column pruning, property-based LWW
+invariance (hypothesis — the go-sqlsmith randomized-workload analog)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dm_spark.lake import LakeTable
+from dm_spark.operators.mapping import prune_generated_columns
+
+from tests.test_lake import CHANGE_DDL, SCHEMA, KEY, T, ch, rows
+
+
+def test_prune_generated_columns(spark):
+    df = spark.createDataFrame(
+        [("I", ("a", 1, "x"), ("a", 1, "x"))],
+        "op string, before struct<conv_id string, turn_idx int, gen string>, "
+        "after struct<conv_id string, turn_idx int, gen string>",
+    )
+    out = prune_generated_columns(df, ["gen"])
+    assert out.schema["after"].dataType.fieldNames() == ["conv_id", "turn_idx"]
+    assert out.schema["before"].dataType.fieldNames() == ["conv_id", "turn_idx"]
+    r = out.collect()[0]
+    assert r.after.conv_id == "a" and r.before.turn_idx == 1
+
+
+# --- property: final table state is invariant under how the same event
+# sequence is split into batches (the quiescent-consistency guarantee
+# the reference gets from causality + per-queue ordering).
+
+_ops = st.sampled_from(["I", "U", "D"])
+_keys = st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(1, 3))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(st.tuples(_ops, _keys), min_size=1, max_size=12),
+    split=st.integers(0, 11),
+)
+def test_lww_batch_split_invariance(spark, tmp_path_factory, events, split):
+    data = [
+        ch(k[0], k[1], op, f"v{i}" if op != "D" else None, 0, i + 1, i + 1)
+        for i, (op, k) in enumerate(events)
+    ]
+    df = spark.createDataFrame(data, CHANGE_DDL)
+
+    base = tmp_path_factory.mktemp("lww")
+    one = LakeTable.create(spark, str(base / "one"), SCHEMA, KEY, n_buckets=4)
+    one.merge_into(df)
+
+    two = LakeTable.create(spark, str(base / "two"), SCHEMA, KEY, n_buckets=4)
+    cut = min(split, len(data)) or 1
+    two.merge_into(df.where(F.col("_cdc_pos") <= cut), batch_id=0)
+    two.merge_into(df.where(F.col("_cdc_pos") > cut), batch_id=1)
+
+    assert rows(one.read()) == rows(two.read())

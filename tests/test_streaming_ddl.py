@@ -1,0 +1,56 @@
+"""Streaming + DDL: schema evolution arriving mid-stream, applied at
+its exact location across micro-batch boundaries (the incremental_mode
++ shardddl streaming analog)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dm_spark import feed as feedmod
+from dm_spark.config import RouteRule, TaskConfig
+from dm_spark.lake import LakeTable
+from dm_spark.operators import ApplyPipeline
+from dm_spark.plans import DdlEvent, ReplayRunner
+from dm_spark.sources.relay import write_feed_chunks
+from dm_spark.streaming import CdcStreamDriver
+
+from tests.test_pipeline_e2e import KEY, SCHEMA, duck_replay
+
+
+def test_stream_with_mid_feed_rename(spark, sf_dir, tmp_path):
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=8)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    feed = feedmod.change_feed(spark, sf_dir)
+    mm = feed.agg(F.min("pos"), F.max("pos")).collect()[0]
+    mid_pos = (mm[0] + mm[1]) // 2
+    ddls = [
+        DdlEvent("rename_column", "shard_0.transcripts_0", 0, mid_pos,
+                 column="tool", new_name="tool_name")
+    ]
+    drv = CdcStreamDriver(
+        spark,
+        feed_dir=str(tmp_path / "feed"),
+        checkpoint_dir=str(tmp_path / "cp"),
+        pipeline=runner.pipeline,
+        lakes={"transcripts": lake},
+        max_files_per_trigger=2,
+        runner=runner,
+        ddl_events=ddls,
+    )
+    write_feed_chunks(feed, drv.feed_dir, n_chunks=6)
+    stats = drv.run_available_now()
+    assert sum(s.get("ddls", 0) for s in stats) == 1
+
+    got = (
+        lake.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool_name", "ts")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = duck_replay(sf_dir).rename(columns={"tool": "tool_name"})
+    assert len(got) == len(want)
+    for c in ["conv_id", "turn_idx", "role", "text", "tool_name"]:
+        assert (got[c].fillna("~") == want[c].fillna("~")).all(), c
+    assert "tool_name" in lake.read().columns and "tool" not in lake.read().columns
