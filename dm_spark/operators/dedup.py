@@ -30,3 +30,22 @@ def lww_latest(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def lww_latest_salted(
+    df: DataFrame, key: list[str], order: list[str], n_salts: int = 16
+) -> DataFrame:
+    """Two-phase LWW for pathologically hot keys (a single key with
+    millions of change events in one batch — the salted-repartition
+    path the north rule calls out; hash-distribute analog
+    syncer/dml_worker.go:132 with per-key fan-out).
+
+    Phase 1 reduces per (key, salt) — the hot key's rows split across
+    `n_salts` partitions; phase 2 reduces the n_salts partial winners.
+    Output == `lww_latest` (asserted by the shared oracle)."""
+    cols = df.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(n_salts)).alias("__salt")
+    winner = F.max_by(F.struct(*cols), F.struct(*[F.col(c) for c in order])).alias("__w")
+    p1 = df.select(*cols, salt).groupBy(*key, "__salt").agg(winner).select("__w.*")
+    p2 = p1.groupBy(*key).agg(winner).select("__w.*")
+    return p2

@@ -166,6 +166,17 @@ def q_dedup_lww(spark, sf_dir):
     )
 
 
+def q_dedup_lww_salted(spark, sf_dir):
+    """Two-phase salted LWW — must be value-identical to the plain
+    window dedup (shared oracle): the hot-key skew path."""
+    from dm_spark.operators import lww_latest_salted
+
+    flat = _flat(change_feed(spark, sf_dir))
+    return lww_latest_salted(flat, KEY, ["ts_us", "file_seq", "pos"]).select(
+        "conv_id", "turn_idx", "op", "text", "ts_us"
+    )
+
+
 def q_replay_merge(spark, sf_dir):
     cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
     batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
@@ -283,6 +294,7 @@ QUERIES = {
     "cdc_table_router": q_table_router,
     "cdc_column_mapping": q_column_mapping,
     "cdc_dedup_lww": q_dedup_lww,
+    "cdc_dedup_lww_salted": q_dedup_lww_salted,
     "cdc_replay_merge": q_replay_merge,
     "cdc_replay_filtered": q_replay_filtered,
     "cdc_shard_merge_mapped": q_shard_merge_mapped,
@@ -332,6 +344,13 @@ ORACLES = {
         "turn_idx, file_seq, pos FROM feed"
     ),
     "cdc_dedup_lww": _with_feed(
+        """latest AS (
+             SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+               ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn FROM feed)
+           SELECT conv_id, turn_idx, op, text, epoch_us(ts) AS ts_us
+           FROM latest WHERE rn = 1"""
+    ),
+    "cdc_dedup_lww_salted": _with_feed(
         """latest AS (
              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
                ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn FROM feed)

@@ -78,6 +78,63 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+# ----------------------------------------------- relational baselines
+# The reference is not a query engine (SURVEY §2.6), but the rebuild's
+# pipeline composes Spark's relational primitives — these exercise the
+# agg/join/window kernels the CDC path relies on, with exact-integer
+# outputs (cents) so oracles hash identically.
+
+
+def q_lineitem_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregate over lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+            F.sum(cents("l_extendedprice")).alias("sum_price_cents"),
+            F.sum(cents("l_discount")).alias("sum_disc_cents"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Top-3 orders by totalprice per customer (window top-k)."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey")
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """orders x customer x nation: broadcast-joined rollup."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("revenue_cents"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
 # ---------------------------------------------------------- documents
 
 def q_doc_exact_dedup(spark, sf_dir):
@@ -130,6 +187,9 @@ def q_emb_ann_lsh(spark, sf_dir):  # rows-only (recall < 1 by design)
 
 
 QUERIES = {
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "nation_revenue": q_nation_revenue,
     "events_tumbling_agg": q_events_tumbling_agg,
     "events_sessionize": q_events_sessionize,
     "doc_exact_dedup": q_doc_exact_dedup,
@@ -159,10 +219,34 @@ docs_sh AS (
 """
 
 ORACLES = {
+    "lineitem_pricing_summary": """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+             min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+      GROUP BY 1, 2
+    """,
+    "top_orders_per_customer": """
+      WITH r AS (
+        SELECT o_custkey, o_orderkey, row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        FROM orders)
+      SELECT o_custkey, rank, o_orderkey FROM r WHERE rank <= 3
+    """,
+    "nation_revenue": """
+      SELECT n_name, count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             count(DISTINCT c_custkey) AS n_customers
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    """,
     "events_tumbling_agg": """
       SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
              count(*) AS n,
-             sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
              min(event_id) AS min_eid, max(event_id) AS max_eid
       FROM events GROUP BY 1, 2
     """,
@@ -180,7 +264,7 @@ ORACLES = {
                  ROWS UNBOUNDED PRECEDING) AS sess_id FROM m),
       per AS (
         SELECT user_id, sess_id, count(*) AS n_events FROM g GROUP BY 1, 2)
-      SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+      SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
              max(n_events) AS max_session_events
       FROM per GROUP BY 1
     """,

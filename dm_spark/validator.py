@@ -1,0 +1,85 @@
+"""Table diff validator — the sync_diff_inspector analog.
+
+The reference's integration suites assert replicated-state equality
+with a full upstream/downstream table diff plus `BIT_XOR(CRC32(...))`
+checksums (tests/sharding/run.sh:9-18,65; tests/README.md). Here:
+
+- `table_diff`: distributed diff of two DataFrames on a key — row
+  counts, missing/extra keys, value-mismatched keys (full outer join,
+  one shuffle per side).
+- `table_checksum`: order-insensitive whole-table checksum =
+  bit-XOR of per-row xxhash64 over canonicalized columns, computed
+  per bucket so two tables can be compared without co-locating them
+  (the CRC32-XOR trick, distributed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(df: DataFrame, cols: list[str]):
+    # canonicalize: cast everything to string with explicit null marker
+    return [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(c) for c in cols
+    ]
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None, n_buckets: int = 64) -> dict:
+    """{'rows': n, 'xor': int, 'buckets': {bucket: xor}} — equal dicts
+    <=> equal multisets of rows (up to xxhash64 collisions)."""
+    cols = cols or sorted(df.columns)
+    h = F.xxhash64(*_canon(df, cols))
+    agg = (
+        df.select(h.alias("h"))
+        .groupBy(F.pmod(F.col("h"), F.lit(n_buckets)).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h)").alias("x"),
+        )
+        .collect()
+    )
+    buckets = {int(r["b"]): int(r["x"]) for r in agg}
+    total = 0
+    rows = 0
+    for r in agg:
+        total ^= int(r["x"])
+        rows += r["n"]
+    return {"rows": rows, "xor": total, "buckets": buckets}
+
+
+def table_diff(left: DataFrame, right: DataFrame, key: list[str]) -> dict:
+    """Key-based diff: counts + missing/extra/mismatched key counts and
+    a small sample of offending keys."""
+    cols = sorted(set(left.columns) & set(right.columns))
+    val_cols = [c for c in cols if c not in key]
+    lh = F.xxhash64(*_canon(left, val_cols)).alias("__lh")
+    rh = F.xxhash64(*_canon(right, val_cols)).alias("__rh")
+    l2 = left.select(*key, lh)
+    r2 = right.select(*key, rh)
+    j = l2.join(r2, key, "full_outer")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("keys"),
+        F.sum(F.col("__rh").isNull().cast("int")).alias("missing_right"),
+        F.sum(F.col("__lh").isNull().cast("int")).alias("missing_left"),
+        F.sum(
+            (F.col("__lh").isNotNull() & F.col("__rh").isNotNull() & (F.col("__lh") != F.col("__rh"))).cast("int")
+        ).alias("mismatched"),
+    ).collect()[0]
+    sample = []
+    if (agg["missing_right"] or 0) + (agg["missing_left"] or 0) + (agg["mismatched"] or 0) > 0:
+        sample = [
+            tuple(r[k] for k in key)
+            for r in j.where(
+                F.col("__rh").isNull() | F.col("__lh").isNull() | (F.col("__lh") != F.col("__rh"))
+            ).select(*key).limit(10).collect()
+        ]
+    return {
+        "keys": agg["keys"],
+        "missing_right": agg["missing_right"] or 0,
+        "missing_left": agg["missing_left"] or 0,
+        "mismatched": agg["mismatched"] or 0,
+        "equal": not ((agg["missing_right"] or 0) + (agg["missing_left"] or 0) + (agg["mismatched"] or 0)),
+        "sample_bad_keys": sample,
+    }
