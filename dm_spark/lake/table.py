@@ -94,6 +94,7 @@ class _Meta:
     last_batch_id: int = -1
     stream_id: str = ""
     lww_strategy: str = "sort"  # "sort" (window; codegen, fastest) | "hash" (max_by agg)
+    write_mode: str = "cow"  # "cow" (read+rewrite touched buckets) | "mor" (append deltas)
     applied_ddl: list[dict] = field(default_factory=list)
     lineage: list[dict] = field(default_factory=list)
     totals: dict = field(default_factory=dict)
@@ -166,6 +167,7 @@ class LakeTable:
         key: list[str],
         n_buckets: int = 32,
         lww_strategy: str = "sort",
+        write_mode: str = "cow",
     ) -> "LakeTable":
         """schema: [(name, spark simpleString type), ...]; key ⊆ schema.
         lww_strategy: "sort" = window row_number (whole-stage codegen
@@ -191,6 +193,7 @@ class LakeTable:
             buckets={str(b): [] for b in range(n_buckets)},
             totals={"rows_upserted": 0, "rows_deleted": 0, "batches": 0},
             lww_strategy=lww_strategy,
+            write_mode=write_mode,
         )
         t._commit(meta)
         return t
@@ -208,31 +211,52 @@ class LakeTable:
         cols += [F.col(c) for c in extra]
         return cols
 
-    def _read_files(self, meta: _Meta, entries: list[dict], with_lineage: bool) -> DataFrame | None:
+    def _read_files(
+        self, meta: _Meta, entries: list[dict], with_lineage: bool, with_op: bool = False
+    ) -> DataFrame | None:
         if not entries:
             return None
         cur = meta.fields()
         extra = LINEAGE_COLS if with_lineage else []
-        by_sv: dict[int, list[str]] = {}
+        by_grp: dict[tuple, list[str]] = {}
         for e in entries:
-            by_sv.setdefault(e["schema_version"], []).append(e["path"])
+            by_grp.setdefault((e["schema_version"], bool(e.get("delta"))), []).append(e["path"])
         parts = []
-        for sv, paths in by_sv.items():
+        for (sv, is_delta), paths in by_grp.items():
             df = self.spark.read.parquet(*paths)
-            parts.append(df.select(*self._projection(sv, cur, meta, extra)))
+            cols = self._projection(sv, cur, meta, extra)
+            if with_op:
+                cols.append((F.col("op") if is_delta else F.lit("I")).alias("op"))
+            parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Current (or time-travel) table contents as a DataFrame."""
+        """Current (or time-travel) table contents as a DataFrame.
+
+        CoW tables read files as-is. If merge-on-read delta files are
+        present, the read resolves LWW across base+delta and drops
+        tombstones (Iceberg MoR / position-delete semantics, done with
+        one shuffle)."""
         meta = self._load_meta(version)
         entries = [e for lst in meta.buckets.values() for e in lst]
-        df = self._read_files(meta, entries, with_lineage=False)
+        has_delta = any(e.get("delta") for e in entries)
+        df = self._read_files(meta, entries, with_lineage=has_delta, with_op=has_delta)
         if df is None:
             ddl = ", ".join(f"{f['name']} {f['type']}" for f in meta.fields())
             return self.spark.createDataFrame([], ddl)
+        if has_delta:
+            payload = [f["name"] for f in meta.fields()]
+            w = Window.partitionBy(*_norm_key_cols(meta.key)).orderBy(
+                *[F.col(c).desc() for c in LINEAGE_COLS]
+            )
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .where((F.col("__rn") == 1) & (F.col("op") != "D"))
+                .select(*payload)
+            )
         return df
 
     def schema_fields(self) -> list[dict]:
@@ -278,6 +302,8 @@ class LakeTable:
         # batch must never OOM the executor at scale.
         from pyspark.storagelevel import StorageLevel
 
+        if meta.write_mode == "mor":
+            return self._merge_mor(changes, meta, batch_id)
         if not prune:
             # bulk path is single-pass (stats ride the write job as
             # observed metrics) — no second pass, so no cache needed
@@ -288,19 +314,167 @@ class LakeTable:
         finally:
             changes.unpersist()
 
-    def _merge_persisted(self, changes, meta, batch_id, bexpr, prune) -> MergeStats:
-        key = meta.key
-        payload = [f["name"] for f in meta.fields()]
-        # schema-evolution tolerance: a source still emitting the old
-        # shape null-fills columns added downstream, and payload types
-        # are cast to the current schema (downstream_more_column /
-        # widen scenarios in the reference's suites)
+    @staticmethod
+    def _tolerant(changes: DataFrame, meta: _Meta) -> DataFrame:
+        """Schema-evolution tolerance: a source still emitting the old
+        shape null-fills columns added downstream, and payload types are
+        cast to the current schema (downstream_more_column / widen
+        scenarios in the reference's suites)."""
         have = set(changes.columns)
         for f_ in meta.fields():
             if f_["name"] not in have:
                 changes = changes.withColumn(f_["name"], F.lit(None).cast(f_["type"]))
             else:
                 changes = changes.withColumn(f_["name"], F.col(f_["name"]).cast(f_["type"]))
+        return changes
+
+    def _resolve_lww(self, rep: DataFrame, meta: _Meta, payload: list[str], nkeys: list[str]) -> DataFrame:
+        """One-shuffle-reused LWW resolution; keeps op (tombstones)."""
+        if meta.lww_strategy == "sort":
+            w = Window.partitionBy(*nkeys).orderBy(
+                *[F.col(c).desc() for c in LINEAGE_COLS]
+            )
+            return rep.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+        winner = F.max_by(
+            F.struct(*payload, "op", *LINEAGE_COLS), F.struct(*LINEAGE_COLS)
+        ).alias("__w")
+        return rep.groupBy(*nkeys).agg(winner).select("__w.*")
+
+    def _commit_files(self, out: DataFrame, meta: _Meta, allowed: list[int], delta: bool) -> dict:
+        """Write `out` flat (slot==bucket identity) and return
+        bucket -> new file entries; refuses stray buckets."""
+        commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}")
+        out.write.mode("errorifexists").parquet(commit_dir)
+        new_lists: dict[str, list[dict]] = {}
+        if os.path.isdir(commit_dir):
+            for fn, nrows in _parquet_files_with_rows(commit_dir):
+                if nrows == 0:
+                    continue
+                b = int(fn.split("-")[1])
+                entry = {
+                    "path": os.path.join(commit_dir, fn),
+                    "schema_version": meta.schema_version,
+                }
+                if delta:
+                    entry["delta"] = True
+                new_lists.setdefault(str(b), []).append(entry)
+        stray = [b for b in new_lists if int(b) not in allowed]
+        if stray:
+            raise RuntimeError(f"bucket/slot identity violated: {stray}")
+        return new_lists
+
+    def _merge_mor(self, changes: DataFrame, meta: _Meta, batch_id: int | None) -> MergeStats:
+        """Merge-on-read write path: LWW-dedupe the batch, append it as
+        per-bucket DELTA files (tombstones kept) — write cost O(batch),
+        no base read (Iceberg MoR / equality-delete shape). Readers and
+        `compact()` resolve base+delta LWW."""
+        key = meta.key
+        payload = [f["name"] for f in meta.fields()]
+        changes = self._tolerant(changes, meta)
+        sel = payload + ["op"] + LINEAGE_COLS
+        obs_in = Observation()
+        inc = changes.select(*sel).observe(
+            obs_in,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
+            F.max(F.struct("_cdc_file_seq", "_cdc_pos")).alias("loc"),
+            F.max("_cdc_ts").alias("mts"),
+        )
+        nkeys = [f"__k{i}" for i in range(len(key))]
+        for n, c in zip(nkeys, _norm_key_cols(key)):
+            inc = inc.withColumn(n, c)
+        obs = Observation()
+        rep = inc.repartition(meta.n_buckets, *[F.col(n) for n in nkeys])
+        out = (
+            self._resolve_lww(rep, meta, payload, nkeys)
+            .select(*payload, "op", *LINEAGE_COLS)
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+        )
+        new_lists = self._commit_files(out, meta, list(range(meta.n_buckets)), delta=True)
+        m = obs_in.get
+        stats = MergeStats(
+            version=meta.version + 1,
+            batch_id=batch_id,
+            n_incoming=m["n"],
+            n_deletes_in=m["nd"] or 0,
+            n_buckets_touched=len(new_lists),
+            rows_written=obs.get["rows"],
+        )
+        for b, files in new_lists.items():
+            meta.buckets[str(b)] = meta.buckets[str(b)] + files
+        self._finish_commit(meta, batch_id, stats, m["loc"], m["mts"], mode="mor")
+        return stats
+
+    def compact(self, buckets: list[int] | None = None, min_files: int = 2) -> int:
+        """Rewrite buckets holding delta files (or >= min_files files)
+        into resolved base files; drops tombstones. The Iceberg
+        rewrite_data_files maintenance action."""
+        meta = self._load_meta()
+        targets = []
+        for b in buckets if buckets is not None else range(meta.n_buckets):
+            es = meta.buckets[str(b)]
+            if any(e.get("delta") for e in es) or len(es) >= min_files:
+                targets.append(b)
+        if not targets:
+            return 0
+        payload = [f["name"] for f in meta.fields()]
+        entries = [e for b in targets for e in meta.buckets[str(b)]]
+        base = self._read_files(meta, entries, with_lineage=True, with_op=True)
+        if base is None:
+            return 0
+        nkeys = [f"__k{i}" for i in range(len(meta.key))]
+        for n, c in zip(nkeys, _norm_key_cols(meta.key)):
+            base = base.withColumn(n, c)
+        rep = base.repartition(meta.n_buckets, *[F.col(n) for n in nkeys])
+        out = (
+            self._resolve_lww(rep, meta, payload, nkeys)
+            .where(F.col("op") != "D")
+            .select(*payload, *LINEAGE_COLS)
+        )
+        new_lists = self._commit_files(out, meta, targets, delta=False)
+        for b in targets:
+            meta.buckets[str(b)] = new_lists.get(str(b), [])
+        meta.version += 1
+        meta.lineage.append({"version": meta.version, "compacted_buckets": len(targets)})
+        meta.lineage = meta.lineage[-200:]
+        self._commit(meta)
+        return len(targets)
+
+    def _finish_commit(self, meta, batch_id, stats, loc, max_ts, mode) -> None:
+        meta.version += 1
+        if batch_id is not None:
+            meta.last_batch_id = batch_id
+        if loc is not None:
+            prev = meta.checkpoint or {"file_seq": -1, "pos": -1}
+            cand = {"file_seq": int(loc["_cdc_file_seq"]), "pos": int(loc["_cdc_pos"])}
+            if (cand["file_seq"], cand["pos"]) > (prev["file_seq"], prev["pos"]):
+                prev_ts = meta.checkpoint.get("max_applied_ts") if meta.checkpoint else None
+                cand["max_applied_ts"] = (
+                    max(str(max_ts), prev_ts) if (max_ts is not None and prev_ts)
+                    else (str(max_ts) if max_ts is not None else prev_ts)
+                )
+                meta.checkpoint = cand
+        meta.totals["batches"] += 1
+        meta.totals["rows_upserted"] += stats.n_incoming - stats.n_deletes_in
+        meta.totals["rows_deleted"] += stats.n_deletes_in
+        meta.lineage.append(
+            {
+                "version": meta.version,
+                "batch_id": batch_id,
+                "n_incoming": stats.n_incoming,
+                "n_deletes_in": stats.n_deletes_in,
+                "buckets_touched": stats.n_buckets_touched,
+                "rows_written": stats.rows_written,
+                "mode": mode,
+            }
+        )
+        meta.lineage = meta.lineage[-200:]
+        self._commit(meta)
+
+    def _merge_persisted(self, changes, meta, batch_id, bexpr, prune) -> MergeStats:
+        key = meta.key
+        payload = [f["name"] for f in meta.fields()]
+        changes = self._tolerant(changes, meta)
         inc = changes.withColumn(HASH_SEED_COL, bexpr)
 
         obs_in = None
@@ -348,12 +522,11 @@ class LakeTable:
             )
 
         base_entries = [e for b in touched for e in meta.buckets[str(b)]]
-        base = self._read_files(meta, base_entries, with_lineage=True)
+        base = self._read_files(meta, base_entries, with_lineage=True, with_op=True)
         sel = payload + ["op"] + LINEAGE_COLS
         inc = inc.select(*sel)
         if base is not None:
-            base = base.withColumn("op", F.lit("I")).select(*sel)
-            merged = inc.unionByName(base)
+            merged = inc.unionByName(base.select(*sel))
         else:
             merged = inc
 

@@ -77,10 +77,11 @@ def _final_us(lake: LakeTable) -> DataFrame:
 
 def _replay_through_lake(
     spark: SparkSession, batch: DataFrame, n_batches: int = 4, n_buckets: int = 16,
-    schema=None, key=None,
+    schema=None, key=None, write_mode: str = "cow", compact_after: bool = False,
 ) -> LakeTable:
     lake = LakeTable.create(
-        spark, tempfile.mkdtemp(prefix="dm_q_"), schema or SCHEMA, key or KEY, n_buckets=n_buckets
+        spark, tempfile.mkdtemp(prefix="dm_q_"), schema or SCHEMA, key or KEY,
+        n_buckets=n_buckets, write_mode=write_mode,
     )
     batch = batch.withColumn(
         "__ord", F.col("_cdc_file_seq") * 1_000_000 + F.col("_cdc_pos")
@@ -98,6 +99,8 @@ def _replay_through_lake(
                 part = part.where(F.col("__ord") <= hi)
             lake.merge_into(part.drop("__ord"), batch_id=i)
             lo = hi
+        if compact_after:
+            lake.compact()
     finally:
         batch.unpersist()
     return lake
@@ -181,6 +184,16 @@ def q_replay_merge(spark, sf_dir):
     cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
     batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
     return _final_us(_replay_through_lake(spark, batch))
+
+
+def q_replay_merge_mor(spark, sf_dir):
+    """Same replay through the merge-on-read write path (delta appends
+    + tombstones + compaction) — shares the CoW oracle, proving the two
+    storage modes are state-equivalent."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    lake = _replay_through_lake(spark, batch, write_mode="mor", compact_after=True)
+    return _final_us(lake)
 
 
 def q_replay_filtered(spark, sf_dir):
@@ -296,6 +309,7 @@ QUERIES = {
     "cdc_dedup_lww": q_dedup_lww,
     "cdc_dedup_lww_salted": q_dedup_lww_salted,
     "cdc_replay_merge": q_replay_merge,
+    "cdc_replay_merge_mor": q_replay_merge_mor,
     "cdc_replay_filtered": q_replay_filtered,
     "cdc_shard_merge_mapped": q_shard_merge_mapped,
     "cdc_safe_mode_replay": q_safe_mode_replay,
@@ -358,6 +372,7 @@ ORACLES = {
            FROM latest WHERE rn = 1"""
     ),
     "cdc_replay_merge": _with_feed(_REPLAY),
+    "cdc_replay_merge_mor": _with_feed(_REPLAY),
     "cdc_replay_filtered": _with_feed(_REPLAY, _FILTER_MATRIX_WHERE),
     "cdc_shard_merge_mapped": (
         f"WITH feed0 AS ({FEED_SQL}), "
