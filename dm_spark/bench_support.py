@@ -92,6 +92,58 @@ def apply_throughput(
     return out
 
 
+def trickle_throughput(
+    master: str,
+    write_mode: str,
+    base_rows: int = 2_000_000,
+    n_batches: int = 20,
+    batch_events: int = 10_000,
+    n_buckets: int = 64,
+    shuffle_partitions: int = 16,
+) -> dict:
+    """Trickle CDC: small batches against a large existing table.
+    CoW pays read+rewrite of touched buckets; MoR appends deltas.
+    This is the regime of a 10^10-row table tailing a live feed."""
+    spark = get_spark(f"bench_trickle_{write_mode}", master=master,
+                      shuffle_partitions=shuffle_partitions)
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    pipe = ApplyPipeline(cfg)
+    workdir = tempfile.mkdtemp(prefix="dm_trickle_")
+    lake = LakeTable.create(spark, f"{workdir}/lake", SCHEMA, KEY,
+                            n_buckets=n_buckets, write_mode=write_mode)
+    snap = synthetic_feed(spark, base_rows, n_convs=base_rows // 40,
+                          partitions=shuffle_partitions, text_chars=300)
+    lake.overwrite(flatten_snapshot(snap))
+    t0 = time.time()
+    for i in range(n_batches):
+        feed = synthetic_feed(
+            spark, batch_events, n_convs=base_rows // 40,
+            partitions=4, text_chars=300, seed=1000 + i,
+        ).withColumn("file_seq", F.col("file_seq") + F.lit((i + 1) * 10_000))
+        batch = pipe.transform(feed).drop("target_table")
+        lake.merge_into(batch, batch_id=i, prune=True)
+    sec = time.time() - t0
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+    total = n_batches * batch_events
+    return {
+        "mode": write_mode, "base_rows": base_rows, "events": total,
+        "sec": round(sec, 3), "events_per_sec": round(total / sec, 1),
+        "sec_per_batch": round(sec / n_batches, 3),
+    }
+
+
+def flatten_snapshot(envelope):
+    from dm_spark.operators import flatten_changes
+
+    return (
+        flatten_changes(envelope)
+        .where(F.col("op") != "D")
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .drop("op", "_cdc_ts", "_cdc_file_seq", "_cdc_pos", "target_table")
+    )
+
+
 if __name__ == "__main__":
     kind = sys.argv[1]
     if kind in ("apply", "apply_decode"):
@@ -105,6 +157,9 @@ if __name__ == "__main__":
             decode=(kind == "apply_decode"),
             lww_strategy=strat,
         )
+        print(json.dumps(res))
+    elif kind == "trickle":
+        res = trickle_throughput(sys.argv[2], sys.argv[3])
         print(json.dumps(res))
     else:
         raise SystemExit(f"unknown kernel {kind}")
