@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = "doc_id long, media binary, media_type string"
 FEATURE_SCHEMA = "doc_id long, n_bytes int, n_frames int, feat array<float>"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off int, frame_len int"
+FRAME_STRIDE = 64
 
 
 def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -63,3 +65,29 @@ def decode_and_featurize(media_df: DataFrame, use_real_codecs: bool = False) -> 
             )
 
     return media_df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media_df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling: one row per sampled frame (every `stride` bytes)
+    with its byte range — the video frame-sample / audio chunking
+    plumbing; a real decoder would demux instead of slicing. Arrow
+    batches in, exploded frame rows out, no driver involvement."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, offs, lens = [], [], [], []
+            for doc_id, m in zip(pdf["doc_id"], pdf["media"]):
+                n = len(m)
+                k = n // stride + 1
+                for i in range(k):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(i * stride)
+                    lens.append(min(stride, n - i * stride))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_off": pd.array(offs, dtype="int32"),
+                 "frame_len": pd.array(lens, dtype="int32")}
+            )
+
+    return media_df.mapInPandas(kernel, schema=FRAME_SCHEMA)

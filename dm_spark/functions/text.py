@@ -50,6 +50,16 @@ def is_english_heuristic(col: Column, min_ratio_pct: int = 10) -> Column:
     return F.when(n > 0, (stopword_count(col) * 100 / n) >= min_ratio_pct).otherwise(F.lit(False))
 
 
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Coarse BPE-style pre-tokenization: letter runs, digit runs,
+    single punctuation (the GPT-2 pre-tokenizer shape, minus unicode
+    categories). Shared regex law with the SQL oracle."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0)
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint (md5 — shared with DuckDB)."""
     return F.md5(col)

@@ -169,6 +169,26 @@ def q_doc_simhash(spark, sf_dir):  # rows-only (numpy hash law)
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    from dm_spark.functions.text import bpe_ish_tokens
+
+    d = _docs(spark, sf_dir)
+    toks = bpe_ish_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[A-Za-z]+$"))).alias("n_word_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    from dm_spark.functions.multimodal import frame_sample
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    return frame_sample(media)
+
+
 def q_multimodal_decode(spark, sf_dir):
     media = attach_fake_media(_docs(spark, sf_dir))
     return decode_and_featurize(media).select("doc_id", "n_bytes", "n_frames")
@@ -199,6 +219,8 @@ QUERIES = {
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ann_lsh": q_emb_ann_lsh,
 }
@@ -305,6 +327,24 @@ ORACLES = {
         GROUP BY 1, 2)
       SELECT id_a, id_b, inter, size_a, size_b FROM pairs
       WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.5
+    """,
+    "doc_bpe_tokens": """
+      WITH t AS (
+        SELECT doc_id,
+          regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+        FROM documents)
+      SELECT doc_id, len(toks) AS n_bpe_tokens,
+             len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_word_tokens,
+             len(list_distinct(toks)) AS n_unique_tokens
+      FROM t
+    """,
+    "multimodal_frames": """
+      WITH m AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(i * 64 AS INTEGER) AS frame_off,
+             CAST(least(64, n - i * 64) AS INTEGER) AS frame_len
+      FROM m, unnest(range(0, n // 64 + 1)) AS u(i)
     """,
     "multimodal_decode": """
       SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
