@@ -1,0 +1,90 @@
+"""dm_spark task runner — the `start-task` analog.
+
+    spark-submit --py-files dm_spark.zip main.py task.yaml
+    python main.py examples/task.yaml          # local mode
+
+Task file (YAML or JSON): see `examples/task.yaml`. Modes:
+- full:        batch snapshot load (dump+load units)
+- incremental: tail the relay feed via Structured Streaming
+- all:         snapshot, then stream from the snapshot watermark
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from dm_spark.config import TaskConfig
+from dm_spark.lake import LakeTable
+from dm_spark.session import get_spark
+from dm_spark.task import Task, replication_lag_sec
+
+
+def load_task_file(path: str) -> dict:
+    with open(path) as f:
+        text = f.read()
+    if path.endswith(".json"):
+        return json.loads(text)
+    import yaml
+
+    return yaml.safe_load(text)
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    spec = load_task_file(argv[1])
+    cfg = TaskConfig.from_dict(spec.get("task", {}))
+    mode = spec.get("mode", "incremental")
+    paths = spec["paths"]  # {lake, feed, checkpoint}
+
+    spark = get_spark(
+        app_name=spec.get("name", "dm_spark_task"),
+        master=spec.get("master"),
+        shuffle_partitions=cfg.shuffle_partitions,
+    )
+    lake = LakeTable(spark, paths["lake"])
+    if not lake.exists:
+        schema = [(c["name"], c["type"]) for c in spec["schema"]]
+        lake = LakeTable.create(
+            spark,
+            paths["lake"],
+            schema,
+            cfg.key,
+            n_buckets=cfg.n_buckets,
+            write_mode=spec.get("write_mode", "cow"),
+        )
+
+    task = Task(spark, cfg, lake, feed_dir=paths["feed"], checkpoint_dir=paths["checkpoint"])
+    if mode == "full":
+        snapshot = spark.read.parquet(spec["snapshot_path"])
+        v = task.run_full(snapshot)
+        print(json.dumps({"mode": mode, "version": v}))
+    elif mode == "incremental":
+        stats = task.run_incremental(
+            from_location=tuple(spec["from_location"]) if "from_location" in spec else None,
+            max_files_per_trigger=spec.get("max_files_per_trigger", 4),
+        )
+        print(json.dumps({"mode": mode, "batches": stats}))
+    elif mode == "all":
+        snapshot = spark.read.parquet(spec["snapshot_path"])
+        stats = task.run_all(snapshot, tuple(spec["snapshot_location"]))
+        print(json.dumps({"mode": mode, "batches": stats}))
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+    print(
+        json.dumps(
+            {
+                "totals": lake.totals(),
+                "checkpoint": lake.global_checkpoint(),
+                "lag_sec": replication_lag_sec(lake),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
