@@ -38,6 +38,7 @@ class CdcStreamDriver:
         max_files_per_trigger: int | None = 1,
         runner: "ReplayRunner | None" = None,
         ddl_events: list | None = None,
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -54,6 +55,10 @@ class CdcStreamDriver:
         # on LWW + the applied-DDL location gate rather than batch ids.
         self.runner = runner
         self.ddl_events = sorted(ddl_events or [], key=lambda e: e.loc())
+        # MoR maintenance: fold delta files back into base every N
+        # batches (the rewrite_data_files scheduling a table service
+        # would own on a real lakehouse)
+        self.compact_every = compact_every
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -75,6 +80,12 @@ class CdcStreamDriver:
             for target, lake in self.lakes.items():
                 part = flat.where(F.col("target_table") == target).drop("target_table")
                 stats = lake.merge_into(part, batch_id=batch_id, stream_id=self.stream_id)
+                if (
+                    self.compact_every
+                    and not stats.skipped
+                    and (batch_id + 1) % self.compact_every == 0
+                ):
+                    lake.compact()
                 self.batch_stats.append(
                     {
                         "batch_id": batch_id,
