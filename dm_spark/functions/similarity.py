@@ -126,3 +126,73 @@ def embedding_near_dup_pairs(
         .where(F.col("cos") >= min_cos)
         .select("id_a", "id_b")
     )
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer (trained on a small
+    driver-side sample — centroids are tiny and broadcast), vectors
+    assigned to their nearest list, queries probe `n_probe` lists and
+    rerank exactly within them. The standard inverted-file layout: the
+    cross join collapses to an equi-join on list id, candidates per
+    query bounded by the probed lists' sizes."""
+
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_size).collect()], dtype=np.float64
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for j in range(len(cents)):
+            m = sample[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    cents_b = [c.tolist() for c in cents]
+
+    def assign_lists(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = np.array(cents_b)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = V @ C.T
+            order = np.argsort(-sims, axis=1)
+            rows = {"id": np.repeat(pdf[id_col].values, n_probe),
+                    "list_id": order[:, :n_probe].reshape(-1),
+                    "is_home": np.tile(np.arange(n_probe) == 0, len(pdf))}
+            yield pd.DataFrame(rows)
+
+    lists = df.mapInPandas(assign_lists, schema="id long, list_id long, is_home boolean")
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    # members: home list only; queries: all probed lists
+    members = lists.where("is_home").select("id", "list_id").join(base, "id")
+    queries = lists.select("id", "list_id").join(base, "id")
+    a, b = queries.alias("a"), members.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.list_id") == F.col("b.list_id")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("nbr"),
+            (_dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))).alias("cos"),
+        )
+        .dropDuplicates(["id", "nbr"])
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias("vec_id"), "rank", F.col("nbr").alias("neighbor_id"), "cos")
+    )

@@ -97,7 +97,8 @@ def _replay_through_lake(
                 part = part.where(F.col("__ord") > lo)
             if hi is not None:
                 part = part.where(F.col("__ord") <= hi)
-            lake.merge_into(part.drop("__ord"), batch_id=i)
+            # bulk replay touches all buckets: single-job path
+            lake.merge_into(part.drop("__ord"), batch_id=i, prune=False)
             lo = hi
         if compact_after:
             lake.compact()

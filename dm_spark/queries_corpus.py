@@ -13,7 +13,11 @@ from dm_spark.functions.dedup import (
     simhash_near_pairs,
 )
 from dm_spark.functions.multimodal import attach_fake_media, decode_and_featurize
-from dm_spark.functions.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from dm_spark.functions.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
 from dm_spark.functions.text import EN_STOPWORDS, quality_columns
 
 
@@ -200,6 +204,12 @@ def q_emb_cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(_embs(spark, sf_dir), k=3)
 
 
+def q_emb_ann_ivf(spark, sf_dir):  # rows-only (recall < 1 by design)
+    return cosine_topk_ivf(_embs(spark, sf_dir), k=3, n_lists=8, n_probe=2).select(
+        "vec_id", "rank", "neighbor_id"
+    )
+
+
 def q_emb_ann_lsh(spark, sf_dir):  # rows-only (recall < 1 by design)
     return cosine_topk_lsh(_embs(spark, sf_dir), k=3, n_planes=8).select(
         "vec_id", "rank", "neighbor_id"
@@ -223,6 +233,7 @@ QUERIES = {
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ann_lsh": q_emb_ann_lsh,
+    "emb_ann_ivf": q_emb_ann_ivf,
 }
 
 _SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
