@@ -90,14 +90,25 @@ def main() -> None:
     }
     if os.environ.get("DM_BENCH_SKIP_SCALING") != "1":
         peak = _kernel("apply", "local[32]", PEAK_EVENTS, 32, 4)
-        n1 = _kernel("apply_decode", "local[1]", SCALING_EVENTS, 1, 1)
-        n4 = _kernel("apply_decode", "local[4]", SCALING_EVENTS, 4, 1)
+        # each leg twice, alternating; best-of (min wall time) per leg —
+        # the standard noise-floor estimator; this box shows ±15%
+        # run-to-run system noise that hits both legs equally only on
+        # average
+        reps = int(os.environ.get("DM_BENCH_SCALING_REPS", "2"))
+        legs = {"local[1]": [], "local[4]": []}
+        for _ in range(reps):
+            legs["local[1]"].append(
+                _kernel("apply_decode", "local[1]", SCALING_EVENTS, 1, 1)["events_per_sec"]
+            )
+            legs["local[4]"].append(
+                _kernel("apply_decode", "local[4]", SCALING_EVENTS, 4, 1)["events_per_sec"]
+            )
+        n1, n4 = max(legs["local[1]"]), max(legs["local[4]"])
         result["apply_events_per_sec_peak"] = peak["events_per_sec"]
-        result["decode_apply_events_per_sec_n"] = n1["events_per_sec"]
-        result["decode_apply_events_per_sec_4n"] = n4["events_per_sec"]
-        result["scaling_efficiency_n_to_4n"] = round(
-            n4["events_per_sec"] / (4 * n1["events_per_sec"]), 3
-        )
+        result["decode_apply_events_per_sec_n"] = n1
+        result["decode_apply_events_per_sec_4n"] = n4
+        result["decode_apply_runs"] = legs
+        result["scaling_efficiency_n_to_4n"] = round(n4 / (4 * n1), 3)
         result["scaling_events"] = SCALING_EVENTS
     print(json.dumps(result))
 
