@@ -84,16 +84,35 @@ def cosine_topk_lsh(
     n_planes: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = True,
 ) -> DataFrame:
     """ANN: bucket by hyperplane signature, exact rerank inside bucket.
-    Recall < 1.0 by construction; multiprobe = lower n_planes."""
+
+    `multiprobe` additionally probes every signature at Hamming
+    distance 1 from the query's own (flip each plane bit) — the
+    standard multiprobe-LSH recall boost (n_planes+1 probed buckets per
+    query, members still live in exactly one bucket, so candidate
+    volume stays bounded). Recall < 1.0 by construction."""
     sig = lsh_signatures(df, n_planes, id_col, vec_col)
-    base = (
-        with_norm(df, vec_col)
-        .select(F.col(id_col).alias("id"), "_v", "_norm")
-        .join(sig, "id")
-    )
-    a, b = base.alias("a"), base.alias("b")
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    members = base.join(sig, "id")
+    if multiprobe:
+        probes = sig.select(
+            "id",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        queries = base.join(probes, "id")
+    else:
+        queries = members
+    a, b = queries.alias("a"), members.alias("b")
     pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")))
         .select(
@@ -101,6 +120,7 @@ def cosine_topk_lsh(
             F.col("b.id").alias("nbr"),
             (_dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))).alias("cos"),
         )
+        .dropDuplicates(["id", "nbr"])
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
     return (

@@ -211,7 +211,7 @@ def q_emb_ann_ivf(spark, sf_dir):  # rows-only (recall < 1 by design)
 
 
 def q_emb_ann_lsh(spark, sf_dir):  # rows-only (recall < 1 by design)
-    return cosine_topk_lsh(_embs(spark, sf_dir), k=3, n_planes=8).select(
+    return cosine_topk_lsh(_embs(spark, sf_dir), k=3, n_planes=4).select(
         "vec_id", "rank", "neighbor_id"
     )
 
