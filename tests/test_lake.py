@@ -174,3 +174,24 @@ def test_key_change_update_as_delete_insert(spark, lake):
     )
     lake.merge_into(b, batch_id=1)
     assert rows(lake.read()) == [("a", 2, "v1-moved")]
+
+
+def test_schema_evolution_drop_and_rename_chain(spark, lake):
+    lake.merge_into(spark.createDataFrame([ch("a", 1, "I", "v1", 0, 1, 1)], CHANGE_DDL), batch_id=0)
+    assert lake.apply_ddl({"action": "drop_column", "column": "role", "file_seq": 1, "pos": 0})
+    df = lake.read()
+    assert "role" not in df.columns and df.count() == 1
+    # rename chain tool -> t1 -> t2: old files still project by field id
+    assert lake.apply_ddl({"action": "rename_column", "column": "tool", "new_name": "t1", "file_seq": 2, "pos": 0})
+    assert lake.apply_ddl({"action": "rename_column", "column": "t1", "new_name": "t2", "file_seq": 3, "pos": 0})
+    df = lake.read()
+    assert "t2" in df.columns and "tool" not in df.columns and "t1" not in df.columns
+    # key columns are protected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lake.apply_ddl({"action": "drop_column", "column": "conv_id", "file_seq": 4, "pos": 0})
+    with _pt.raises(ValueError):
+        lake.apply_ddl({"action": "rename_column", "column": "turn_idx", "new_name": "x", "file_seq": 5, "pos": 0})
+    # add-back after drop gets a NEW field id (no resurrection of old data)
+    assert lake.apply_ddl({"action": "add_column", "column": "role", "new_type": "string", "file_seq": 6, "pos": 0})
+    assert lake.read().collect()[0]["role"] is None
