@@ -45,7 +45,7 @@ ENVELOPE_DDL = (
 )
 
 
-def _image(eid: Column, uid: Column, etype: Column, ts: Column) -> Column:
+def _image(eid: Column, uid: Column, etype: Column, ts: Column, turn: Column) -> Column:
     """Row image by the shared deterministic law (see FEED_SQL)."""
     role = (
         F.when(eid % 3 == 0, F.lit("user"))
@@ -54,7 +54,7 @@ def _image(eid: Column, uid: Column, etype: Column, ts: Column) -> Column:
     )
     return F.struct(
         F.concat(F.lit("conv_"), uid.cast("string")).alias("conv_id"),
-        (eid % 50).cast("int").alias("turn_idx"),
+        turn.cast("int").alias("turn_idx"),
         role.alias("role"),
         F.concat(etype, F.lit(" #"), eid.cast("string")).alias("text"),
         F.when(eid % 3 == 2, F.concat(F.lit("tool_"), (eid % 7).cast("string"))).alias("tool"),
@@ -62,17 +62,32 @@ def _image(eid: Column, uid: Column, etype: Column, ts: Column) -> Column:
     )
 
 
-def _envelope(eid: Column, uid: Column, etype: Column, ts: Column) -> list[Column]:
+def _envelope(
+    eid: Column, uid: Column, etype: Column, ts: Column, km_every: int | None = 9
+) -> list[Column]:
+    """Envelope law. `km_every`: every km_every'th UPDATE is a
+    **key-moving update** — `after.turn_idx` differs from
+    `before.turn_idx` (+13 mod 50, never a no-op) — the reference's
+    identity-changing UPDATE that must replay as DELETE(old)+INSERT(new)
+    (syncer/dml.go:90-152). km_every=1 moves every update; None/0
+    disables."""
     op = (
         F.when(eid % 20 < 14, F.lit("I"))
         .when(eid % 20 < 19, F.lit("U"))
         .otherwise(F.lit("D"))
     )
-    img = _image(eid, uid, etype, ts)
+    before_turn = eid % 50
+    if km_every:
+        km = (op == F.lit("U")) & (eid % km_every == 0)
+        after_turn = F.when(km, (eid + 13) % 50).otherwise(before_turn)
+    else:
+        after_turn = before_turn
+    before_img = _image(eid, uid, etype, ts, before_turn)
+    after_img = _image(eid, uid, etype, ts, after_turn)
     return [
         op.alias("op"),
-        F.when(op != "I", img).alias("before"),
-        F.when(op != "D", img).alias("after"),
+        F.when(op != "I", before_img).alias("before"),
+        F.when(op != "D", after_img).alias("after"),
         F.concat(
             F.lit("shard_"), (uid % 4).cast("string"),
             F.lit(".transcripts_"), (eid % 2).cast("string"),
@@ -84,7 +99,7 @@ def _envelope(eid: Column, uid: Column, etype: Column, ts: Column) -> list[Colum
     ]
 
 
-def change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def change_feed(spark: SparkSession, sf_dir: str, km_every: int | None = 9) -> DataFrame:
     """Deterministic change feed derived from `<sf_dir>/events.parquet`.
 
     Pure column arithmetic — stays in whole-stage codegen; the parquet
@@ -95,17 +110,29 @@ def change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet naive timestamps surface as TIMESTAMP_NTZ in Spark 4;
     # session TZ is pinned UTC so this cast is value-preserving
     ts = F.col("ts").cast("timestamp")
-    return ev.select(*_envelope(eid, uid, F.col("event_type"), ts))
+    return ev.select(*_envelope(eid, uid, F.col("event_type"), ts, km_every=km_every))
 
 
-# DuckDB rendition of the same law, flattened (structs unnested). The
-# driver's oracle CTEs build on this. NOTE: `pos` not `offset` (keyword).
-FEED_SQL = """
+def feed_sql(km_every: int | None = 9) -> str:
+    """DuckDB rendition of the same law, flattened (structs unnested).
+    `turn_idx` is the flat (coalesce(after, before)) key; key-moving
+    updates additionally expose `before_turn_idx` + `key_moved` so the
+    replay oracles can split them into DELETE(old)+INSERT(new) exactly
+    like `flatten_changes`. NOTE: `pos` not `offset` (keyword)."""
+    km = (
+        f"(event_id % 20 >= 14 AND event_id % 20 < 19 AND event_id % {km_every} = 0)"
+        if km_every
+        else "FALSE"
+    )
+    return f"""
   SELECT
     CASE WHEN event_id % 20 < 14 THEN 'I'
          WHEN event_id % 20 < 19 THEN 'U' ELSE 'D' END AS op,
     'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
-    CAST(event_id % 50 AS INTEGER) AS turn_idx,
+    CAST(CASE WHEN {km} THEN (event_id + 13) % 50
+              ELSE event_id % 50 END AS INTEGER) AS turn_idx,
+    CAST(event_id % 50 AS INTEGER) AS before_turn_idx,
+    {km} AS key_moved,
     CASE WHEN event_id % 3 = 0 THEN 'user'
          WHEN event_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
     event_type || ' #' || CAST(event_id AS VARCHAR) AS text,
@@ -119,6 +146,9 @@ FEED_SQL = """
     event_id // 10 AS txn_id
   FROM events
 """
+
+
+FEED_SQL = feed_sql(9)
 
 
 def synthetic_feed(

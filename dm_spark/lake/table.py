@@ -652,12 +652,17 @@ class LakeTable:
         gating analog). No data files are rewritten (field-id evolution).
 
         action: {action: add_column|rename_column|widen_type|drop_column,
-                 column, new_name?, new_type?, file_seq, pos}
+                 column, new_name?, new_type?, file_seq, pos, suffix?}
+
+        Locations are (file_seq, pos, suffix) triples compared
+        lexicographically — suffix orders user-injected replacement
+        events sharing a position (pkg/binlog/position.go:298-317)
+        without corrupting the order of later genuine DDLs.
         """
         meta = self._load_meta()
-        loc = (action.get("file_seq", 0), action.get("pos", 0))
+        loc = (action.get("file_seq", 0), action.get("pos", 0), action.get("suffix", 0))
         for d in meta.applied_ddl:
-            if (d["file_seq"], d["pos"]) >= loc:
+            if (d["file_seq"], d["pos"], d.get("suffix", 0)) >= loc:
                 return False
         fields = [dict(f) for f in meta.fields()]
         kind = action["action"]
@@ -691,6 +696,7 @@ class LakeTable:
                 "new_type": action.get("new_type"),
                 "file_seq": loc[0],
                 "pos": loc[1],
+                "suffix": loc[2],
                 "schema_version": meta.schema_version,
             }
         )

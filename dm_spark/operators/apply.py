@@ -21,25 +21,65 @@ from dm_spark.operators.mapping import apply_column_mappings, prune_generated_co
 from dm_spark.operators.router import route_tables
 
 
-def flatten_changes(df: DataFrame, payload_fields: list[str] | None = None) -> DataFrame:
+def flatten_changes(
+    df: DataFrame,
+    payload_fields: list[str] | None = None,
+    key: list[str] | None = None,
+) -> DataFrame:
     """Envelope -> flat change rows for MERGE.
 
     Payload column X = before.X for deletes (old image carries identity,
     syncer/dml.go:154-183) else after.X. Lineage columns carry the LWW
     ordering (commit ts, then binlog location tiebreak).
+
+    **Key-changing UPDATE split**: an update whose identity columns
+    moved (before.key != after.key) is rewritten as DELETE(old key) +
+    upsert(new key) sharing the event's lineage — otherwise the stale
+    row under the old key would survive forever. This is the
+    reference's identity-changing-update rewrite (syncer/dml.go:90-152;
+    safe-mode genUpdateSQL -> DELETE+REPLACE, syncer/dml.go:586-615).
+    The two halves land on different keys, so sharing (ts, file_seq,
+    pos) cannot create an LWW tie. Implemented as an explode of a 1- or
+    2-element struct array — one pass over the input (no double scan of
+    an expensive upstream decode), stays in codegen.
     """
     if payload_fields is None:
         payload_fields = df.schema["after"].dataType.fieldNames()
-    img = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
-    cols = [img.getField(f).alias(f) for f in payload_fields]
+    if key is None:
+        from dm_spark.feed import KEY_COLS
+
+        key = KEY_COLS
+    key = [k for k in key if k in payload_fields]
+    op, before, after = F.col("op"), F.col("before"), F.col("after")
+    img = F.when(op == "D", before).otherwise(after)
     keep = [c for c in ("target_table",) if c in df.columns]
-    return df.select(
-        *keep,
-        *cols,
-        F.col("op"),
+    lineage = [
         F.col("ts").alias("_cdc_ts"),
         F.col("file_seq").alias("_cdc_file_seq"),
         F.col("pos").alias("_cdc_pos"),
+    ]
+    if not key:
+        # no identity columns known: plain flatten (no split possible)
+        return df.select(
+            *keep, *[img.getField(f).alias(f) for f in payload_fields], op, *lineage
+        )
+    moved = F.lit(False)
+    for k in key:
+        moved = moved | ~before.getField(k).eqNullSafe(after.getField(k))
+    moved = (op == "U") & before.isNotNull() & after.isNotNull() & moved
+    main = F.struct(op.alias("op"), *[img.getField(f).alias(f) for f in payload_fields])
+    dhalf = F.struct(
+        F.lit("D").alias("op"), *[before.getField(f).alias(f) for f in payload_fields]
+    )
+    rows = F.when(moved, F.array(dhalf, main)).otherwise(F.array(main))
+    ex = df.select(*keep, F.explode(rows).alias("__r"), *lineage)
+    return ex.select(
+        *keep,
+        *[F.col("__r").getField(f).alias(f) for f in payload_fields],
+        F.col("__r").getField("op").alias("op"),
+        "_cdc_ts",
+        "_cdc_file_seq",
+        "_cdc_pos",
     )
 
 

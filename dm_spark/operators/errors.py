@@ -28,9 +28,12 @@ class ErrorOperators:
 
     def resolve(self, action: dict) -> list[dict]:
         """Map one incoming schema action to the list to actually apply:
-        [] (skipped), [action] (untouched), or the replacements (each
-        stamped with the original location plus a suffix ordinal so the
-        applied-DDL log stays totally ordered — Suffix analog)."""
+        [] (skipped), [action] (untouched), or the replacements, each
+        stamped with the original (file_seq, pos) plus a `suffix`
+        ordinal — the reference's Location.Suffix
+        (pkg/binlog/position.go:229-235, :298-317). pos itself is never
+        mutated, so genuine later events in the same file keep their
+        place in the total order."""
         loc = (action.get("file_seq", 0), action.get("pos", 0))
         ov = self.ops.get(loc)
         if ov is None:
@@ -41,6 +44,7 @@ class ErrorOperators:
         for i, rep in enumerate(ov["actions"]):
             r = dict(rep)
             r.setdefault("file_seq", loc[0])
-            r.setdefault("pos", loc[1] * 1000 + i)  # suffix ordering
+            r.setdefault("pos", loc[1])
+            r.setdefault("suffix", i + 1)
             out.append(r)
         return out

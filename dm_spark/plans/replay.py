@@ -37,7 +37,14 @@ from dm_spark.streaming.ddl_coordinator import PendingSpill, ShardDdlBarrier, sp
 class DdlEvent:
     """One schema action at a binlog location (FIXTURES.md §4 shape).
     action: add_column | rename_column | widen_type | drop_column |
-    rename_table (online-DDL swap)."""
+    rename_table (online-DDL swap).
+
+    `suffix` is the third location component, used for user-injected
+    replacement events sharing a position (error-operator replace,
+    online-DDL swap replay) — the reference's `Location.Suffix`
+    (pkg/binlog/position.go:229-235, compared lexicographically AFTER
+    pos, :298-317). Keeping it a separate ordinal (instead of inflating
+    pos) preserves the total order for later genuine events."""
 
     action: str
     source_table: str
@@ -47,9 +54,10 @@ class DdlEvent:
     new_name: str | None = None
     new_type: str | None = None
     target_table: str | None = None  # for rename_table
+    suffix: int = 0
 
-    def loc(self) -> tuple[int, int]:
-        return (self.file_seq, self.pos)
+    def loc(self) -> tuple[int, int, int]:
+        return (self.file_seq, self.pos, self.suffix)
 
     def to_action(self) -> dict:
         return {
@@ -59,6 +67,7 @@ class DdlEvent:
             "new_type": self.new_type,
             "file_seq": self.file_seq,
             "pos": self.pos,
+            "suffix": self.suffix,
         }
 
 
@@ -85,7 +94,10 @@ class ReplayRunner:
             replay = self.online_ddl.on_rename(ev.source_table, ev.target_table)
             applied = []
             for i, act in enumerate(replay):
-                act = {**act, "file_seq": ev.file_seq, "pos": ev.pos * 1000 + i}
+                # buffered ghost DDLs replay AT the swap location with a
+                # suffix ordinal (Location.Suffix analog) — never by
+                # inflating pos, which would obsolete later genuine DDLs
+                act = {**act, "file_seq": ev.file_seq, "pos": ev.pos, "suffix": i + 1}
                 applied += self._apply_resolved(ev.target_table, act)
             return applied
 
@@ -173,7 +185,7 @@ class ReplayRunner:
         projected to the evolved schema by the pipeline's flatten (the
         envelope's `after` may lack new columns — they fill as null)."""
         evs = sorted(ddl_events, key=lambda e: e.loc())
-        lo: tuple[int, int] | None = None
+        lo: tuple | None = None
         for i, ev in enumerate(evs):
             part = self._range(envelope, lo, ev.loc())
             self.apply_dml_batch(part, batch_id=None)
@@ -184,7 +196,10 @@ class ReplayRunner:
         self.drain_pending()
 
     @staticmethod
-    def _range(env: DataFrame, lo: tuple[int, int] | None, hi: tuple[int, int] | None) -> DataFrame:
+    def _range(env: DataFrame, lo: tuple | None, hi: tuple | None) -> DataFrame:
+        """DML rows have no suffix (only injected events do), so range
+        bounds compare on (file_seq, pos) — two DDLs at the same pos with
+        different suffixes simply yield an empty DML range between them."""
         loc = F.struct(F.col("file_seq"), F.col("pos"))
         def lit_loc(t):
             return F.struct(
@@ -192,7 +207,7 @@ class ReplayRunner:
                 F.lit(t[1]).cast("bigint").alias("pos"),
             )
         if lo is not None:
-            env = env.filter(loc > lit_loc(lo))
+            env = env.filter(loc > lit_loc(lo[:2]))
         if hi is not None:
-            env = env.filter(loc <= lit_loc(hi))
+            env = env.filter(loc <= lit_loc(hi[:2]))
         return env

@@ -20,7 +20,7 @@ from dm_spark.config import (
     RouteRule,
     TaskConfig,
 )
-from dm_spark.feed import FEED_SQL, change_feed
+from dm_spark.feed import FEED_SQL, change_feed, feed_sql
 from dm_spark.lake import LakeTable
 from dm_spark.operators import ApplyPipeline, flatten_changes, lww_latest
 from dm_spark.operators.filters import ba_list_filter, event_type_filter, expression_filter
@@ -53,16 +53,30 @@ _FLAT_COLS = [
 
 _ORACLE_FLAT = "SELECT op, conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us, source_table, file_seq, pos, txn_id FROM feed"
 
-_REPLAY = """
+# Key-moving updates split into DELETE(old key) + upsert(new key) with
+# shared lineage — the flatten_changes law (syncer/dml.go:90-152).
+_SPLIT = """
+split AS (
+  SELECT op, conv_id, turn_idx, role, text, tool, ts, file_seq, pos, txn_id FROM feed
+  UNION ALL
+  SELECT 'D' AS op, conv_id, before_turn_idx AS turn_idx, role, text, tool,
+         ts, file_seq, pos, txn_id
+  FROM feed WHERE key_moved
+)"""
+
+_REPLAY = (
+    _SPLIT
+    + """,
 latest AS (
   SELECT *, row_number() OVER (
     PARTITION BY conv_id, turn_idx
     ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn
-  FROM feed
+  FROM split
 )
 SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
 FROM latest WHERE rn = 1 AND op <> 'D'
 """
+)
 
 
 def _flat(df: DataFrame) -> DataFrame:
@@ -236,6 +250,18 @@ def q_safe_mode_replay(spark, sf_dir):
     return _final_us(lake)
 
 
+def q_key_change_replay(spark, sf_dir):
+    """Key-changing UPDATE torture replay: EVERY update moves the key
+    (km_every=1). `flatten_changes` must rewrite each as DELETE(old key)
+    + upsert(new key) or ghost rows survive under the old keys — the
+    reference's identity-changing-update rewrite (syncer/dml.go:90-152,
+    safe-mode genUpdateSQL syncer/dml.go:586-615)."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    feed = change_feed(spark, sf_dir, km_every=1)
+    batch = ApplyPipeline(cfg).transform(feed).drop("target_table")
+    return _final_us(_replay_through_lake(spark, batch))
+
+
 def q_lineage_counts(spark, sf_dir):
     return (
         change_feed(spark, sf_dir)
@@ -314,14 +340,15 @@ QUERIES = {
     "cdc_replay_filtered": q_replay_filtered,
     "cdc_shard_merge_mapped": q_shard_merge_mapped,
     "cdc_safe_mode_replay": q_safe_mode_replay,
+    "cdc_key_change_replay": q_key_change_replay,
     "cdc_lineage_counts": q_lineage_counts,
     "cdc_checkpoint_locations": q_checkpoint_locations,
     "cdc_ddl_evolution": q_ddl_evolution,
 }
 
 
-def _with_feed(body: str, feed_where: str = "TRUE") -> str:
-    return f"WITH feed AS (SELECT * FROM ({FEED_SQL}) WHERE {feed_where}), {body}"
+def _with_feed(body: str, feed_where: str = "TRUE", feed: str = FEED_SQL) -> str:
+    return f"WITH feed AS (SELECT * FROM ({feed}) WHERE {feed_where}), {body}"
 
 
 _FILTER_MATRIX_WHERE = """
@@ -354,9 +381,13 @@ ORACLES = {
         "FROM feed GROUP BY 1, 2"
     ),
     "cdc_column_mapping": (
-        f"WITH feed AS ({FEED_SQL}) "
-        "SELECT op, regexp_extract(source_table, '^shard_([0-9]+)\\.', 1) || '_' || conv_id AS conv_id, "
-        "turn_idx, file_seq, pos FROM feed"
+        f"WITH feed0 AS ({FEED_SQL}), "
+        "feed AS (SELECT * REPLACE (regexp_extract(source_table, '^shard_([0-9]+)\\.', 1) "
+        "|| '_' || conv_id AS conv_id) FROM feed0), "
+        "m AS (SELECT op, conv_id, turn_idx, file_seq, pos FROM feed "
+        "UNION ALL SELECT 'D' AS op, conv_id, before_turn_idx AS turn_idx, file_seq, pos "
+        "FROM feed WHERE key_moved) "
+        "SELECT op, conv_id, turn_idx, file_seq, pos FROM m"
     ),
     "cdc_dedup_lww": _with_feed(
         """latest AS (
@@ -382,6 +413,7 @@ ORACLES = {
         + _REPLAY
     ),
     "cdc_safe_mode_replay": _with_feed(_REPLAY),
+    "cdc_key_change_replay": _with_feed(_REPLAY, feed=feed_sql(km_every=1)),
     "cdc_lineage_counts": (
         f"WITH feed AS ({FEED_SQL}) "
         "SELECT source_table, op, count(*) AS n FROM feed GROUP BY 1, 2"
@@ -393,14 +425,16 @@ ORACLES = {
         "SELECT source_table, file_seq, pos FROM r WHERE rn = 1"
     ),
     "cdc_ddl_evolution": _with_feed(
-        """mid AS (SELECT (min(txn_id) + max(txn_id)) // 2 AS m FROM feed),
+        "mid AS (SELECT (min(txn_id) + max(txn_id)) // 2 AS m FROM feed),"
+        + _SPLIT
+        + """,
            feed2 AS (
              SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
                     tool AS tool_name,
                     CASE WHEN txn_id > (SELECT m FROM mid)
                          THEN CAST(pos % 5 AS INTEGER) END AS rating,
                     ts, file_seq, pos, op
-             FROM feed),
+             FROM split),
            latest AS (
              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
                ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn FROM feed2)

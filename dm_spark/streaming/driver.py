@@ -69,7 +69,7 @@ class CdcStreamDriver:
                 ).collect()[0][0]
                 due = [
                     e for e in self.ddl_events
-                    if mx is not None and e.loc() <= (mx["file_seq"], mx["pos"])
+                    if mx is not None and e.loc()[:2] <= (mx["file_seq"], mx["pos"])
                 ]
                 self.ddl_events = self.ddl_events[len(due):]
                 self.runner.replay(batch_df, due)

@@ -27,12 +27,20 @@ SCHEMA = [
 ]
 KEY = ["conv_id", "turn_idx"]
 
+# key-moving updates split into DELETE(old key)+upsert(new key), the
+# flatten_changes law (syncer/dml.go:90-152)
 REPLAY_TAIL = """
-, latest AS (
+, split AS (
+  SELECT op, conv_id, turn_idx, role, text, tool, ts, file_seq, pos FROM feed
+  UNION ALL
+  SELECT 'D' AS op, conv_id, before_turn_idx AS turn_idx, role, text, tool,
+         ts, file_seq, pos
+  FROM feed WHERE key_moved
+), latest AS (
   SELECT *, row_number() OVER (
     PARTITION BY conv_id, turn_idx
     ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn
-  FROM feed
+  FROM split
 )
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM latest WHERE rn = 1 AND op <> 'D'
@@ -114,6 +122,46 @@ def test_filter_matrix_replay_matches_oracle(spark, sf_dir, tmp_path):
       AND NOT (op = 'I' AND role = 'tool' AND tool = 'tool_0')
     """
     assert_tables_equal(spark_final(lake), duck_replay(sf_dir, where))
+
+
+def test_key_changing_update_leaves_no_ghost(spark, tmp_path):
+    """A key-moving UPDATE must delete the row under the OLD key and
+    upsert it under the new key (syncer/dml.go:90-152; ADVICE r01 #1).
+    Hand-built envelope: INSERT (c,0), then UPDATE moving it to (c,7)."""
+    env = spark.createDataFrame(
+        [
+            ("I", None, ("c", 0, "user", "v1", None, "2024-01-01 00:00:00"), "s.t", 0, 1, "2024-01-01 00:00:00", 0),
+            (
+                "U",
+                ("c", 0, "user", "v1", None, "2024-01-01 00:00:00"),
+                ("c", 7, "user", "v2", None, "2024-01-01 00:00:01"),
+                "s.t", 0, 2, "2024-01-01 00:00:01", 0,
+            ),
+        ],
+        feedmod.ENVELOPE_DDL.replace("timestamp", "string"),
+    )
+    for c in ("ts",):
+        env = env.withColumn(c, F.col(c).cast("timestamp"))
+    for img in ("before", "after"):
+        env = env.withColumn(
+            img,
+            F.when(
+                F.col(img).isNotNull(),
+                F.col(img).withField("ts", F.col(f"{img}.ts").cast("timestamp")),
+            ).cast(
+                "struct<conv_id:string,turn_idx:int,role:string,text:string,tool:string,ts:timestamp>"
+            ),
+        )
+    cfg = TaskConfig(routes=[RouteRule(pattern="s.t", target="t")])
+    flat = ApplyPipeline(cfg).transform(env).drop("target_table")
+    # the split produces 3 change rows: I, D(old key), upsert(new key)
+    assert flat.count() == 3
+    ops = {(r.turn_idx, r.op) for r in flat.select("turn_idx", "op").collect()}
+    assert ops == {(0, "I"), (0, "D"), (7, "U")}
+    lake = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEY, n_buckets=4)
+    lake.merge_into(flat, batch_id=0)
+    rows = {(r.conv_id, r.turn_idx): r.text for r in lake.read().collect()}
+    assert rows == {("c", 7): "v2"}, f"ghost row survived: {rows}"
 
 
 def test_double_replay_idempotent(spark, sf_dir, tmp_path):

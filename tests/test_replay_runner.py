@@ -140,3 +140,49 @@ def test_error_operator_replace(spark, runner):
     runner.replay(feed, ddls)
     cols = runner.lake.read().columns
     assert "rating2" in cols and "bad" not in cols
+
+
+def test_suffix_keeps_later_ddls_applicable(spark, runner):
+    """Replacement events at (0,3) get suffix ordinals 1,2 — they must
+    NOT obsolete the genuine DDL at (0,4). The old pos*1000+i encoding
+    inflated the applied location past every later pos in the file
+    (pkg/binlog/position.go:298-317 keeps Suffix a separate component;
+    VERDICT r01 'What's wrong' #1)."""
+    runner.barrier = None
+    runner.error_ops.set_replace(
+        0,
+        3,
+        [
+            {"action": "add_column", "column": "r1", "new_type": "int"},
+            {"action": "add_column", "column": "r2", "new_type": "int"},
+        ],
+    )
+    feed = ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)])
+    ddls = [
+        DdlEvent("add_column", "shard_0.t", 0, 3, column="bad", new_type="json"),
+        DdlEvent("add_column", "shard_0.t", 0, 4, column="later", new_type="int"),
+    ]
+    runner.replay(feed, ddls)
+    cols = runner.lake.read().columns
+    assert {"r1", "r2", "later"} <= set(cols) and "bad" not in cols
+    locs = [
+        (d["file_seq"], d["pos"], d.get("suffix", 0))
+        for d in runner.lake.applied_ddl_log()
+    ]
+    assert locs == [(0, 3, 1), (0, 3, 2), (0, 4, 0)]
+
+
+def test_suffix_after_online_ddl_swap(spark, runner):
+    """Ghost-buffered DDLs replayed at the swap location must not
+    obsolete a later genuine DDL either (plans/replay.py rename_table
+    used the same pos*1000 encoding)."""
+    runner.barrier = None
+    feed = ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)])
+    ddls = [
+        DdlEvent("add_column", "shard_0._t_gho", 0, 3, column="rating", new_type="int"),
+        DdlEvent("rename_table", "shard_0._t_gho", 0, 4, target_table="shard_0.t"),
+        DdlEvent("add_column", "shard_0.t", 0, 5, column="later", new_type="int"),
+    ]
+    runner.replay(feed, ddls)
+    cols = runner.lake.read().columns
+    assert {"rating", "later"} <= set(cols)

@@ -60,6 +60,21 @@ def test_diff_on_replayed_lake(spark, sf_dir, tmp_path):
         "coalesce(after.tool, before.tool) AS tool",
         "ts", "file_seq", "pos",
     )
+    # independent replay must mirror the key-move split law
+    # (syncer/dml.go:90-152): D(old key) for updates that moved the key
+    dhalf = feed.where(
+        "op = 'U' AND NOT (before.conv_id <=> after.conv_id "
+        "AND before.turn_idx <=> after.turn_idx)"
+    ).selectExpr(
+        "'D' AS op",
+        "before.conv_id AS conv_id",
+        "before.turn_idx AS turn_idx",
+        "before.role AS role",
+        "before.text AS text",
+        "before.tool AS tool",
+        "ts", "file_seq", "pos",
+    )
+    flat = flat.unionByName(dhalf)
     expected = lww_latest(flat, ["conv_id", "turn_idx"], ["ts", "file_seq", "pos"]).where(
         F.col("op") != "D"
     ).drop("op", "file_seq", "pos")
