@@ -64,7 +64,12 @@ def apply_throughput(
 
         warm_feed = decode_wire(to_wire(warm_feed))
     warm = pipe.transform(warm_feed).drop("target_table")
-    lake.merge_into(warm, batch_id=-100_000, prune=False)
+    # ungated warmup (batch_id=None): ADVICE r01 — the old batch_id
+    # -100_000 was skipped by the monotone gate, so the "warmup" never
+    # ran and the first timed batch absorbed ~8s of codegen/python-
+    # worker startup
+    wstats = lake.merge_into(warm, batch_id=None, prune=False)
+    assert not wstats.skipped and wstats.rows_written > 0
 
     per = n_events // n_batches
     t0 = time.time()

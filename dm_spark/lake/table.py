@@ -111,18 +111,41 @@ class _Meta:
         return _Meta(**json.loads(s))
 
 
-def _norm_key_cols(key: list[str]) -> list:
-    # normalize types so the bucket function is stable across widenings
-    return [F.col(key[0]).cast("string")] + [F.col(k).cast("long") for k in key[1:]]
+_NORM_LONG = {"boolean", "tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"}
+_NORM_DOUBLE = {"float", "double"}
+_NORM_TS = {"date", "timestamp", "timestamp_ntz"}
 
 
-def _bucket_expr(key: list[str], n_buckets: int):
+def _norm_class(t: str) -> str:
+    """Widest type of a column's widening class — the bucket hash is
+    computed on this so in-class widenings (int -> bigint) never
+    re-bucket existing data."""
+    t = t.lower()
+    if t in _NORM_LONG:
+        return "long"
+    if t in _NORM_DOUBLE or t.startswith("decimal"):
+        return "double"
+    if t in _NORM_TS:
+        return "timestamp"
+    return "string"
+
+
+def _norm_key_cols(key: list[str], fields: list[dict]) -> list:
+    """Normalize key columns by their ACTUAL declared type class (ADVICE
+    r01: the old rule cast key[1:] to long unconditionally, so a second
+    string key column became NULL and distinct keys silently collided in
+    bucketing and LWW)."""
+    types = {f["name"]: f["type"] for f in fields}
+    return [F.col(k).cast(_norm_class(types.get(k, "string"))) for k in key]
+
+
+def _bucket_expr(key: list[str], n_buckets: int, fields: list[dict]):
     """Bucket id == Spark's own shuffle slot for `repartition(B, keys)`:
     pmod(murmur3(keys), B). This identity lets the merge write FLAT
     parquet (no dynamic-partition writer, ~2x faster commit) — the
     output task index IS the bucket id, recovered from part-NNNNN file
     names for the manifest."""
-    return F.pmod(F.hash(*_norm_key_cols(key)), F.lit(n_buckets)).cast("int")
+    return F.pmod(F.hash(*_norm_key_cols(key, fields)), F.lit(n_buckets)).cast("int")
 
 
 class LakeTable:
@@ -249,7 +272,7 @@ class LakeTable:
             return self.spark.createDataFrame([], ddl)
         if has_delta:
             payload = [f["name"] for f in meta.fields()]
-            w = Window.partitionBy(*_norm_key_cols(meta.key)).orderBy(
+            w = Window.partitionBy(*_norm_key_cols(meta.key, meta.fields())).orderBy(
                 *[F.col(c).desc() for c in LINEAGE_COLS]
             )
             df = (
@@ -295,7 +318,7 @@ class LakeTable:
         if batch_id is not None and batch_id <= meta.last_batch_id:
             return MergeStats(version=meta.version, batch_id=batch_id, skipped=True)
 
-        bexpr = _bucket_expr(meta.key, meta.n_buckets)
+        bexpr = _bucket_expr(meta.key, meta.n_buckets, meta.fields())
         # merge makes two passes over the incoming batch (bucket/stats
         # agg, then the LWW merge) — persist so an expensive upstream
         # (pandas-UDF wire decode) runs once. MEMORY_AND_DISK: a micro-
@@ -343,7 +366,7 @@ class LakeTable:
     def _commit_files(self, out: DataFrame, meta: _Meta, allowed: list[int], delta: bool) -> dict:
         """Write `out` flat (slot==bucket identity) and return
         bucket -> new file entries; refuses stray buckets."""
-        commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}")
+        commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}-{uuid.uuid4().hex[:8]}")
         out.write.mode("errorifexists").parquet(commit_dir)
         new_lists: dict[str, list[dict]] = {}
         if os.path.isdir(commit_dir):
@@ -381,7 +404,7 @@ class LakeTable:
             F.max("_cdc_ts").alias("mts"),
         )
         nkeys = [f"__k{i}" for i in range(len(key))]
-        for n, c in zip(nkeys, _norm_key_cols(key)):
+        for n, c in zip(nkeys, _norm_key_cols(key, meta.fields())):
             inc = inc.withColumn(n, c)
         obs = Observation()
         rep = inc.repartition(meta.n_buckets, *[F.col(n) for n in nkeys])
@@ -423,7 +446,7 @@ class LakeTable:
         if base is None:
             return 0
         nkeys = [f"__k{i}" for i in range(len(meta.key))]
-        for n, c in zip(nkeys, _norm_key_cols(meta.key)):
+        for n, c in zip(nkeys, _norm_key_cols(meta.key, meta.fields())):
             base = base.withColumn(n, c)
         rep = base.repartition(meta.n_buckets, *[F.col(n) for n in nkeys])
         out = (
@@ -537,7 +560,7 @@ class LakeTable:
         # scales better with cores than a window sort and replaces the
         # reference's per-queue ordered apply, syncer/dml_worker.go).
         nkeys = [f"__k{i}" for i in range(len(key))]
-        for n, c in zip(nkeys, _norm_key_cols(key)):
+        for n, c in zip(nkeys, _norm_key_cols(key, meta.fields())):
             merged = merged.withColumn(n, c)
         obs = Observation()
         rep = merged.repartition(meta.n_buckets, *[F.col(n) for n in nkeys])
@@ -559,7 +582,7 @@ class LakeTable:
             .select(*payload, *LINEAGE_COLS)
             .observe(obs, F.count(F.lit(1)).alias("rows"))
         )
-        commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}")
+        commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}-{uuid.uuid4().hex[:8]}")
         out.write.mode("errorifexists").parquet(commit_dir)
         stats.rows_written = obs.get["rows"]
         if obs_in is not None:
@@ -630,8 +653,8 @@ class LakeTable:
             .withColumn("_cdc_file_seq", F.lit(-1).cast("long"))
             .withColumn("_cdc_pos", F.lit(-1).cast("long"))
         )
-        out = out.repartition(meta.n_buckets, *_norm_key_cols(meta.key))
-        commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}")
+        out = out.repartition(meta.n_buckets, *_norm_key_cols(meta.key, meta.fields()))
+        commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}-{uuid.uuid4().hex[:8]}")
         out.write.mode("errorifexists").parquet(commit_dir)
         meta.buckets = {str(b): [] for b in range(meta.n_buckets)}
         for fn, nrows in _parquet_files_with_rows(commit_dir):
@@ -679,6 +702,14 @@ class LakeTable:
                 raise ValueError("cannot rename a key column")
             names[action["column"]]["name"] = action["new_name"]
         elif kind == "widen_type":
+            if action["column"] in meta.key:
+                old_t = names[action["column"]]["type"]
+                if _norm_class(old_t) != _norm_class(action["new_type"]):
+                    raise ValueError(
+                        f"widening key column {action['column']} from {old_t} to "
+                        f"{action['new_type']} crosses bucket-hash classes and would "
+                        "re-bucket existing data"
+                    )
             names[action["column"]]["type"] = action["new_type"]
         elif kind == "drop_column":
             if action["column"] in meta.key:

@@ -88,7 +88,7 @@ def main() -> int:
     base = lake._read_files(meta, [e for lst in meta.buckets.values() for e in lst], True)
     merged = batch.select(*sel).unionByName(base.withColumn("op", F.lit("I")).select(*sel))
     nkeys = ["__k0", "__k1"]
-    for n, c in zip(nkeys, _norm_key_cols(meta.key)):
+    for n, c in zip(nkeys, _norm_key_cols(meta.key, meta.fields())):
         merged = merged.withColumn(n, c)
     w = Window.partitionBy(*nkeys).orderBy(*[F.col(c).desc() for c in LINEAGE_COLS])
     out = (

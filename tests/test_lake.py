@@ -195,3 +195,44 @@ def test_schema_evolution_drop_and_rename_chain(spark, lake):
     # add-back after drop gets a NEW field id (no resurrection of old data)
     assert lake.apply_ddl({"action": "add_column", "column": "role", "new_type": "string", "file_seq": 6, "pos": 0})
     assert lake.read().collect()[0]["role"] is None
+
+
+def test_multi_string_key_lww(spark, tmp_path):
+    """Two STRING key columns must bucket and LWW-resolve distinctly
+    (ADVICE r01: key[1:] was cast to long unconditionally -> NULL ->
+    distinct keys collided and rows were silently dropped)."""
+    lake = LakeTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        [("tenant", "string"), ("doc", "string"), ("v", "string")],
+        ["tenant", "doc"],
+        n_buckets=4,
+    )
+    ddl = "tenant string, doc string, v string, op string, _cdc_ts timestamp, _cdc_file_seq long, _cdc_pos long"
+    b = spark.createDataFrame(
+        [
+            ("a", "x", "v1", "I", T(1), 0, 1),
+            ("a", "y", "v1", "I", T(2), 0, 2),
+            ("b", "x", "v1", "I", T(3), 0, 3),
+            ("a", "x", "v2", "U", T(4), 0, 4),
+        ],
+        ddl,
+    )
+    lake.merge_into(b, batch_id=0)
+    got = sorted((r.tenant, r.doc, r.v) for r in lake.read().collect())
+    assert got == [("a", "x", "v2"), ("a", "y", "v1"), ("b", "x", "v1")]
+
+
+def test_key_widen_across_class_refused(spark, tmp_path):
+    lake = LakeTable.create(
+        spark, str(tmp_path / "t3"), SCHEMA, KEY, n_buckets=4
+    )
+    # in-class widening of a key column is fine (int -> bigint)
+    assert lake.apply_ddl(
+        {"action": "widen_type", "column": "turn_idx", "new_type": "bigint", "file_seq": 1, "pos": 0}
+    )
+    # cross-class widening would re-bucket existing data: refused
+    with pytest.raises(ValueError, match="bucket-hash classes"):
+        lake.apply_ddl(
+            {"action": "widen_type", "column": "turn_idx", "new_type": "string", "file_seq": 2, "pos": 0}
+        )
