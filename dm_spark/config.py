@@ -66,6 +66,18 @@ class ExprFilterRule:
 
 
 @dataclass
+class DdlFilterRule:
+    """Binlog-filter rules for DDL events (syncer/filter.go:30-120
+    `skipQueryEvent` / `skipSQLByPattern`): per-table-pattern, drop
+    schema actions by kind and/or by regex over the rendered action
+    text ("replicate DMLs but ignore drops/truncates")."""
+
+    pattern: str  # source 'schema.table' wildcard
+    ignore_kinds: list[str] = field(default_factory=list)  # e.g. ['drop_column']
+    action_regex: str | None = None  # regex on "kind column new_name new_type"
+
+
+@dataclass
 class ColumnMappingRule:
     """Column mapping (syncer/dml.go:331-352). `expr` is Spark SQL over
     `before.*`/`after.*`/`source_table`, written into image field
@@ -87,6 +99,7 @@ class TaskConfig:
     event_filters: list[EventFilterRule] = field(default_factory=list)
     expr_filters: list[ExprFilterRule] = field(default_factory=list)
     column_mappings: list[ColumnMappingRule] = field(default_factory=list)
+    ddl_filters: list[DdlFilterRule] = field(default_factory=list)
     generated_columns: list[str] = field(default_factory=list)  # pruned (dml.go:358)
     # drop gh-ost/pt-osc ghost & trash table DMLs (syncer/filter.go:74-78)
     online_ddl: bool = True
@@ -107,4 +120,14 @@ class TaskConfig:
         c.event_filters = [EventFilterRule(**r) for r in d.get("event_filters", [])]
         c.expr_filters = [ExprFilterRule(**r) for r in d.get("expr_filters", [])]
         c.column_mappings = [ColumnMappingRule(**r) for r in d.get("column_mappings", [])]
+        c.ddl_filters = [DdlFilterRule(**r) for r in d.get("ddl_filters", [])]
         return c
+
+    def route_of(self, source_table: str) -> str:
+        """Driver-side twin of `route_tables` (first matching rule wins,
+        unrouted keeps the source name) — used to route DDL events to
+        their target lake."""
+        for r in self.routes:
+            if re.match(pattern_to_regex(r.pattern), source_table):
+                return r.target
+        return source_table

@@ -25,11 +25,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import re
+
+from dm_spark.config import pattern_to_regex
 from dm_spark.lake import LakeTable
 from dm_spark.operators import ApplyPipeline
 from dm_spark.operators.errors import ErrorOperators
 from dm_spark.schema.online_ddl import OnlineDdlBuffer, classify
-from dm_spark.schema.registry import SchemaRegistry
+from dm_spark.schema.registry import SchemaRegistry, reconcile_actions
 from dm_spark.streaming.ddl_coordinator import PendingSpill, ShardDdlBarrier, split_blocked
 
 
@@ -74,19 +77,58 @@ class DdlEvent:
 @dataclass
 class ReplayRunner:
     pipeline: ApplyPipeline
-    lake: LakeTable
+    lake: LakeTable | None = None
+    # target_table -> LakeTable for multi-target routing (the quarantine
+    # route etc.); single-lake construction keeps working
+    lakes: dict[str, LakeTable] | None = None
     registry: SchemaRegistry = field(default_factory=SchemaRegistry)
     error_ops: ErrorOperators = field(default_factory=ErrorOperators)
     online_ddl: OnlineDdlBuffer = field(default_factory=OnlineDdlBuffer)
     barrier: ShardDdlBarrier | None = None
     spill: PendingSpill | None = None
+    # optimistic shard-DDL mode (pkg/shardddl/optimism/lock.go:43-380,
+    # syncer/optimist.go:31-160): source tables forming the shard group.
+    # A member's DDL updates its registry schema; the runner JOINS all
+    # members' schemas and applies the DERIVED diff to the lake, while
+    # lagging shards keep writing the old shape (merge null-fills).
+    optimistic_group: list[str] | None = None
     applied_ddl: list[dict] = field(default_factory=list)
     # upstream column name -> current downstream name, built from applied
     # renames (the schema-tracker name mapping: upstream images keep the
     # old field name until the source itself evolves)
     rename_map: dict = field(default_factory=dict)
 
+    def __post_init__(self):
+        if self.lakes is None:
+            if self.lake is None:
+                raise ValueError("ReplayRunner needs lake or lakes")
+            self.lakes = {self.pipeline.config.target_table: self.lake}
+        elif self.lake is None:
+            self.lake = self.lakes.get(
+                self.pipeline.config.target_table, next(iter(self.lakes.values()))
+            )
+
+    def _lake_for(self, source_table: str) -> LakeTable:
+        return self.lakes.get(self.pipeline.config.route_of(source_table), self.lake)
+
     # -------------------------------------------------------------- DDL
+    def _ddl_filtered(self, source_table: str, action: dict) -> bool:
+        """Binlog DDL-filter rules (syncer/filter.go:30-120
+        skipQueryEvent/skipSQLByPattern): drop schema actions by kind or
+        by regex over the rendered action text, per table pattern."""
+        rendered = " ".join(
+            str(action.get(k)) for k in ("action", "column", "new_name", "new_type")
+            if action.get(k)
+        )
+        for r in self.pipeline.config.ddl_filters:
+            if not re.match(pattern_to_regex(r.pattern), source_table):
+                continue
+            if action["action"] in r.ignore_kinds:
+                return True
+            if r.action_regex and re.search(r.action_regex, rendered):
+                return True
+        return False
+
     def handle_ddl(self, ev: DdlEvent) -> list[dict]:
         """Operator chain for one DDL; returns the actions actually
         applied to the lake (possibly empty)."""
@@ -103,20 +145,59 @@ class ReplayRunner:
 
         kind, _real = classify(ev.source_table)
         action = ev.to_action()
+        if self._ddl_filtered(ev.source_table, action):
+            return []  # location still advances via the applied-DDL gate being untouched
         if kind in ("ghost", "trash"):
             self.online_ddl.on_ddl(ev.source_table, action)
             return []
+        if (
+            self.optimistic_group
+            and ev.source_table in self.optimistic_group
+            and ev.action in ("add_column", "widen_type", "drop_column")
+        ):
+            applied = []
+            for act in self.error_ops.resolve(action):
+                applied += self._optimistic_sync(ev.source_table, act)
+            return applied
         return self._apply_resolved(ev.source_table, action)
+
+    def _optimistic_sync(self, source_table: str, act: dict) -> list[dict]:
+        """Optimistic TrySync: update this shard's tracked schema, join
+        the group's schemas (maximal compatible superset,
+        pkg/shardddl/optimism/lock.go:115), diff against the lake
+        catalog, and apply only the DERIVED actions. A straggler shard
+        announcing the same DDL later joins to the same schema and
+        derives nothing — lock-free convergence; its old-shape DMLs
+        null-fill through the merge's schema tolerance."""
+        lake = self._lake_for(source_table)
+        cur = [(f["name"], f["type"]) for f in lake.schema_fields()]
+        for t in self.optimistic_group:
+            self.registry.seed(t, cur)
+        self.registry.apply(source_table, act)
+        joined = self.registry.joined(self.optimistic_group)
+        applied = []
+        for i, d in enumerate(reconcile_actions(cur, joined)):
+            d = {
+                **d,
+                "file_seq": act.get("file_seq", 0),
+                "pos": act.get("pos", 0),
+                "suffix": act.get("suffix", 0) + i,
+            }
+            if lake.apply_ddl(d):
+                applied.append(d)
+                self.applied_ddl.append(d)
+        return applied
 
     def _apply_resolved(self, source_table: str, action: dict) -> list[dict]:
         applied = []
+        lake = self._lake_for(source_table)
         for act in self.error_ops.resolve(action):
             ready = True
             if self.barrier is not None:
                 ready = self.barrier.announce(source_table, act)
             if not ready:
                 continue  # group not in sync yet; DMLs of announced tables spill
-            if self.lake.apply_ddl(act):
+            if lake.apply_ddl(act):
                 applied.append(act)
                 self.applied_ddl.append(act)
                 if act["action"] == "rename_column":
@@ -138,18 +219,29 @@ class ReplayRunner:
     def apply_dml_batch(self, envelope: DataFrame, batch_id: int | None = None) -> None:
         """Transform + merge one envelope batch, honoring the barrier:
         blocked tables' rows spill; spilled rows re-merge once no
-        barrier blocks them."""
+        barrier blocks them. Rows route to every configured target lake;
+        rows routed elsewhere are dropped."""
         blocked = self.barrier.blocked_sources() if self.barrier else set()
         env = envelope
         if blocked and self.spill is not None:
             # spill the *envelope* rows (pre-flatten keeps full fidelity)
             env, defer_env = split_blocked(envelope, blocked)
             self.spill.spill(defer_env)
-        flat = self._to_target_shape(self.pipeline.transform(env))
-        self.lake.merge_into(flat, batch_id=batch_id)
+        self._merge_targets(self.pipeline.transform(env), batch_id)
 
-    def _to_target_shape(self, flat: DataFrame) -> DataFrame:
-        target = self.pipeline.config.target_table
+    def _merge_targets(self, flat: DataFrame, batch_id: int | None = None) -> None:
+        many = len(self.lakes) > 1
+        if many:
+            flat = flat.persist()
+        try:
+            for target, lake in self.lakes.items():
+                lake.merge_into(self._to_target_shape(flat, target), batch_id=batch_id)
+        finally:
+            if many:
+                flat.unpersist()
+
+    def _to_target_shape(self, flat: DataFrame, target: str | None = None) -> DataFrame:
+        target = target or self.pipeline.config.target_table
         flat = flat.where(F.col("target_table") == target).drop("target_table")
         for old, new in self.rename_map.items():
             if old in flat.columns and new not in flat.columns:
@@ -168,8 +260,7 @@ class ReplayRunner:
         ok_env, still = split_blocked(pend, blocked)
         n = ok_env.count()
         if n:
-            flat = self._to_target_shape(self.pipeline.transform(ok_env))
-            self.lake.merge_into(flat)
+            self._merge_targets(self.pipeline.transform(ok_env))
         # re-spill still-blocked rows into a NEW dir while the old files
         # are intact (lazy plans read them), then drop the old dirs
         if self.barrier and still.count() > 0:

@@ -325,6 +325,84 @@ def q_ddl_evolution(spark, sf_dir):
     )
 
 
+def q_optimistic_ddl(spark, sf_dir):
+    """Optimistic shard-DDL end-to-end: shard_0 announces add_column
+    mid-feed; the runner joins all shards' tracked schemas and applies
+    the DERIVED table-global ALTER (pkg/shardddl/optimism/lock.go:115
+    TrySync, syncer/optimist.go:31-160) with no barrier. Shards 1-3 keep
+    writing the old shape — merge tolerance null-fills — and shard_0's
+    post-DDL rows carry rating = pos % 5."""
+    from dm_spark.plans import DdlEvent, ReplayRunner
+
+    feed = change_feed(spark, sf_dir)
+    mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
+    mid = (mm[0] + mm[1]) // 2
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    pipe = ApplyPipeline(cfg)
+    lake = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="dm_opt_"), SCHEMA, KEY, n_buckets=16
+    )
+    runner = ReplayRunner(
+        pipeline=pipe,
+        lake=lake,
+        optimistic_group=[
+            f"shard_{i}.transcripts_{j}" for i in range(4) for j in range(2)
+        ],
+    )
+    a = pipe.transform(feed.where(F.col("txn_id") <= mid)).drop("target_table")
+    lake.merge_into(a, batch_id=0)
+    runner.handle_ddl(
+        DdlEvent(
+            "add_column", "shard_0.transcripts_0", 10**6, 0,
+            column="rating", new_type="int",
+        )
+    )
+    post = feed.where(F.col("txn_id") > mid)
+    # shard_0 adopted the new column; the other shards lag (old shape).
+    # Keys are shard-local (conv_id derives from user_id derives shard),
+    # so splitting the merge by shard cannot reorder any key's events.
+    b0 = pipe.transform(post.where(F.col("source_table").like("shard_0.%"))).drop("target_table")
+    lake.merge_into(b0.withColumn("rating", (F.col("_cdc_pos") % 5).cast("int")), batch_id=1)
+    b1 = pipe.transform(post.where(~F.col("source_table").like("shard_0.%"))).drop("target_table")
+    lake.merge_into(b1, batch_id=2)
+    return lake.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "rating",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+def q_ddl_filtered(spark, sf_dir):
+    """DDL-class binlog filter during replay (syncer/filter.go:30-120):
+    the drop_column(role) is ignored by rule, so `role` survives; the
+    add_column(rating) passes (null-filled — sources never emitted it)."""
+    from dm_spark.config import DdlFilterRule
+    from dm_spark.plans import DdlEvent, ReplayRunner
+
+    cfg = TaskConfig(
+        routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")],
+        ddl_filters=[
+            DdlFilterRule(pattern="shard_*.transcripts_*", ignore_kinds=["drop_column"])
+        ],
+    )
+    pipe = ApplyPipeline(cfg)
+    lake = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="dm_df_"), SCHEMA, KEY, n_buckets=16
+    )
+    runner = ReplayRunner(pipeline=pipe, lake=lake)
+    ddls = [
+        DdlEvent("drop_column", "shard_1.transcripts_0", 10**6, 0, column="role"),
+        DdlEvent(
+            "add_column", "shard_1.transcripts_0", 10**6, 1,
+            column="rating", new_type="int",
+        ),
+    ]
+    runner.replay(change_feed(spark, sf_dir), ddls)
+    return lake.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "rating",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
 QUERIES = {
     "cdc_feed_decode": q_feed_decode,
     "cdc_wire_decode": q_wire_decode,
@@ -344,6 +422,8 @@ QUERIES = {
     "cdc_lineage_counts": q_lineage_counts,
     "cdc_checkpoint_locations": q_checkpoint_locations,
     "cdc_ddl_evolution": q_ddl_evolution,
+    "cdc_optimistic_ddl": q_optimistic_ddl,
+    "cdc_ddl_filtered": q_ddl_filtered,
 }
 
 
@@ -423,6 +503,40 @@ ORACLES = {
         "SELECT source_table, file_seq, pos, row_number() OVER ("
         "PARTITION BY source_table ORDER BY file_seq DESC, pos DESC) AS rn FROM feed) "
         "SELECT source_table, file_seq, pos FROM r WHERE rn = 1"
+    ),
+    "cdc_optimistic_ddl": _with_feed(
+        "mid AS (SELECT (min(txn_id) + max(txn_id)) // 2 AS m FROM feed),"
+        + """
+        split AS (
+          SELECT op, conv_id, turn_idx, role, text, tool, ts, file_seq, pos,
+                 txn_id, source_table FROM feed
+          UNION ALL
+          SELECT 'D' AS op, conv_id, before_turn_idx AS turn_idx, role, text,
+                 tool, ts, file_seq, pos, txn_id, source_table
+          FROM feed WHERE key_moved),
+        feed2 AS (
+          SELECT conv_id, turn_idx, role, text, tool,
+                 CASE WHEN txn_id > (SELECT m FROM mid)
+                      AND source_table LIKE 'shard_0.%'
+                      THEN CAST(pos % 5 AS INTEGER) END AS rating,
+                 ts, file_seq, pos, op
+          FROM split),
+        latest AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn FROM feed2)
+        SELECT conv_id, turn_idx, role, text, tool, rating,
+               epoch_us(ts) AS ts_us
+        FROM latest WHERE rn = 1 AND op <> 'D'"""
+    ),
+    "cdc_ddl_filtered": _with_feed(
+        _SPLIT
+        + """,
+        latest AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn FROM split)
+        SELECT conv_id, turn_idx, role, text, tool,
+               CAST(NULL AS INTEGER) AS rating, epoch_us(ts) AS ts_us
+        FROM latest WHERE rn = 1 AND op <> 'D'"""
     ),
     "cdc_ddl_evolution": _with_feed(
         "mid AS (SELECT (min(txn_id) + max(txn_id)) // 2 AS m FROM feed),"

@@ -186,3 +186,110 @@ def test_suffix_after_online_ddl_swap(spark, runner):
     runner.replay(feed, ddls)
     cols = runner.lake.read().columns
     assert {"rating", "later"} <= set(cols)
+
+
+def test_optimistic_shard_ddl_mode(spark, tmp_path):
+    """Optimistic mode (pkg/shardddl/optimism/lock.go:43-380): shard_0
+    announces add_column; the runner joins the group's schemas and
+    ALTERs the lake immediately — no barrier, stream stays live, and
+    shard_1 (still writing the old shape) keeps merging. shard_1's later
+    identical DDL derives nothing."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_o"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(
+        pipeline=ApplyPipeline(cfg),
+        lake=lake,
+        optimistic_group=["shard_0.t", "shard_1.t"],
+    )
+    feed = ev(
+        spark,
+        [
+            ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+            ("I", "b", 1, "v1", "shard_1.t", 0, 2),
+            # after shard_0's DDL, BOTH shards keep writing (shard_1 lags)
+            ("U", "a", 1, "v2", "shard_0.t", 0, 5),
+            ("I", "b", 2, "lagging-shape", "shard_1.t", 0, 6),
+        ],
+    )
+    ddls = [DdlEvent("add_column", "shard_0.t", 0, 3, column="rating", new_type="int")]
+    runner.replay(feed, ddls)
+    assert "rating" in lake.read().columns
+    assert rows(lake) == [("a", 1, "v2"), ("b", 1, "v1"), ("b", 2, "lagging-shape")]
+    # derived ALTER applied exactly once, at the announcing DDL's location
+    assert [(d["action"], d["file_seq"], d["pos"]) for d in lake.applied_ddl_log()] == [
+        ("add_column", 0, 3)
+    ]
+    # the straggler announcing the same DDL later derives nothing
+    got = runner.handle_ddl(
+        DdlEvent("add_column", "shard_1.t", 0, 9, column="rating", new_type="int")
+    )
+    assert got == [] and len(lake.applied_ddl_log()) == 1
+
+
+def test_optimistic_widen_joins_to_widest(spark, tmp_path):
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_w"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(
+        pipeline=ApplyPipeline(cfg), lake=lake,
+        optimistic_group=["shard_0.t", "shard_1.t"],
+    )
+    runner.handle_ddl(
+        DdlEvent("widen_type", "shard_0.t", 0, 3, column="turn_idx", new_type="bigint")
+    )
+    types = {f["name"]: f["type"] for f in lake.schema_fields()}
+    assert types["turn_idx"] == "bigint"
+
+
+def test_ddl_filter_rules(spark, tmp_path):
+    """Binlog DDL filters (syncer/filter.go:30-120): drop_column ignored
+    by kind; rename blocked by action regex; add passes through."""
+    from dm_spark.config import DdlFilterRule
+
+    cfg = TaskConfig(
+        routes=[RouteRule(pattern="shard_*.t", target="transcripts")],
+        ddl_filters=[
+            DdlFilterRule(pattern="shard_*.t", ignore_kinds=["drop_column"]),
+            DdlFilterRule(pattern="shard_0.*", action_regex="^rename_column tool"),
+        ],
+    )
+    lake = LakeTable.create(spark, str(tmp_path / "lake_f"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    assert runner.handle_ddl(DdlEvent("drop_column", "shard_0.t", 0, 1, column="role")) == []
+    assert runner.handle_ddl(
+        DdlEvent("rename_column", "shard_0.t", 0, 2, column="tool", new_name="tool_name")
+    ) == []
+    applied = runner.handle_ddl(
+        DdlEvent("add_column", "shard_0.t", 0, 3, column="rating", new_type="int")
+    )
+    assert len(applied) == 1
+    cols = {f["name"] for f in lake.schema_fields()}
+    assert "role" in cols and "tool" in cols and "rating" in cols
+
+
+def test_multi_target_runner_routes_quarantine(spark, tmp_path):
+    """Rows routed to a second target must land there through the
+    DDL-mode runner (VERDICT r01 missing #6: _to_target_shape silently
+    dropped them)."""
+    cfg = TaskConfig(
+        routes=[
+            RouteRule(pattern="shard_9.*", target="quarantine"),
+            RouteRule(pattern="shard_*.t", target="transcripts"),
+        ]
+    )
+    main = LakeTable.create(spark, str(tmp_path / "lake_m"), SCHEMA, KEY, n_buckets=4)
+    quar = LakeTable.create(spark, str(tmp_path / "lake_q"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(
+        pipeline=ApplyPipeline(cfg), lakes={"transcripts": main, "quarantine": quar}
+    )
+    feed = ev(
+        spark,
+        [
+            ("I", "a", 1, "good", "shard_0.t", 0, 1),
+            ("I", "z", 1, "sus", "shard_9.t", 0, 2),
+        ],
+    )
+    runner.replay(feed, [DdlEvent("add_column", "shard_0.t", 0, 3, column="rating", new_type="int")])
+    assert rows(main) == [("a", 1, "good")]
+    assert rows(quar) == [("z", 1, "sus")]
+    # the DDL routed to the transcripts lake only
+    assert "rating" in main.read().columns and "rating" not in quar.read().columns
