@@ -17,7 +17,9 @@ Streaming query:
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,11 +95,25 @@ class CdcStreamDriver:
                         "skipped": stats.skipped,
                         "n_incoming": stats.n_incoming,
                         "rows_written": stats.rows_written,
+                        "lag_sec": self._lag_sec(lake),
                     }
                 )
             flat.unpersist()
         finally:
             batch_df.unpersist()
+
+    @staticmethod
+    def _lag_sec(lake: LakeTable) -> float | None:
+        """secondsBehindMaster analog (syncer/syncer.go:802-845):
+        wall-clock now minus the max applied event timestamp, read from
+        the lake's committed checkpoint (a local manifest read)."""
+        cp = lake.global_checkpoint()
+        ts = cp.get("max_applied_ts") if cp else None
+        if not ts:
+            return None
+        applied = _dt.datetime.fromisoformat(ts)
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        return round((now - applied).total_seconds(), 3)
 
     def run_available_now(self, timeout_sec: int = 600) -> list[dict]:
         """Drain everything currently in the relay dir, then stop
@@ -112,4 +128,40 @@ class CdcStreamDriver:
         q.awaitTermination(timeout_sec)
         if q.isActive:
             q.stop()
+        return self.batch_stats
+
+    def run_continuous(
+        self,
+        trigger_sec: float = 1.0,
+        timeout_sec: int = 600,
+        stop_when=None,
+        poll_sec: float = 0.25,
+    ) -> list[dict]:
+        """Live-tail mode: the forever-tailing syncer loop
+        (syncer/syncer.go:1280 `Run`) as a processing-time-triggered
+        stream over the relay dir — new relay files are picked up as
+        they appear, each micro-batch commits checkpoint + lineage
+        atomically. Idle periods need no extra flush: the checkpoint is
+        bound to data batches, so there is nothing unflushed when no
+        events arrive (the reference needs a heartbeat-driven flush,
+        syncer/syncer.go:1849-1857, only because its checkpoint lags its
+        appliers). `stop_when(driver) -> bool` is polled driver-side for
+        tests/ops; production omits it and tails until killed, resuming
+        from checkpoint."""
+        stream = read_feed_stream(self.spark, self.feed_dir, self.max_files_per_trigger)
+        q = (
+            stream.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=f"{max(trigger_sec, 0.1)} seconds")
+            .start()
+        )
+        t0 = time.time()
+        try:
+            while q.isActive and time.time() - t0 < timeout_sec:
+                if stop_when is not None and stop_when(self):
+                    break
+                time.sleep(poll_sec)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
         return self.batch_stats

@@ -1,0 +1,90 @@
+"""Continuous live-tail mode: a processing-time-triggered stream tails
+the relay dir while a writer thread feeds relay files in — the
+production shape of the reference syncer (forever-tailing loop,
+syncer/syncer.go:1280), with a mid-stream stop + resume-from-checkpoint
+(FlushCheckpointStage kill ladder analog)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import threading
+import time
+
+from dm_spark import feed as feedmod
+from dm_spark.config import RouteRule, TaskConfig
+from dm_spark.lake import LakeTable
+from dm_spark.operators import ApplyPipeline
+from dm_spark.sources.relay import write_feed_chunks
+from dm_spark.streaming import CdcStreamDriver
+
+from tests.test_pipeline_e2e import KEY, SCHEMA, assert_tables_equal, duck_replay, spark_final
+
+
+def _stage_chunks(spark, sf_dir, stage_dir):
+    feed = feedmod.change_feed(spark, sf_dir)
+    return write_feed_chunks(feed, stage_dir, n_chunks=8)
+
+
+def _feeder(staged, feed_dir, delay=0.4):
+    """Move staged relay files into the live dir one at a time, with
+    increasing mtimes (the upstream master writing binlog files)."""
+    os.makedirs(feed_dir, exist_ok=True)
+    for p in staged:
+        dst = os.path.join(feed_dir, os.path.basename(p))
+        shutil.copy(p, dst + ".tmp")
+        os.rename(dst + ".tmp", dst)
+        now = time.time()
+        os.utime(dst, (now, now))
+        time.sleep(delay)
+
+
+def test_live_tail_with_concurrent_writer_and_resume(spark, sf_dir, tmp_path):
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=8)
+    stage = str(tmp_path / "stage")
+    feed_dir = str(tmp_path / "feed")
+    staged = _stage_chunks(spark, sf_dir, stage)
+    assert len(staged) == 8
+    half, rest = staged[:4], staged[4:]
+
+    def applied_files(drv):
+        # all currently-delivered relay files drained and committed?
+        n_delivered = len(glob.glob(os.path.join(feed_dir, "relay-*.parquet")))
+        n_done = len({s["batch_id"] for s in drv.batch_stats if not s["skipped"]})
+        return n_delivered == len(half) and n_done >= 2
+
+    drv = CdcStreamDriver(
+        spark, feed_dir, str(tmp_path / "cp"), ApplyPipeline(cfg),
+        {"transcripts": lake}, max_files_per_trigger=2,
+    )
+    t = threading.Thread(target=_feeder, args=(half, feed_dir))
+    t.start()
+    stats1 = drv.run_continuous(trigger_sec=0.5, timeout_sec=120, stop_when=applied_files)
+    t.join()
+    assert any(not s["skipped"] for s in stats1)
+    assert any(s.get("lag_sec") is not None for s in stats1)
+
+    # phase 2: "restart" — a new driver on the same checkpoint picks up
+    # exactly where the stream stopped while the writer keeps feeding
+    drv2 = CdcStreamDriver(
+        spark, feed_dir, str(tmp_path / "cp"), ApplyPipeline(cfg),
+        {"transcripts": lake}, max_files_per_trigger=2,
+    )
+
+    def all_applied(d):
+        cp = lake.global_checkpoint()
+        return bool(cp) and (cp.get("file_seq"), cp.get("pos")) >= final_loc
+
+    feed = feedmod.change_feed(spark, sf_dir)
+    mx = feed.selectExpr("max(struct(file_seq, pos)) AS m").collect()[0][0]
+    final_loc = (mx["file_seq"], mx["pos"])
+    t2 = threading.Thread(target=_feeder, args=(rest, feed_dir))
+    t2.start()
+    drv2.run_continuous(trigger_sec=0.5, timeout_sec=180, stop_when=all_applied)
+    t2.join()
+
+    assert_tables_equal(spark_final(lake), duck_replay(sf_dir))
+    seen = [s["batch_id"] for s in drv.batch_stats + drv2.batch_stats if not s["skipped"]]
+    assert len(seen) == len(set(seen))  # each batch applied exactly once
