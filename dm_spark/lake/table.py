@@ -99,16 +99,13 @@ class _Meta:
     lineage: list[dict] = field(default_factory=list)
     totals: dict = field(default_factory=dict)
     checkpoint: dict = field(default_factory=dict)  # {file_seq, pos} global point
+    # chunk id (str) -> relative path of the bucket-chunk file holding
+    # that range's file lists (manifest-of-manifests: the per-commit
+    # manifest stays O(1); only chunks with touched buckets rewrite)
+    bucket_chunks: dict = field(default_factory=dict)
 
     def fields(self) -> list[dict]:
         return self.schema_history[str(self.schema_version)]
-
-    def to_json(self) -> str:
-        return json.dumps(self.__dict__, indent=1)
-
-    @staticmethod
-    def from_json(s: str) -> "_Meta":
-        return _Meta(**json.loads(s))
 
 
 _NORM_LONG = {"boolean", "tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"}
@@ -160,17 +157,53 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, "HEAD")) as f:
             return int(f.read().strip())
 
+    # bucket lists are sharded over this many chunk files; a commit only
+    # rewrites chunks whose buckets changed — commit cost is O(touched
+    # buckets + n_buckets/CHUNKS), flat in table history and in total
+    # file count (Iceberg's manifest-list shape)
+    META_CHUNKS = 32
+
+    def _n_chunks(self, n_buckets: int) -> tuple[int, int]:
+        per = max(1, (n_buckets + self.META_CHUNKS - 1) // self.META_CHUNKS)
+        return (n_buckets + per - 1) // per, per
+
     def _load_meta(self, version: int | None = None) -> _Meta:
         v = self._head_version() if version is None else version
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
-            return _Meta.from_json(f.read())
+            d = json.loads(f.read())
+        d.setdefault("buckets", {})
+        meta = _Meta(**d)
+        for rel in meta.bucket_chunks.values():
+            with open(os.path.join(self.meta_dir, rel)) as f:
+                meta.buckets.update(json.load(f))
+        return meta
 
-    def _commit(self, meta: _Meta) -> None:
-        """Atomic: manifest file first, then HEAD pointer rename-swap."""
-        os.makedirs(self.meta_dir, exist_ok=True)
+    def _commit(self, meta: _Meta, dirty: set[int] | None = None) -> None:
+        """Atomic: dirty bucket-chunk files, then the manifest, then the
+        HEAD pointer rename-swap. `dirty` = bucket ids whose file lists
+        changed (None = all, e.g. create/overwrite); untouched chunks
+        keep their existing chunk-file paths, so the per-commit write is
+        independent of the table's total file count."""
+        os.makedirs(os.path.join(self.meta_dir, "chunks"), exist_ok=True)
+        n_chunks, per = self._n_chunks(meta.n_buckets)
+        if dirty is None:
+            dirty_chunks = set(range(n_chunks))
+        else:
+            dirty_chunks = {b // per for b in dirty}
+        dirty_chunks |= {c for c in range(n_chunks) if str(c) not in meta.bucket_chunks}
+        for c in sorted(dirty_chunks):
+            data = {
+                str(b): meta.buckets.get(str(b), [])
+                for b in range(c * per, min((c + 1) * per, meta.n_buckets))
+            }
+            rel = os.path.join("chunks", f"v{meta.version}-c{c}-{uuid.uuid4().hex[:8]}.json")
+            with open(os.path.join(self.meta_dir, rel), "w") as f:
+                json.dump(data, f)
+            meta.bucket_chunks[str(c)] = rel
+        payload = {k: v for k, v in meta.__dict__.items() if k != "buckets"}
         mp = os.path.join(self.meta_dir, f"v{meta.version}.json")
         with open(mp, "w") as f:
-            f.write(meta.to_json())
+            json.dump(payload, f, indent=1)
         tmp = os.path.join(self.meta_dir, f".HEAD.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(meta.version))
@@ -425,7 +458,8 @@ class LakeTable:
         )
         for b, files in new_lists.items():
             meta.buckets[str(b)] = meta.buckets[str(b)] + files
-        self._finish_commit(meta, batch_id, stats, m["loc"], m["mts"], mode="mor")
+        self._finish_commit(meta, batch_id, stats, m["loc"], m["mts"], mode="mor",
+                            dirty={int(b) for b in new_lists})
         return stats
 
     def compact(self, buckets: list[int] | None = None, min_files: int = 2) -> int:
@@ -460,10 +494,10 @@ class LakeTable:
         meta.version += 1
         meta.lineage.append({"version": meta.version, "compacted_buckets": len(targets)})
         meta.lineage = meta.lineage[-200:]
-        self._commit(meta)
+        self._commit(meta, dirty=set(targets))
         return len(targets)
 
-    def _finish_commit(self, meta, batch_id, stats, loc, max_ts, mode) -> None:
+    def _finish_commit(self, meta, batch_id, stats, loc, max_ts, mode, dirty=None) -> None:
         meta.version += 1
         if batch_id is not None:
             meta.last_batch_id = batch_id
@@ -492,7 +526,7 @@ class LakeTable:
             }
         )
         meta.lineage = meta.lineage[-200:]
-        self._commit(meta)
+        self._commit(meta, dirty=dirty)
 
     def _merge_persisted(self, changes, meta, batch_id, bexpr, prune) -> MergeStats:
         key = meta.key
@@ -526,7 +560,7 @@ class LakeTable:
                 if batch_id is not None:
                     meta.last_batch_id = batch_id
                 meta.totals["batches"] += 1
-                self._commit(meta)
+                self._commit(meta, dirty=set())
                 return stats
         else:
             # bulk path: all buckets in play; stats ride the write job
@@ -637,7 +671,7 @@ class LakeTable:
             }
         )
         meta.lineage = meta.lineage[-200:]
-        self._commit(meta)
+        self._commit(meta, dirty=set(touched))
         return stats
 
     # --------------------------------------------------------- overwrite
@@ -732,15 +766,26 @@ class LakeTable:
             }
         )
         meta.version += 1
-        self._commit(meta)
+        self._commit(meta, dirty=set())
         return True
 
     # ------------------------------------------------------------ maint
     def vacuum(self) -> int:
-        """Delete data files not referenced by the HEAD manifest."""
+        """Delete data files and bucket-chunk manifests not referenced
+        by the HEAD manifest."""
         meta = self._load_meta()
         live = {e["path"] for lst in meta.buckets.values() for e in lst}
         removed = 0
+        chunk_dir = os.path.join(self.meta_dir, "chunks")
+        if os.path.isdir(chunk_dir):
+            live_chunks = {
+                os.path.join(self.meta_dir, rel) for rel in meta.bucket_chunks.values()
+            }
+            for fn in os.listdir(chunk_dir):
+                p = os.path.join(chunk_dir, fn)
+                if p not in live_chunks:
+                    os.remove(p)
+                    removed += 1
         if not os.path.isdir(self.data_dir):
             return 0
         for commit in os.listdir(self.data_dir):

@@ -236,3 +236,33 @@ def test_key_widen_across_class_refused(spark, tmp_path):
         lake.apply_ddl(
             {"action": "widen_type", "column": "turn_idx", "new_type": "string", "file_seq": 2, "pos": 0}
         )
+
+
+def test_manifest_chunking_commit_is_o_touched(spark, tmp_path):
+    """A trickle merge touching one bucket must rewrite only that
+    bucket's chunk file; the per-version manifest stays O(1) in total
+    file count (VERDICT r01 design-for-scale: manifest chunking)."""
+    import json
+    import os
+
+    lake = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEY, n_buckets=64)
+    b1 = spark.createDataFrame(
+        [ch(f"c{i}", 1, "I", "v1", 0, i, i) for i in range(40)], CHANGE_DDL
+    )
+    lake.merge_into(b1, batch_id=0)
+    before = dict(lake._load_meta().bucket_chunks)
+    # one-key trickle batch: exactly one bucket touched
+    b2 = spark.createDataFrame([ch("c0", 1, "U", "v2", 1, 1, 99)], CHANGE_DDL)
+    s = lake.merge_into(b2, batch_id=1, prune=True)
+    assert s.n_buckets_touched == 1
+    after = dict(lake._load_meta().bucket_chunks)
+    changed = [c for c in after if after[c] != before.get(c)]
+    assert len(changed) == 1, f"trickle rewrote {len(changed)} chunks"
+    # manifest itself carries no per-file entries
+    head = lake._head_version()
+    manifest = json.load(open(os.path.join(lake.meta_dir, f"v{head}.json")))
+    assert "buckets" not in manifest
+    # vacuum prunes chunk files of dead versions but keeps live ones
+    lake.vacuum()
+    got = sorted((r.conv_id, r.text) for r in lake.read().where("conv_id = 'c0'").collect())
+    assert got == [("c0", "v2")]
