@@ -37,21 +37,50 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SCALING_EVENTS = int(os.environ.get("DM_BENCH_SCALING_EVENTS", "8000000"))
 PEAK_EVENTS = int(os.environ.get("DM_BENCH_PEAK_EVENTS", "8000000"))
 
+# No O(n^2) member: the exact cosine baseline (emb_cosine_topk) is a
+# small-sf correctness slot only; the headline features the ANN scale
+# paths plus a recall measurement against the exact baseline at sf0.01.
 HEADLINE = [
     "cdc_replay_merge",
     "cdc_replay_filtered",
     "cdc_shard_merge_mapped",
+    "cdc_key_change_replay",
     "cdc_dedup_lww",
     "cdc_ddl_evolution",
     "cdc_wire_decode",
     "events_sessionize",
     "doc_minhash_lsh",
     "doc_ngram_jaccard",
-    "emb_cosine_topk",
+    "emb_ann_lsh",
+    "emb_ann_ivf",
 ]
 
+RECALL_SF_DIR = os.environ.get("DM_BENCH_RECALL_SF_DIR", "/root/testdata/sf0.01")
 
-def run_headline() -> tuple[dict, float]:
+
+def _ann_recall(spark) -> dict:
+    """recall@3 of the ANN scale paths vs the exact baseline, at a small
+    sf where brute force is the oracle, not the plan."""
+    from dm_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    embs = spark.read.parquet(f"{RECALL_SF_DIR}/embeddings.parquet")
+    pairs = lambda df: {  # noqa: E731
+        (r.vec_id, r.neighbor_id) for r in df.select("vec_id", "neighbor_id").collect()
+    }
+    exact = pairs(cosine_topk_bruteforce(embs, k=3))
+    lsh = pairs(cosine_topk_lsh(embs, k=3, n_planes=4))
+    ivf = pairs(cosine_topk_ivf(embs, k=3, n_lists=8, n_probe=2))
+    return {
+        "ann_recall_lsh": round(len(exact & lsh) / max(1, len(exact)), 3),
+        "ann_recall_ivf": round(len(exact & ivf) / max(1, len(exact)), 3),
+    }
+
+
+def run_headline() -> tuple[dict, float, dict]:
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
@@ -62,8 +91,9 @@ def run_headline() -> tuple[dict, float]:
         df = qs[name](spark, SF_DIR)
         _ = df.count()
         times[name] = round(time.time() - t0, 3)
+    recall = _ann_recall(spark)
     spark.stop()
-    return times, round(sum(times.values()), 3)
+    return times, round(sum(times.values()), 3), recall
 
 
 def _kernel(kind: str, master: str, events: int, parts: int, batches: int) -> dict:
@@ -80,13 +110,14 @@ def _kernel(kind: str, master: str, events: int, parts: int, batches: int) -> di
 
 
 def main() -> None:
-    queries, total = run_headline()
+    queries, total, recall = run_headline()
     result = {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        **recall,
     }
     if os.environ.get("DM_BENCH_SKIP_SCALING") != "1":
         peak = _kernel("apply", "local[32]", PEAK_EVENTS, 32, 4)

@@ -162,7 +162,11 @@ def q_doc_langid(spark, sf_dir):
 
 
 def q_doc_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
+    """max_df guard ON by default: a stop-shingle shared by >100 docs is
+    dropped before the self-join, bounding the join's per-key fan-out —
+    at 100 TB an unguarded hot shingle makes the join quadratic on that
+    key. The oracle applies the identical rule."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3, max_df=100)
 
 
 def q_doc_minhash_lsh(spark, sf_dir):  # rows-only (numpy hash law)
@@ -205,13 +209,28 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 
 def q_emb_ann_ivf(spark, sf_dir):  # rows-only (recall < 1 by design)
-    return cosine_topk_ivf(_embs(spark, sf_dir), k=3, n_lists=8, n_probe=2).select(
+    """IVF list count scales with the corpus (~64 vectors per list) so
+    candidates per query stay bounded as data grows — the property that
+    makes this the 100-TB path; probe count rises with list count to
+    hold recall."""
+    embs = _embs(spark, sf_dir)
+    n = embs.count()
+    n_lists = max(8, n // 64)
+    n_probe = 2 if n_lists <= 16 else 3
+    return cosine_topk_ivf(embs, k=3, n_lists=n_lists, n_probe=n_probe).select(
         "vec_id", "rank", "neighbor_id"
     )
 
 
 def q_emb_ann_lsh(spark, sf_dir):  # rows-only (recall < 1 by design)
-    return cosine_topk_lsh(_embs(spark, sf_dir), k=3, n_planes=4).select(
+    """Plane count scales log2 with the corpus (~32 vectors per bucket):
+    candidate volume per query is flat in data size."""
+    import math
+
+    embs = _embs(spark, sf_dir)
+    n = embs.count()
+    planes = max(4, int(math.log2(max(n, 64) / 32)))
+    return cosine_topk_lsh(embs, k=3, n_planes=planes).select(
         "vec_id", "rank", "neighbor_id"
     )
 
@@ -328,9 +347,11 @@ ORACLES = {
     """,
     "doc_ngram_jaccard": f"""
       WITH {_SHINGLES},
-      ex AS (
+      ex0 AS (
         SELECT doc_id AS id, len(shingles) AS sz, unnest(shingles) AS s
         FROM docs_sh),
+      hot AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 100),
+      ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
       pairs AS (
         SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter,
                any_value(a.sz) AS size_a, any_value(b.sz) AS size_b

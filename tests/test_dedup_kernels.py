@@ -110,6 +110,24 @@ def test_simhash_recall_at_hamming_bound(spark, sf_dir):
     assert banded == exact  # recall AND precision 1.0 (verify step)
 
 
+def test_ngram_jaccard_max_df_bounds_hot_shingle(spark):
+    """Skew fixture: 40 docs share one stop-shingle ('terms of service')
+    but are otherwise disjoint. Unguarded, the self-join fans out to
+    C(40,2)=780 candidate pairs on that single key; with max_df the hot
+    shingle is dropped and no candidates form — the guard that keeps the
+    join linear at 100 TB."""
+    from dm_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"terms of service unique{i} body{i} tail{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    unguarded = ngram_jaccard_pairs(docs, threshold=0.01, k=3, max_df=None)
+    assert unguarded.count() == 780  # quadratic blowup on the hot key
+    guarded = ngram_jaccard_pairs(docs, threshold=0.01, k=3, max_df=10)
+    assert guarded.count() == 0
+
+
 def test_simhash_empty_and_identical(spark):
     out = {r.id: r.simhash for r in simhash64(_docs_df(spark)).collect()}
     assert out[4] == 0 and out[5] == 0
