@@ -497,6 +497,45 @@ class LakeTable:
         self._commit(meta, dirty=set(targets))
         return len(targets)
 
+    def rescale(self, n_buckets: int) -> int:
+        """Re-bucket the table to a new bucket count — the grow/split
+        story for a long-lived table whose buckets outgrew their target
+        size (Iceberg: replacing the bucket[N] partition spec; here a
+        full LWW-resolved rewrite under the new count, one atomic
+        commit). Readers and in-flight merges against the old HEAD stay
+        valid; the next merge picks up the new count from the manifest.
+        """
+        meta = self._load_meta()
+        if n_buckets == meta.n_buckets:
+            return meta.version
+        payload = [f["name"] for f in meta.fields()]
+        entries = [e for lst in meta.buckets.values() for e in lst]
+        old_count = meta.n_buckets
+        meta.n_buckets = n_buckets
+        meta.bucket_chunks = {}  # chunk geometry changes with the count
+        base = self._read_files(meta, entries, with_lineage=True, with_op=True)
+        meta.buckets = {str(b): [] for b in range(n_buckets)}
+        if base is not None:
+            nkeys = [f"__k{i}" for i in range(len(meta.key))]
+            for n, c in zip(nkeys, _norm_key_cols(meta.key, meta.fields())):
+                base = base.withColumn(n, c)
+            rep = base.repartition(n_buckets, *[F.col(n) for n in nkeys])
+            out = (
+                self._resolve_lww(rep, meta, payload, nkeys)
+                .where(F.col("op") != "D")
+                .select(*payload, *LINEAGE_COLS)
+            )
+            new_lists = self._commit_files(out, meta, list(range(n_buckets)), delta=False)
+            for b, files in new_lists.items():
+                meta.buckets[str(b)] = files
+        meta.version += 1
+        meta.lineage.append(
+            {"version": meta.version, "rescaled_from": old_count, "n_buckets": n_buckets}
+        )
+        meta.lineage = meta.lineage[-200:]
+        self._commit(meta)  # all chunks dirty under the new geometry
+        return meta.version
+
     def _finish_commit(self, meta, batch_id, stats, loc, max_ts, mode, dirty=None) -> None:
         meta.version += 1
         if batch_id is not None:

@@ -46,6 +46,21 @@ def shard_prefix_rule(pattern: str, column: str = "conv_id") -> ColumnMappingRul
     )
 
 
+def unsigned_reinterpret(df: DataFrame, columns: dict[str, int]) -> DataFrame:
+    """Reinterpret signed-decoded integers as unsigned, widened into
+    long (syncer/dml.go:185-212 `castUnsigned`): a negative value wraps
+    by +2^bits. Pass bits per column — 32 for INT UNSIGNED, 24 for the
+    MEDIUMINT special case, 16/8 for SMALLINT/TINYINT. Pure Catalyst
+    struct surgery on both images, stays in codegen."""
+    for img in ("before", "after"):
+        col = F.col(img)
+        for c, bits in columns.items():
+            v = col.getField(c).cast("long")
+            col = col.withField(c, F.when(v < 0, v + F.lit(1 << bits)).otherwise(v))
+        df = df.withColumn(img, F.when(F.col(img).isNotNull(), col))
+    return df
+
+
 def prune_generated_columns(df: DataFrame, generated: list[str]) -> DataFrame:
     """Generated columns cannot be written downstream — drop them from
     both images (syncer/dml.go:358-395)."""

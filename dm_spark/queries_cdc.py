@@ -136,6 +136,32 @@ def q_wire_decode(spark, sf_dir):
     return _flat(decode_wire(to_wire(change_feed(spark, sf_dir))))
 
 
+def q_wire_decode_jvm(spark, sf_dir):
+    """Same wire round-trip decoded fully JVM-side (from_json inside
+    whole-stage codegen, zero Python workers) — the fast path for a
+    static wire schema; must be value-identical to the pandas decode
+    (shared oracle)."""
+    from dm_spark.sources.decode import decode_wire_jvm, to_wire
+
+    return _flat(decode_wire_jvm(to_wire(change_feed(spark, sf_dir))))
+
+
+def q_generated_prune(spark, sf_dir):
+    """Generated-column pruning (syncer/dml.go:358-395): `tool` is a
+    generated column — dropped from both images before DML gen, so the
+    flattened batch carries no tool at all."""
+    cfg = TaskConfig(
+        routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")],
+        generated_columns=["tool"],
+    )
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir))
+    assert "tool" not in batch.columns
+    return batch.selectExpr(
+        "op", "conv_id", "turn_idx", "role", "text",
+        "_cdc_file_seq AS file_seq", "_cdc_pos AS pos",
+    )
+
+
 def q_ba_list_filter(spark, sf_dir):
     return _flat(ba_list_filter(change_feed(spark, sf_dir), deny=["shard_3.*"]))
 
@@ -406,6 +432,8 @@ def q_ddl_filtered(spark, sf_dir):
 QUERIES = {
     "cdc_feed_decode": q_feed_decode,
     "cdc_wire_decode": q_wire_decode,
+    "cdc_wire_decode_jvm": q_wire_decode_jvm,
+    "cdc_generated_prune": q_generated_prune,
     "cdc_ba_list_filter": q_ba_list_filter,
     "cdc_event_type_filter": q_event_type_filter,
     "cdc_expr_filter": q_expr_filter,
@@ -440,6 +468,14 @@ _FILTER_MATRIX_WHERE = """
 ORACLES = {
     "cdc_feed_decode": f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT}",
     "cdc_wire_decode": f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT}",
+    "cdc_wire_decode_jvm": f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT}",
+    "cdc_generated_prune": (
+        f"WITH feed AS ({FEED_SQL}), "
+        "m AS (SELECT op, conv_id, turn_idx, role, text, file_seq, pos FROM feed "
+        "UNION ALL SELECT 'D' AS op, conv_id, before_turn_idx AS turn_idx, role, text, "
+        "file_seq, pos FROM feed WHERE key_moved) "
+        "SELECT op, conv_id, turn_idx, role, text, file_seq, pos FROM m"
+    ),
     "cdc_ba_list_filter": (
         f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT} WHERE source_table NOT LIKE 'shard_3.%'"
     ),

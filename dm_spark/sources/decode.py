@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dm_spark.feed import ENVELOPE_DDL, PAYLOAD_FIELDS
+from dm_spark.feed import ENVELOPE_DDL, PAYLOAD_DDL, PAYLOAD_FIELDS
 
 WIRE_DDL = (
     "op string, payload string, source_table string, "
@@ -99,3 +99,28 @@ def decode_wire(wire: DataFrame) -> DataFrame:
 
     _ = PAYLOAD_FIELDS  # documents the struct field contract
     return wire.mapInPandas(kernel, schema=ENVELOPE_DDL)
+
+
+def decode_wire_jvm(wire: DataFrame) -> DataFrame:
+    """Known-schema wire decode entirely JVM-side: `from_json` parses
+    the payload into typed image structs inside whole-stage codegen — no
+    Python workers at all. This is the fast path when the wire schema is
+    static (it is here: the envelope is fixed by the task config); the
+    Arrow-pandas `decode_wire` remains the exhibit for arbitrary or
+    polymorphic wire formats. Both are oracle-gated against the same
+    DuckDB law (cdc_wire_decode / cdc_wire_decode_jvm)."""
+    parsed = F.from_json(
+        F.col("payload"),
+        f"before struct<{PAYLOAD_DDL}>, after struct<{PAYLOAD_DDL}>",
+        {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+    )
+    return wire.select(
+        "op",
+        parsed.getField("before").alias("before"),
+        parsed.getField("after").alias("after"),
+        "source_table",
+        "file_seq",
+        "pos",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "txn_id",
+    )

@@ -266,3 +266,24 @@ def test_manifest_chunking_commit_is_o_touched(spark, tmp_path):
     lake.vacuum()
     got = sorted((r.conv_id, r.text) for r in lake.read().where("conv_id = 'c0'").collect())
     assert got == [("c0", "v2")]
+
+
+def test_rescale_buckets(spark, tmp_path):
+    """Grow the bucket count of a live table: state identical, next
+    trickle merge works under the new slot==bucket identity."""
+    lake = LakeTable.create(spark, str(tmp_path / "rs"), SCHEMA, KEY, n_buckets=4)
+    b1 = spark.createDataFrame(
+        [ch(f"c{i}", 1, "I", "v1", 0, i, i) for i in range(30)], CHANGE_DDL
+    )
+    lake.merge_into(b1, batch_id=0)
+    before = rows(lake.read())
+    lake.rescale(16)
+    assert lake._load_meta().n_buckets == 16
+    assert rows(lake.read()) == before
+    b2 = spark.createDataFrame(
+        [ch("c0", 1, "U", "v2", 1, 1, 99), ch("c5", 1, "D", None, 1, 2, 99)], CHANGE_DDL
+    )
+    s = lake.merge_into(b2, batch_id=1, prune=True)
+    assert not s.skipped
+    got = dict(((r[0], r[1]), r[2]) for r in rows(lake.read()))
+    assert got[("c0", 1)] == "v2" and ("c5", 1) not in got

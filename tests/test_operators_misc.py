@@ -58,3 +58,31 @@ def test_lww_batch_split_invariance(spark, tmp_path_factory, events, split):
     two.merge_into(df.where(F.col("_cdc_pos") > cut), batch_id=1)
 
     assert rows(one.read()) == rows(two.read())
+
+
+def test_unsigned_reinterpret(spark):
+    """castUnsigned analog (syncer/dml.go:185-212): negative
+    signed-decoded values wrap by +2^bits; MEDIUMINT uses 24 bits."""
+    from dm_spark.operators.mapping import unsigned_reinterpret
+
+    df = spark.createDataFrame(
+        [("U", (-1, -1, 5), (-2, 8388607, 5))],
+        "op string, before struct<a int, m int, ok int>, "
+        "after struct<a int, m int, ok int>",
+    )
+    out = unsigned_reinterpret(df, {"a": 32, "m": 24}).collect()[0]
+    assert out.before.a == 4294967295 and out.after.a == 4294967294
+    assert out.before.m == 16777215 and out.after.m == 8388607  # positive: unchanged
+    assert out.before.ok == 5  # unmapped column untouched
+
+
+def test_unsigned_reinterpret_null_image(spark):
+    from dm_spark.operators.mapping import unsigned_reinterpret
+
+    df = spark.createDataFrame(
+        [("I", None, (-1, 0, 1))],
+        "op string, before struct<a int, m int, ok int>, "
+        "after struct<a int, m int, ok int>",
+    )
+    out = unsigned_reinterpret(df, {"a": 16}).collect()[0]
+    assert out.before is None and out.after.a == 65535

@@ -90,5 +90,7 @@ def test_error_operators_skip_replace_revert():
     assert ops.resolve(bad) == []
     ops.set_replace(7, 3, [{"action": "add_column", "column": "x2", "new_type": "string"}])
     out = ops.resolve(bad)
-    assert out[0]["column"] == "x2" and out[0]["file_seq"] == 7 and out[0]["pos"] == 3000
+    # replacements keep the original pos and get a suffix ordinal
+    assert out[0]["column"] == "x2" and out[0]["file_seq"] == 7
+    assert out[0]["pos"] == 3 and out[0]["suffix"] == 1
     assert ops.revert(7, 3) and ops.resolve(bad) == [bad]
