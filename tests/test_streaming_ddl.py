@@ -54,3 +54,52 @@ def test_stream_with_mid_feed_rename(spark, sf_dir, tmp_path):
     for c in ["conv_id", "turn_idx", "role", "text", "tool_name"]:
         assert (got[c].fillna("~") == want[c].fillna("~")).all(), c
     assert "tool_name" in lake.read().columns and "tool" not in lake.read().columns
+
+
+def test_stream_optimistic_shard_ddl_mid_feed(spark, sf_dir, tmp_path):
+    """Optimistic mode under the streaming driver: shard_0 announces
+    add_column mid-stream; the derived ALTER applies between batches
+    with no barrier, shards 1-3 keep writing the old shape, final state
+    matches the replay oracle with the new column null-filled."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=8)
+    runner = ReplayRunner(
+        pipeline=ApplyPipeline(cfg),
+        lake=lake,
+        optimistic_group=[f"shard_{i}.transcripts_{j}" for i in range(4) for j in range(2)],
+    )
+    feed = feedmod.change_feed(spark, sf_dir)
+    mm = feed.agg(F.min("pos"), F.max("pos")).collect()[0]
+    mid_pos = (mm[0] + mm[1]) // 2
+    ddls = [
+        DdlEvent("add_column", "shard_0.transcripts_0", 0, mid_pos,
+                 column="rating", new_type="int")
+    ]
+    drv = CdcStreamDriver(
+        spark,
+        feed_dir=str(tmp_path / "feed"),
+        checkpoint_dir=str(tmp_path / "cp"),
+        pipeline=runner.pipeline,
+        lakes={"transcripts": lake},
+        max_files_per_trigger=2,
+        runner=runner,
+        ddl_events=ddls,
+    )
+    write_feed_chunks(feed, drv.feed_dir, n_chunks=6)
+    stats = drv.run_available_now()
+    assert sum(s.get("ddls", 0) for s in stats) == 1
+    # the ALTER was DERIVED via schema join, applied at the DDL's loc
+    log = lake.applied_ddl_log()
+    assert [(d["action"], d["column"]) for d in log] == [("add_column", "rating")]
+    assert "rating" in lake.read().columns
+    got = (
+        lake.read()
+        .select("conv_id", "turn_idx", "text", "rating")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = duck_replay(sf_dir)
+    assert len(got) == len(want)
+    assert (got["text"] == want["text"]).all()
+    assert got["rating"].isna().all()  # sources never emitted it
