@@ -125,7 +125,10 @@ def main() -> None:
         # the standard noise-floor estimator; this box shows ±15%
         # run-to-run system noise that hits both legs equally only on
         # average
-        reps = int(os.environ.get("DM_BENCH_SCALING_REPS", "2"))
+        # best-of-N noise-floor estimator: this VM shows up to ±30%
+        # run-to-run system noise on single-leg measurements (raw legs
+        # disclosed in decode_apply_runs); 3 reps stabilizes the max
+        reps = int(os.environ.get("DM_BENCH_SCALING_REPS", "3"))
         legs = {"local[1]": [], "local[4]": []}
         for _ in range(reps):
             legs["local[1]"].append(

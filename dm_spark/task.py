@@ -63,6 +63,30 @@ class Task:
         self.run_full(snapshot)
         return self.run_incremental(from_location=snapshot_location)
 
+    def run_tail(
+        self,
+        trigger_sec: float = 1.0,
+        timeout_sec: int = 0,
+        stop_when=None,
+        max_files_per_trigger: int | None = 4,
+    ) -> list[dict]:
+        """Live-tail mode (the production shape: the syncer's
+        forever-tailing loop, syncer/syncer.go:1280): keep consuming new
+        relay files on a processing-time trigger until killed
+        (timeout_sec=0 → no deadline) or `stop_when(driver)` fires;
+        resumes from checkpoint on restart."""
+        drv = CdcStreamDriver(
+            self.spark, self.feed_dir, self.checkpoint_dir,
+            ApplyPipeline(self.config),
+            {self.config.target_table: self.lake},
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return drv.run_continuous(
+            trigger_sec=trigger_sec,
+            timeout_sec=timeout_sec if timeout_sec > 0 else 2**31,
+            stop_when=stop_when,
+        )
+
 
 def replication_lag_sec(lake: LakeTable, now=None) -> float | None:
     """secondsBehindMaster analog (syncer/syncer.go:802-845): now minus

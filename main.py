@@ -71,6 +71,14 @@ def main(argv: list[str]) -> int:
         snapshot = spark.read.parquet(spec["snapshot_path"])
         stats = task.run_all(snapshot, tuple(spec["snapshot_location"]))
         print(json.dumps({"mode": mode, "batches": stats}))
+    elif mode == "tail":
+        # live production shape: tail forever (or until timeout_sec)
+        stats = task.run_tail(
+            trigger_sec=spec.get("trigger_sec", 1.0),
+            timeout_sec=spec.get("timeout_sec", 0),
+            max_files_per_trigger=spec.get("max_files_per_trigger", 4),
+        )
+        print(json.dumps({"mode": mode, "batches": stats}))
     else:
         raise SystemExit(f"unknown mode {mode}")
 
