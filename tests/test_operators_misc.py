@@ -86,3 +86,70 @@ def test_unsigned_reinterpret_null_image(spark):
     )
     out = unsigned_reinterpret(df, {"a": 16}).collect()[0]
     assert out.before is None and out.after.a == 65535
+
+
+# --- property: flatten_changes + single LWW merge must equal a
+# SEQUENTIAL replay (apply events one at a time in order), including
+# key-moving updates — the semantics the reference guarantees via
+# ordered per-key apply (syncer/dml.go:90-152 delete+insert rewrite).
+
+_km_events = st.lists(
+    st.tuples(
+        st.sampled_from(["I", "U", "UM", "D"]),  # UM = key-moving update
+        _keys,
+        st.integers(1, 3),  # UM's destination turn_idx
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=_km_events)
+def test_key_move_sequential_equivalence(spark, tmp_path_factory, events):
+    import datetime as _dt
+
+    from dm_spark.feed import ENVELOPE_DDL
+    from dm_spark.operators import flatten_changes
+
+    def img(conv, turn, text, i):
+        return (conv, turn, "user", text, None, T(i))
+
+    rows_in, state = [], {}
+    for i, (op, (conv, turn), dest) in enumerate(events):
+        text = f"v{i}"
+        if op == "I" or (op in ("U", "UM") and (conv, turn) not in state):
+            # inserts (and updates to absent keys act as upserts)
+            rows_in.append(("I", None, img(conv, turn, text, i), "s.t", 0, i + 1, T(i + 1), 0))
+            state[(conv, turn)] = text
+        elif op == "U":
+            rows_in.append(
+                ("U", img(conv, turn, state[(conv, turn)], i), img(conv, turn, text, i),
+                 "s.t", 0, i + 1, T(i + 1), 0)
+            )
+            state[(conv, turn)] = text
+        elif op == "UM":
+            rows_in.append(
+                ("U", img(conv, turn, state[(conv, turn)], i), img(conv, dest, text, i),
+                 "s.t", 0, i + 1, T(i + 1), 0)
+            )
+            del state[(conv, turn)]
+            state[(conv, dest)] = text
+        else:  # D
+            if (conv, turn) not in state:
+                continue  # deleting an absent key: no event emitted
+            rows_in.append(
+                ("D", img(conv, turn, state[(conv, turn)], i), None,
+                 "s.t", 0, i + 1, T(i + 1), 0)
+            )
+            del state[(conv, turn)]
+    if not rows_in:
+        return
+    env = spark.createDataFrame(rows_in, ENVELOPE_DDL)
+    flat = flatten_changes(env)
+    lake = LakeTable.create(
+        spark, str(tmp_path_factory.mktemp("km") / "t"), SCHEMA, KEY, n_buckets=4
+    )
+    lake.merge_into(flat, batch_id=0)
+    got = {(r.conv_id, r.turn_idx): r.text for r in lake.read().collect()}
+    assert got == state
