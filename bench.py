@@ -121,6 +121,9 @@ def main() -> None:
     }
     if os.environ.get("DM_BENCH_SKIP_SCALING") != "1":
         peak = _kernel("apply", "local[32]", PEAK_EVENTS, 32, 4)
+        tail = _kernel("tail", "local[32]", 2_000_000, 32, 1)
+        result["tail_events_per_sec"] = tail["events_per_sec"]
+        result["tail_events"] = tail["events"]
         # each leg twice, alternating; best-of (min wall time) per leg —
         # the standard noise-floor estimator; this box shows ±15%
         # run-to-run system noise that hits both legs equally only on
