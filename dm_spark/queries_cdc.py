@@ -101,9 +101,17 @@ def _replay_through_lake(
         "__ord", F.col("_cdc_file_seq") * 1_000_000 + F.col("_cdc_pos")
     ).persist()
     try:
-        qs = [i / n_batches for i in range(1, n_batches)]
-        cuts = batch.approxQuantile("__ord", qs, 0.0) if n_batches > 1 else []
-        cuts = sorted(set(int(c) for c in cuts))
+        # equal-width location cuts from one min/max agg — cheaper than
+        # an approxQuantile pass; batch sizes may skew but replay
+        # semantics only need contiguous location ranges
+        mm = batch.agg(F.min("__ord"), F.max("__ord")).collect()[0]
+        lo_all, hi_all = int(mm[0]), int(mm[1])
+        width = max(1, (hi_all - lo_all + n_batches) // n_batches)
+        cuts = [
+            lo_all + width * i
+            for i in range(1, n_batches)
+            if lo_all + width * i < hi_all
+        ]
         lo = None
         for i, hi in enumerate([*cuts, None]):
             part = batch

@@ -9,6 +9,10 @@ Checks (prints PASS/FAIL lines + the formatted plans):
    batch and the written files (repartition reused by the LWW window).
 4. transform pipeline stays in WholeStageCodegen (no Python in the
    non-decode path).
+5. candidate generation in the corpus dedup/ANN operators is
+   equi-join-shaped: no CartesianProduct / BroadcastNestedLoopJoin in
+   ngram-Jaccard, MinHash-LSH, SimHash, LSH-ANN, IVF-ANN (only the
+   fenced exact cosine baseline may be a nested-loop join).
 """
 
 from __future__ import annotations
@@ -114,6 +118,34 @@ def main() -> int:
     if not ok4:
         failures.append("codegen")
         print(p4)
+
+    # 5. corpus candidate generation never degenerates to a cross join
+    from dm_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+    from dm_spark.functions.similarity import cosine_topk_ivf, cosine_topk_lsh
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plans = {
+        "ngram_jaccard": ngram_jaccard_pairs(docs, max_df=100),
+        "minhash_lsh": minhash_lsh_pairs(docs),
+        "simhash": simhash_near_pairs(docs),
+        "ann_lsh": cosine_topk_lsh(embs, n_planes=6),
+        "ann_ivf": cosine_topk_ivf(embs, n_lists=16),
+    }
+    bad = []
+    for name, df in plans.items():
+        p = plan_of(df, "simple")
+        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+            bad.append(name)
+            print(p)
+    ok5 = not bad
+    print(f"{'PASS' if ok5 else 'FAIL'} equi-join-only candidate generation: cross-joins={bad}")
+    if not ok5:
+        failures.append("corpus-cross-join")
 
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
