@@ -124,6 +124,11 @@ def main() -> None:
         tail = _kernel("tail", "local[32]", 2_000_000, 32, 1)
         result["tail_events_per_sec"] = tail["events_per_sec"]
         result["tail_events"] = tail["events"]
+        # data-scale point: per-event cost FALLS with batch size (fixed
+        # per-batch costs amortize) — 64M events in 8x8M batches
+        if os.environ.get("DM_BENCH_SKIP_BIG") != "1":
+            big = _kernel("apply", "local[32]", 64_000_000, 32, 8)
+            result["apply_events_per_sec_64m"] = big["events_per_sec"]
         # each leg twice, alternating; best-of (min wall time) per leg —
         # the standard noise-floor estimator; this box shows ±15%
         # run-to-run system noise that hits both legs equally only on
