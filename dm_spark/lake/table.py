@@ -176,6 +176,7 @@ class LakeTable:
         for rel in meta.bucket_chunks.values():
             with open(os.path.join(self.meta_dir, rel)) as f:
                 meta.buckets.update(json.load(f))
+        meta._loaded_from = v  # noqa: SLF001 — concurrency guard anchor
         return meta
 
     def _commit(self, meta: _Meta, dirty: set[int] | None = None) -> None:
@@ -183,7 +184,21 @@ class LakeTable:
         HEAD pointer rename-swap. `dirty` = bucket ids whose file lists
         changed (None = all, e.g. create/overwrite); untouched chunks
         keep their existing chunk-file paths, so the per-commit write is
-        independent of the table's total file count."""
+        independent of the table's total file count.
+
+        Optimistic concurrency: the commit refuses if HEAD moved since
+        this meta was loaded (a second writer committed). The
+        check-then-swap window is not atomic on a plain filesystem — a
+        real deployment gets the true CAS from the Iceberg/catalog
+        commit — but it converts silent clobbering into a loud error."""
+        loaded = getattr(meta, "_loaded_from", None)
+        if loaded is not None and self.exists:
+            cur = self._head_version()
+            if cur != loaded:
+                raise RuntimeError(
+                    f"concurrent commit detected: HEAD moved v{loaded} -> v{cur} "
+                    "while this writer held the snapshot; reload and retry"
+                )
         os.makedirs(os.path.join(self.meta_dir, "chunks"), exist_ok=True)
         n_chunks, per = self._n_chunks(meta.n_buckets)
         if dirty is None:
@@ -200,7 +215,11 @@ class LakeTable:
             with open(os.path.join(self.meta_dir, rel), "w") as f:
                 json.dump(data, f)
             meta.bucket_chunks[str(c)] = rel
-        payload = {k: v for k, v in meta.__dict__.items() if k != "buckets"}
+        payload = {
+            k: v
+            for k, v in meta.__dict__.items()
+            if k != "buckets" and not k.startswith("_loaded")
+        }
         mp = os.path.join(self.meta_dir, f"v{meta.version}.json")
         with open(mp, "w") as f:
             json.dump(payload, f, indent=1)

@@ -287,3 +287,17 @@ def test_rescale_buckets(spark, tmp_path):
     assert not s.skipped
     got = dict(((r[0], r[1]), r[2]) for r in rows(lake.read()))
     assert got[("c0", 1)] == "v2" and ("c5", 1) not in got
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Two writers on one table: the slower commit must fail loudly
+    instead of silently clobbering the other's snapshot (optimistic
+    concurrency; a catalog/Iceberg deployment gets a true CAS)."""
+    lake = LakeTable.create(spark, str(tmp_path / "cc"), SCHEMA, KEY, n_buckets=4)
+    stale = lake._load_meta()  # writer A holds the snapshot...
+    assert lake.apply_ddl(  # ...while writer B commits
+        {"action": "add_column", "column": "r", "new_type": "int", "file_seq": 1, "pos": 0}
+    )
+    stale.version += 1
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        lake._commit(stale, dirty=set())
