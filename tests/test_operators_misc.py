@@ -153,3 +153,36 @@ def test_key_move_sequential_equivalence(spark, tmp_path_factory, events):
     lake.merge_into(flat, batch_id=0)
     got = {(r.conv_id, r.turn_idx): r.text for r in lake.read().collect()}
     assert got == state
+
+
+def test_identity_key_fallback_ladder(spark):
+    """findFitIndex ladder (syncer/dml.go:260-318): PK when its columns
+    are non-null in the row image, else first fully-non-null UK, else
+    every column."""
+    from dm_spark.operators.identity import identity_key
+
+    ddl = (
+        "op string, before struct<a string, b int, u string>, "
+        "after struct<a string, b int, u string>"
+    )
+    df = spark.createDataFrame(
+        [
+            ("I", None, ("x", 1, "uu")),          # pk usable
+            ("I", None, (None, 1, "uu")),          # pk null -> uk
+            ("I", None, (None, None, None)),       # nothing -> full row
+            ("D", ("y", 2, "vv"), None),           # delete uses before image
+        ],
+        ddl,
+    )
+    out = identity_key(df, pk=["a", "b"], unique_keys=[["u"]]).collect()
+    kinds = [r.identity_kind for r in out]
+    assert kinds == ["pk", "uk0", "full_row", "pk"]
+    keys = [r.identity_key for r in out]
+    assert len(set(keys)) == 4 and keys[0].startswith("pk\x1fa=x")
+    # distribution-ready: repartition on the computed key is valid SQL
+    n = (
+        identity_key(df, ["a", "b"], [["u"]])
+        .repartition(4, "identity_key")
+        .count()
+    )
+    assert n == 4
