@@ -1,0 +1,151 @@
+"""DDL statement parser: SQL text -> atomic schema actions.
+
+The reference parses query events with the TiDB parser and splits a
+multi-schema-change DDL into single-change statements before routing
+(`parseOneStmt` syncer/ddl.go:33-47; `parserpkg.SplitDDL`
+syncer/syncer.go:2235-2252). Here the supported surface is the ALTER
+family the engine can apply (add / drop / rename / modify / change
+column, rename table) in MySQL dialect, regex-parsed into
+:class:`~dm_spark.plans.replay.DdlEvent`s:
+
+- each clause of a multi-change ALTER becomes its own event, ordered by
+  a location `suffix` ordinal (the SplitDDL analog — locations stay
+  totally ordered);
+- MySQL column types map onto Spark SQL types (`VARCHAR/TEXT ->
+  string`, `DATETIME -> timestamp`, unsigned widens one step, ...);
+- MySQL `CHANGE COLUMN a b TYPE` splits into rename + widen events.
+
+Statements outside this surface raise ``UnsupportedDdl`` — the caller
+decides (skip via error operators / DDL filter rules, or fail the
+task), mirroring the reference's handle-error flow.
+"""
+
+from __future__ import annotations
+
+import re
+
+from dm_spark.plans.replay import DdlEvent
+
+
+class UnsupportedDdl(ValueError):
+    pass
+
+
+_TYPE_MAP = {
+    "tinyint": "tinyint",
+    "smallint": "smallint",
+    "mediumint": "int",
+    "int": "int",
+    "integer": "int",
+    "bigint": "bigint",
+    "float": "float",
+    "double": "double",
+    "real": "double",
+    "varchar": "string",
+    "char": "string",
+    "text": "string",
+    "tinytext": "string",
+    "mediumtext": "string",
+    "longtext": "string",
+    "json": "string",
+    "blob": "binary",
+    "varbinary": "binary",
+    "binary": "binary",
+    "datetime": "timestamp",
+    "timestamp": "timestamp",
+    "date": "date",
+    "boolean": "boolean",
+    "bool": "boolean",
+}
+
+_UNSIGNED_WIDEN = {"tinyint": "smallint", "smallint": "int", "int": "bigint",
+                   "bigint": "decimal(20,0)"}
+
+
+def map_type(mysql_type: str) -> str:
+    """MySQL column type -> Spark SQL type. UNSIGNED integers widen one
+    step so the full value range fits (castUnsigned analog at the
+    schema level, syncer/dml.go:185-212)."""
+    t = mysql_type.strip().lower()
+    unsigned = " unsigned" in t or t.endswith("unsigned")
+    t = t.replace("unsigned", "").strip()
+    m = re.match(r"^(\w+)(\(([^)]*)\))?", t)
+    if not m:
+        raise UnsupportedDdl(f"cannot parse type: {mysql_type}")
+    base, args = m.group(1), m.group(3)
+    if base == "decimal" or base == "numeric":
+        return f"decimal({args})" if args else "decimal(10,0)"
+    if base not in _TYPE_MAP:
+        raise UnsupportedDdl(f"unmapped MySQL type: {mysql_type}")
+    out = _TYPE_MAP[base]
+    if unsigned and out in _UNSIGNED_WIDEN:
+        out = _UNSIGNED_WIDEN[out]
+    return out
+
+
+_IDENT = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+_TABLE = rf"{_IDENT}(?:\.{_IDENT})?"
+
+
+def _table_name(m1: str, m2: str | None) -> str:
+    return f"{m1}.{m2}" if m2 else m1
+
+
+def _split_clauses(body: str) -> list[str]:
+    """Split an ALTER body on top-level commas (commas inside type
+    parens, e.g. decimal(10,2), don't split)."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [c for c in out if c]
+
+
+def parse_ddl(sql: str, file_seq: int, pos: int) -> list[DdlEvent]:
+    """One DDL statement -> ordered atomic DdlEvents (suffix per clause)."""
+    s = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
+
+    m = re.match(rf"(?i)^RENAME TABLE {_TABLE} TO {_TABLE}$", s)
+    if m:
+        src = _table_name(m.group(1), m.group(2))
+        dst = _table_name(m.group(3), m.group(4))
+        return [DdlEvent("rename_table", src, file_seq, pos, target_table=dst)]
+
+    m = re.match(rf"(?i)^ALTER TABLE {_TABLE} (.*)$", s)
+    if not m:
+        raise UnsupportedDdl(sql)
+    table = _table_name(m.group(1), m.group(2))
+    events: list[DdlEvent] = []
+
+    def emit(action: str, **kw) -> None:
+        events.append(
+            DdlEvent(action, table, file_seq, pos, suffix=len(events), **kw)
+        )
+
+    for clause in _split_clauses(m.group(3)):
+        c = clause.strip()
+        if cm := re.match(rf"(?i)^ADD (?:COLUMN )?{_IDENT} (.+?)(?: (?:NULL|NOT NULL|DEFAULT .*|FIRST|AFTER .*))?$", c):
+            emit("add_column", column=cm.group(1), new_type=map_type(cm.group(2)))
+        elif cm := re.match(rf"(?i)^DROP (?:COLUMN )?{_IDENT}$", c):
+            emit("drop_column", column=cm.group(1))
+        elif cm := re.match(rf"(?i)^RENAME (?:COLUMN )?{_IDENT} TO {_IDENT}$", c):
+            emit("rename_column", column=cm.group(1), new_name=cm.group(2))
+        elif cm := re.match(rf"(?i)^MODIFY (?:COLUMN )?{_IDENT} (.+?)(?: (?:NULL|NOT NULL|DEFAULT .*))?$", c):
+            emit("widen_type", column=cm.group(1), new_type=map_type(cm.group(2)))
+        elif cm := re.match(rf"(?i)^CHANGE (?:COLUMN )?{_IDENT} {_IDENT} (.+?)(?: (?:NULL|NOT NULL|DEFAULT .*))?$", c):
+            # MySQL CHANGE = rename + retype: two atomic events
+            old, new, typ = cm.group(1), cm.group(2), map_type(cm.group(3))
+            emit("rename_column", column=old, new_name=new)
+            emit("widen_type", column=new, new_type=typ)
+        else:
+            raise UnsupportedDdl(clause)
+    return events
