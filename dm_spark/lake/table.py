@@ -344,6 +344,7 @@ class LakeTable:
         batch_id: int | None = None,
         stream_id: str | None = None,
         prune: bool = True,
+        pre_reduce: int | None = None,
     ) -> MergeStats:
         """Apply a batch of change rows with LWW upsert/delete semantics.
 
@@ -359,8 +360,22 @@ class LakeTable:
         `prune=False` (bulk replay / backfill): every bucket is assumed
         touched; stats are collected as observed metrics on the single
         merge-write job — one Spark job per batch, no extra pass.
+
+        `pre_reduce=N` (pathological hot keys): the incoming batch is
+        first collapsed to one winner per key via salted two-phase LWW
+        (N salts), so a key updated millions of times in one batch
+        contributes ONE row to the merge shuffle instead of millions —
+        the reference's planned Compactor (merge I+U -> I,
+        docs/RFCS/20211008_dml_execution_optimization.md:12-49) fused
+        with salting for skew. Tombstone winners survive the reduction.
         """
         meta = self._load_meta()
+        if pre_reduce:
+            from dm_spark.operators.dedup import lww_latest_salted
+
+            changes = lww_latest_salted(
+                changes, meta.key, LINEAGE_COLS, n_salts=pre_reduce
+            )
         if stream_id is not None and stream_id != meta.stream_id:
             # a new streaming query (fresh checkpoint) restarts batch ids
             # at 0; the monotone gate is only valid within one stream.

@@ -107,9 +107,12 @@ class ApplyPipeline:
 
     def apply_batch(self, lakes: dict[str, "LakeTable"], batch: DataFrame, batch_id: int | None = None) -> dict:
         """Route-partitioned MERGE: one atomic commit per target table.
-        `batch` is the output of `transform`."""
+        `batch` is the output of `transform`. `salt_hot_keys` in the
+        task config turns on the salted pre-reduction (Compactor + skew
+        salting) inside each merge."""
+        pre = 16 if self.config.salt_hot_keys else None
         stats = {}
         for target, lake in lakes.items():
             part = batch.where(F.col("target_table") == target).drop("target_table")
-            stats[target] = lake.merge_into(part, batch_id=batch_id)
+            stats[target] = lake.merge_into(part, batch_id=batch_id, pre_reduce=pre)
         return stats

@@ -92,6 +92,7 @@ def _final_us(lake: LakeTable) -> DataFrame:
 def _replay_through_lake(
     spark: SparkSession, batch: DataFrame, n_batches: int = 4, n_buckets: int = 16,
     schema=None, key=None, write_mode: str = "cow", compact_after: bool = False,
+    pre_reduce: int | None = None,
 ) -> LakeTable:
     lake = LakeTable.create(
         spark, tempfile.mkdtemp(prefix="dm_q_"), schema or SCHEMA, key or KEY,
@@ -120,7 +121,9 @@ def _replay_through_lake(
             if hi is not None:
                 part = part.where(F.col("__ord") <= hi)
             # bulk replay touches all buckets: single-job path
-            lake.merge_into(part.drop("__ord"), batch_id=i, prune=False)
+            lake.merge_into(
+                part.drop("__ord"), batch_id=i, prune=False, pre_reduce=pre_reduce
+            )
             lo = hi
         if compact_after:
             lake.compact()
@@ -233,6 +236,16 @@ def q_replay_merge(spark, sf_dir):
     cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
     batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
     return _final_us(_replay_through_lake(spark, batch))
+
+
+def q_replay_merge_salted(spark, sf_dir):
+    """Same replay with the salted pre-reduction on (Compactor + skew
+    salting: each key contributes one winner per batch to the merge
+    shuffle) — must be state-identical to the plain replay (shared
+    oracle)."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    return _final_us(_replay_through_lake(spark, batch, pre_reduce=16))
 
 
 def q_replay_merge_mor(spark, sf_dir):
@@ -450,6 +463,7 @@ QUERIES = {
     "cdc_dedup_lww": q_dedup_lww,
     "cdc_dedup_lww_salted": q_dedup_lww_salted,
     "cdc_replay_merge": q_replay_merge,
+    "cdc_replay_merge_salted": q_replay_merge_salted,
     "cdc_replay_merge_mor": q_replay_merge_mor,
     "cdc_replay_filtered": q_replay_filtered,
     "cdc_shard_merge_mapped": q_shard_merge_mapped,
@@ -528,6 +542,7 @@ ORACLES = {
            FROM latest WHERE rn = 1"""
     ),
     "cdc_replay_merge": _with_feed(_REPLAY),
+    "cdc_replay_merge_salted": _with_feed(_REPLAY),
     "cdc_replay_merge_mor": _with_feed(_REPLAY),
     "cdc_replay_filtered": _with_feed(_REPLAY, _FILTER_MATRIX_WHERE),
     "cdc_shard_merge_mapped": (
