@@ -61,19 +61,17 @@ RECALL_SF_DIR = os.environ.get("DM_BENCH_RECALL_SF_DIR", "/root/testdata/sf0.01"
 def _ann_recall(spark) -> dict:
     """recall@3 of the ANN scale paths vs the exact baseline, at a small
     sf where brute force is the oracle, not the plan."""
-    from dm_spark.functions.similarity import (
-        cosine_topk_bruteforce,
-        cosine_topk_ivf,
-        cosine_topk_lsh,
-    )
+    from dm_spark.functions.similarity import cosine_topk_bruteforce
+    from dm_spark.queries_corpus import q_emb_ann_ivf, q_emb_ann_lsh
 
     embs = spark.read.parquet(f"{RECALL_SF_DIR}/embeddings.parquet")
     pairs = lambda df: {  # noqa: E731
         (r.vec_id, r.neighbor_id) for r in df.select("vec_id", "neighbor_id").collect()
     }
     exact = pairs(cosine_topk_bruteforce(embs, k=3))
-    lsh = pairs(cosine_topk_lsh(embs, k=3, n_planes=4))
-    ivf = pairs(cosine_topk_ivf(embs, k=3, n_lists=8, n_probe=2))
+    # measure the SHIPPED query defaults, not bespoke parameters
+    lsh = pairs(q_emb_ann_lsh(spark, RECALL_SF_DIR))
+    ivf = pairs(q_emb_ann_ivf(spark, RECALL_SF_DIR))
     return {
         "ann_recall_lsh": round(len(exact & lsh) / max(1, len(exact)), 3),
         "ann_recall_ivf": round(len(exact & ivf) / max(1, len(exact)), 3),
