@@ -17,6 +17,7 @@ from dm_spark.functions.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    embedding_near_dup_pairs,
 )
 from dm_spark.functions.text import EN_STOPWORDS, quality_columns
 
@@ -208,6 +209,14 @@ def q_emb_cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(_embs(spark, sf_dir), k=3)
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4, id_a < id_b) —
+    exact all-pairs baseline, a small-sf correctness slot like
+    emb_cosine_topk; the scale path reuses the LSH/IVF bucketed
+    candidate generation with the same threshold filter."""
+    return embedding_near_dup_pairs(_embs(spark, sf_dir), min_cos=0.4)
+
+
 def q_emb_ann_ivf(spark, sf_dir):  # rows-only (recall < 1 by design)
     """IVF list count scales with the corpus (~64 vectors per list) so
     candidates per query stay bounded as data grows — the property that
@@ -255,6 +264,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_near_dup": q_emb_near_dup,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
 }
@@ -386,6 +396,12 @@ ORACLES = {
       SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
              CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
       FROM documents
+    """,
+    "emb_near_dup": """
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
     """,
     "emb_cosine_topk": """
       WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
