@@ -88,3 +88,79 @@ def test_live_tail_with_concurrent_writer_and_resume(spark, sf_dir, tmp_path):
     assert_tables_equal(spark_final(lake), duck_replay(sf_dir))
     seen = [s["batch_id"] for s in drv.batch_stats + drv2.batch_stats if not s["skipped"]]
     assert len(seen) == len(set(seen))  # each batch applied exactly once
+
+
+def test_live_mor_optimistic_ddl_kill_resume(spark, sf_dir, tmp_path):
+    """Everything at once: MoR lake + optimistic shard-DDL arriving
+    mid-stream + live writer thread + stop/resume from checkpoint —
+    the combined production scenario."""
+    from dm_spark.plans import DdlEvent, ReplayRunner
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=8, write_mode="mor"
+    )
+    feed_dir = str(tmp_path / "feed")
+    stage = str(tmp_path / "stage")
+    feed = feedmod.change_feed(spark, sf_dir)
+    staged = _stage_chunks(spark, sf_dir, stage)
+    mm = feed.selectExpr("max(struct(file_seq, pos)) AS m").collect()[0][0]
+    final_loc = (mm["file_seq"], mm["pos"])
+    mid = feed.approxQuantile("pos", [0.5], 0.0)[0]
+    ddls = [
+        DdlEvent("add_column", "shard_0.transcripts_0", 0, int(mid),
+                 column="rating", new_type="int")
+    ]
+
+    def make(drained_chunks):
+        runner = ReplayRunner(
+            pipeline=ApplyPipeline(cfg), lake=lake,
+            optimistic_group=[
+                f"shard_{i}.transcripts_{j}" for i in range(4) for j in range(2)
+            ],
+        )
+        drv = CdcStreamDriver(
+            spark, feed_dir, str(tmp_path / "cp"), runner.pipeline,
+            {"transcripts": lake}, max_files_per_trigger=2,
+            runner=runner, ddl_events=list(ddls) if not drained_chunks else [],
+        )
+        return drv
+
+    # phase 1: first half of the files arrive live; stop mid-way
+    half, rest = staged[:4], staged[4:]
+    t = threading.Thread(target=_feeder, args=(half, feed_dir))
+    drv1 = make(False)
+
+    def half_done(d):
+        return len(glob.glob(os.path.join(feed_dir, "relay-*.parquet"))) == len(half) and \
+            len(d.batch_stats) >= 2
+
+    t.start()
+    drv1.run_continuous(trigger_sec=0.4, timeout_sec=120, stop_when=half_done)
+    t.join()
+
+    # phase 2: resume from checkpoint; remaining DDLs carry over
+    drv2 = make(False)
+    drv2.ddl_events = drv1.ddl_events  # undelivered DDLs carry to the restart
+
+    def all_done(_):
+        cp = lake.global_checkpoint()
+        return bool(cp) and (cp.get("file_seq"), cp.get("pos")) >= final_loc
+
+    t2 = threading.Thread(target=_feeder, args=(rest, feed_dir))
+    t2.start()
+    drv2.run_continuous(trigger_sec=0.4, timeout_sec=180, stop_when=all_done)
+    t2.join()
+    lake.compact()
+
+    # the optimistic ALTER applied exactly once, mid-stream
+    assert [d["column"] for d in lake.applied_ddl_log()] == ["rating"]
+    got = (
+        lake.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = duck_replay(sf_dir)
+    assert_tables_equal(got, want)
