@@ -86,3 +86,56 @@ def test_mor_cow_merge_after_compact_interops(spark, pair):
         spark.createDataFrame([ch("e", 5, "I", "v1", 3, 1, 30)], CHANGE_DDL), batch_id=3
     )
     assert ("e", 5, "v1") in rows(mor.read())
+
+
+def test_mor_with_schema_evolution_and_compact(spark, tmp_path):
+    """Delta files written under different schema versions must project
+    by field id at read AND compact: write v0 deltas, widen+add+rename,
+    write v1 deltas, read (merged LWW view), then compact and re-read."""
+    from tests.test_lake import CHANGE_DDL, SCHEMA, KEY, T, ch
+
+    lake = LakeTable.create(
+        spark, str(tmp_path / "mde"), SCHEMA, KEY, n_buckets=4, write_mode="mor"
+    )
+    b1 = spark.createDataFrame(
+        [ch("a", 1, "I", "v1", 0, 1, 1), ch("b", 1, "I", "v1", 0, 2, 2)], CHANGE_DDL
+    )
+    lake.merge_into(b1, batch_id=0)
+    for i, act in enumerate(
+        [
+            {"action": "widen_type", "column": "turn_idx", "new_type": "bigint"},
+            {"action": "add_column", "column": "rating", "new_type": "int"},
+            {"action": "rename_column", "column": "tool", "new_name": "tool_name"},
+        ]
+    ):
+        assert lake.apply_ddl({**act, "file_seq": 100 + i, "pos": 0})
+    # v1-shaped delta: bigint turn, rating, tool_name; update a, delete b
+    from pyspark.sql import functions as F
+
+    ddl2 = (
+        "conv_id string, turn_idx bigint, role string, text string, "
+        "tool_name string, rating int, ts timestamp, "
+        "op string, _cdc_ts timestamp, _cdc_file_seq long, _cdc_pos long"
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("a", 1, "user", "v2", None, 5, T(9), "U", T(9), 1, 1),
+            ("b", 1, "user", None, None, None, T(9), "D", T(9), 1, 2),
+            ("c", 2, "user", "new", "t9", 3, T(9), "I", T(9), 1, 3),
+        ],
+        ddl2,
+    )
+    lake.merge_into(b2, batch_id=1)
+
+    def snap():
+        return sorted(
+            (r.conv_id, r.turn_idx, r.text, r.rating, r.tool_name)
+            for r in lake.read().collect()
+        )
+
+    want = [("a", 1, "v2", 5, None), ("c", 2, "new", 3, "t9")]
+    assert snap() == want  # merged base+delta view across schema versions
+    assert lake.compact() > 0
+    assert snap() == want  # identical after folding deltas into base
+    types = dict((f["name"], f["type"]) for f in lake.schema_fields())
+    assert types["turn_idx"] == "bigint" and "tool" not in types
