@@ -139,3 +139,36 @@ def test_mor_with_schema_evolution_and_compact(spark, tmp_path):
     assert snap() == want  # identical after folding deltas into base
     types = dict((f["name"], f["type"]) for f in lake.schema_fields())
     assert types["turn_idx"] == "bigint" and "tool" not in types
+
+
+def test_rescale_mor_table_with_pending_deltas(spark, tmp_path):
+    """Rescale must fold un-compacted deltas correctly while re-bucketing
+    (read resolves base+delta LWW, write is bucket-pure under the new
+    count); trickle keeps working after."""
+    from tests.test_lake import CHANGE_DDL, SCHEMA, KEY, ch
+
+    lake = LakeTable.create(
+        spark, str(tmp_path / "rsm"), SCHEMA, KEY, n_buckets=4, write_mode="mor"
+    )
+    lake.merge_into(
+        spark.createDataFrame(
+            [ch(f"c{i}", 1, "I", "v1", 0, i, i) for i in range(20)], CHANGE_DDL
+        ),
+        batch_id=0,
+    )
+    lake.merge_into(  # pending deltas: update + tombstone
+        spark.createDataFrame(
+            [ch("c0", 1, "U", "v2", 1, 1, 50), ch("c1", 1, "D", None, 1, 2, 50)],
+            CHANGE_DDL,
+        ),
+        batch_id=1,
+    )
+    lake.rescale(16)
+    got = dict(((r.conv_id, r.turn_idx), r.text) for r in lake.read().collect())
+    assert got[("c0", 1)] == "v2" and ("c1", 1) not in got and len(got) == 19
+    s = lake.merge_into(
+        spark.createDataFrame([ch("c2", 1, "U", "v3", 2, 1, 99)], CHANGE_DDL),
+        batch_id=2,
+    )
+    assert not s.skipped
+    assert {r.text for r in lake.read().where("conv_id = 'c2'").collect()} == {"v3"}
