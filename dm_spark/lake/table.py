@@ -221,7 +221,11 @@ class LakeTable:
             if k != "buckets" and not k.startswith("_loaded")
         }
         mp = os.path.join(self.meta_dir, f"v{meta.version}.json")
-        with open(mp, "w") as f:
+        # mode 'x': the manifest file itself is the unique claim on this
+        # version — two writers racing past the HEAD check cannot both
+        # write v{N+1}.json; the loser fails loudly instead of silently
+        # clobbering the winner's manifest (ADVICE r02)
+        with open(mp, "x") as f:
             json.dump(payload, f, indent=1)
         tmp = os.path.join(self.meta_dir, f".HEAD.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:

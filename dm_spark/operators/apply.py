@@ -103,7 +103,10 @@ class ApplyPipeline:
         if c.generated_columns:
             df = prune_generated_columns(df, c.generated_columns)
         df = route_tables(df, c.routes)
-        return flatten_changes(df)
+        # the configured key drives the key-changing-update split — a
+        # task keyed differently from the feed default must still split
+        # moved identities into DELETE(old)+upsert(new) (ADVICE r02)
+        return flatten_changes(df, key=c.key)
 
     def apply_batch(self, lakes: dict[str, "LakeTable"], batch: DataFrame, batch_id: int | None = None) -> dict:
         """Route-partitioned MERGE: one atomic commit per target table.

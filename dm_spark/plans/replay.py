@@ -140,6 +140,11 @@ class ReplayRunner:
                 # suffix ordinal (Location.Suffix analog) — never by
                 # inflating pos, which would obsolete later genuine DDLs
                 act = {**act, "file_seq": ev.file_seq, "pos": ev.pos, "suffix": i + 1}
+                # DDL filter rules apply to swap-replayed actions too: a
+                # rule ignoring e.g. drop_column on the real table must
+                # also suppress it arriving via gh-ost/pt-osc (ADVICE r02)
+                if self._ddl_filtered(ev.target_table, act):
+                    continue
                 applied += self._apply_resolved(ev.target_table, act)
             return applied
 

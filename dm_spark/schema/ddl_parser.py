@@ -142,9 +142,13 @@ def parse_ddl(sql: str, file_seq: int, pos: int) -> list[DdlEvent]:
         elif cm := re.match(rf"(?i)^MODIFY (?:COLUMN )?{_IDENT} (.+?)(?: (?:NULL|NOT NULL|DEFAULT .*))?$", c):
             emit("widen_type", column=cm.group(1), new_type=map_type(cm.group(2)))
         elif cm := re.match(rf"(?i)^CHANGE (?:COLUMN )?{_IDENT} {_IDENT} (.+?)(?: (?:NULL|NOT NULL|DEFAULT .*))?$", c):
-            # MySQL CHANGE = rename + retype: two atomic events
+            # MySQL CHANGE = rename + retype: two atomic events. The
+            # idiomatic retype form `CHANGE c c BIGINT` (old == new) is
+            # a pure widen — emitting a self-rename would wrongly trip
+            # the key-column rename guard (ADVICE r02).
             old, new, typ = cm.group(1), cm.group(2), map_type(cm.group(3))
-            emit("rename_column", column=old, new_name=new)
+            if old != new:
+                emit("rename_column", column=old, new_name=new)
             emit("widen_type", column=new, new_type=typ)
         else:
             raise UnsupportedDdl(clause)

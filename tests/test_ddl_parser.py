@@ -82,3 +82,28 @@ def test_parsed_ddl_applies_through_runner(spark, tmp_path):
     runner.replay(feed, ddls)
     cols = {f["name"] for f in lake.schema_fields()}
     assert "rating" in cols and "tool_name" in cols and "tool" not in cols
+
+
+def test_change_same_name_is_pure_widen():
+    """MySQL's idiomatic retype `CHANGE c c BIGINT` (old == new) must
+    emit ONLY the widen event — a self-rename would trip the
+    key-column rename guard on key widenings (ADVICE r02)."""
+    evs = parse_ddl("ALTER TABLE db.t CHANGE turn_idx turn_idx BIGINT", 0, 7)
+    assert [(e.action, e.column, e.new_type) for e in evs] == [
+        ("widen_type", "turn_idx", "bigint")
+    ]
+
+
+def test_change_key_retype_applies(spark, tmp_path):
+    """End-to-end: an in-class key widening expressed via CHANGE must
+    succeed exactly like the equivalent MODIFY (ADVICE r02)."""
+    from dm_spark.lake import LakeTable
+
+    from tests.test_replay_runner import KEY, SCHEMA
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake_ck"), SCHEMA, KEY, n_buckets=4)
+    evs = parse_ddl("ALTER TABLE shard_0.t CHANGE turn_idx turn_idx BIGINT", 1, 0)
+    for e in evs:
+        assert lake.apply_ddl(e.to_action())
+    types = {f["name"]: f["type"] for f in lake.schema_fields()}
+    assert types["turn_idx"] == "bigint"

@@ -301,3 +301,19 @@ def test_concurrent_commit_detected(spark, tmp_path):
     stale.version += 1
     with pytest.raises(RuntimeError, match="concurrent commit"):
         lake._commit(stale, dirty=set())
+
+
+def test_concurrent_manifest_write_fails_loudly(spark, tmp_path):
+    """Even if two writers race past the HEAD check (the non-atomic
+    check-then-act window), the manifest file itself is written with
+    mode 'x' so the second writer fails on the unique v{N+1}.json
+    instead of silently clobbering the first (ADVICE r02)."""
+    lake = LakeTable.create(spark, str(tmp_path / "ccx"), SCHEMA, KEY, n_buckets=4)
+    a = lake._load_meta()
+    b = lake._load_meta()
+    a.version += 1
+    lake._commit(a, dirty=set())
+    b.version += 1
+    b._loaded_from = a.version  # simulate B passing the HEAD check in the window
+    with pytest.raises(FileExistsError):
+        lake._commit(b, dirty=set())

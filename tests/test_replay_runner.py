@@ -293,3 +293,46 @@ def test_multi_target_runner_routes_quarantine(spark, tmp_path):
     assert rows(quar) == [("z", 1, "sus")]
     # the DDL routed to the transcripts lake only
     assert "rating" in main.read().columns and "rating" not in quar.read().columns
+
+
+def test_ddl_filter_applies_to_swap_replay(spark, tmp_path):
+    """A rule ignoring drop_column must also suppress it when the same
+    action arrives buffered through a gh-ost swap replay (ADVICE r02:
+    the rename_table branch bypassed _ddl_filtered)."""
+    from dm_spark.config import DdlFilterRule
+
+    cfg = TaskConfig(
+        routes=[RouteRule(pattern="shard_*.t", target="transcripts")],
+        ddl_filters=[DdlFilterRule(pattern="shard_*.t", ignore_kinds=["drop_column"])],
+    )
+    lake = LakeTable.create(spark, str(tmp_path / "lake_sf"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    ddls = [
+        DdlEvent("drop_column", "shard_0._t_gho", 0, 2, column="role"),
+        DdlEvent("add_column", "shard_0._t_gho", 0, 3, column="rating", new_type="int"),
+        DdlEvent("rename_table", "shard_0._t_gho", 0, 4, target_table="shard_0.t"),
+    ]
+    runner.replay(ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)]), ddls)
+    cols = {f["name"] for f in lake.schema_fields()}
+    assert "role" in cols  # drop suppressed through the swap
+    assert "rating" in cols  # non-filtered buffered DDL still replayed
+
+
+def test_pipeline_splits_on_configured_key(spark, tmp_path):
+    """ApplyPipeline must split key-moving updates on the TASK's key,
+    not the feed default (ADVICE r02: flatten_changes was called
+    without key=c.key, so a conv_id-keyed task never split updates
+    that move conv_id)."""
+    cfg = TaskConfig(
+        key=["conv_id"],
+        routes=[RouteRule(pattern="shard_*.t", target="transcripts")],
+    )
+    old = ("a", 1, "user", "v1", None, T(1))
+    new = ("b", 1, "user", "v1", None, T(1))
+    env = spark.createDataFrame(
+        [("U", old, new, "shard_0.t", 0, 5, T(5), 0)],
+        __import__("dm_spark.feed", fromlist=["ENVELOPE_DDL"]).ENVELOPE_DDL,
+    )
+    flat = ApplyPipeline(cfg).transform(env)
+    got = sorted((r.op, r.conv_id) for r in flat.collect())
+    assert got == [("D", "a"), ("U", "b")]
