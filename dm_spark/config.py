@@ -92,6 +92,10 @@ class ColumnMappingRule:
 class TaskConfig:
     target_table: str = "transcripts"
     key: list[str] = field(default_factory=lambda: ["conv_id", "turn_idx"])
+    # fallback unique keys for the identity ladder (syncer/dml.go:260-318):
+    # when set, key-moving-update detection and the lake merge identity
+    # use PK -> first usable UK -> full row per change row
+    unique_keys: list[list[str]] = field(default_factory=list)
     # block/allow: allow wins if set; then deny drops (dm/config/task.go:323)
     allow_tables: list[str] = field(default_factory=list)
     deny_tables: list[str] = field(default_factory=list)
@@ -111,7 +115,7 @@ class TaskConfig:
     @staticmethod
     def from_dict(d: dict) -> "TaskConfig":
         c = TaskConfig()
-        for k in ("target_table", "key", "allow_tables", "deny_tables",
+        for k in ("target_table", "key", "unique_keys", "allow_tables", "deny_tables",
                   "generated_columns", "n_buckets", "shuffle_partitions",
                   "salt_hot_keys", "online_ddl"):
             if k in d:

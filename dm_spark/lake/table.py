@@ -53,6 +53,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dm_spark.operators.identity import ladder_identity_expr
+
 LINEAGE_COLS = ["_cdc_ts", "_cdc_file_seq", "_cdc_pos"]
 HASH_SEED_COL = "__dm_bucket"
 
@@ -93,6 +95,12 @@ class _Meta:
     buckets: dict[str, list[dict]]
     last_batch_id: int = -1
     stream_id: str = ""
+    # unique-key ladder (syncer/dml.go:260-318): when non-empty, the
+    # merge identity per row is PK if all its components are non-null,
+    # else the first all-non-null unique key, else the full row —
+    # bucketing/LWW run on that computed identity, so PK-less or
+    # null-key rows merge correctly on their UK.
+    unique_keys: list = field(default_factory=list)
     lww_strategy: str = "sort"  # "sort" (window; codegen, fastest) | "hash" (max_by agg)
     write_mode: str = "cow"  # "cow" (read+rewrite touched buckets) | "mor" (append deltas)
     applied_ddl: list[dict] = field(default_factory=list)
@@ -136,13 +144,40 @@ def _norm_key_cols(key: list[str], fields: list[dict]) -> list:
     return [F.col(k).cast(_norm_class(types.get(k, "string"))) for k in key]
 
 
-def _bucket_expr(key: list[str], n_buckets: int, fields: list[dict]):
+def _merge_key_exprs(meta: "_Meta") -> list:
+    """The column expressions the merge buckets, shuffles and LWW-groups
+    on. Plain tables: the declared PK normalized by widening class.
+    Tables with `unique_keys`: ONE canonical ladder-identity string
+    (PK rung if the row's PK components are all non-null, else the
+    first all-non-null UK, else the full row) — the reference's per-row
+    WHERE-identity selection (syncer/dml.go:260-318) driving the merge
+    key itself. Normalization casts keep in-class widenings (int ->
+    bigint) from moving rows across buckets in either mode."""
+    fields = meta.fields()
+    if meta.unique_keys:
+        cast_to = {f["name"]: _norm_class(f["type"]) for f in fields}
+        # labels are STABLE field ids, not names — a rename must not
+        # re-render (and so re-bucket) every row's identity
+        labels = {f["name"]: str(f["id"]) for f in fields}
+        return [
+            ladder_identity_expr(
+                meta.key,
+                [list(uk) for uk in meta.unique_keys],
+                [f["name"] for f in fields],
+                cast_to=cast_to,
+                labels=labels,
+            )
+        ]
+    return _norm_key_cols(meta.key, fields)
+
+
+def _bucket_expr(meta: "_Meta"):
     """Bucket id == Spark's own shuffle slot for `repartition(B, keys)`:
     pmod(murmur3(keys), B). This identity lets the merge write FLAT
     parquet (no dynamic-partition writer, ~2x faster commit) — the
     output task index IS the bucket id, recovered from part-NNNNN file
     names for the manifest."""
-    return F.pmod(F.hash(*_norm_key_cols(key, fields)), F.lit(n_buckets)).cast("int")
+    return F.pmod(F.hash(*_merge_key_exprs(meta)), F.lit(meta.n_buckets)).cast("int")
 
 
 class LakeTable:
@@ -247,21 +282,35 @@ class LakeTable:
         n_buckets: int = 32,
         lww_strategy: str = "sort",
         write_mode: str = "cow",
+        unique_keys: list[list[str]] | None = None,
     ) -> "LakeTable":
         """schema: [(name, spark simpleString type), ...]; key ⊆ schema.
         lww_strategy: "sort" = window row_number (whole-stage codegen
         sort — measured fastest: 148k vs 91k events/s at local[16] on
         the decode+apply kernel; max_by's ObjectHashAggregate copies the
         wide text struct per update), "hash" = max_by aggregation.
-        Both are one shuffle."""
+        Both are one shuffle.
+
+        `unique_keys`: ordered fallback unique keys for tables whose PK
+        components may be null (shard merges with heterogeneous
+        indexes). When set, each row's merge identity is picked by the
+        reference's ladder — PK if usable, else the first all-non-null
+        UK, else the full row (syncer/dml.go:260-318) — see
+        :func:`_merge_key_exprs`."""
         t = cls(spark, path)
         if t.exists:
             raise ValueError(f"table already exists at {path}")
         fields = [{"id": i + 1, "name": n, "type": ty} for i, (n, ty) in enumerate(schema)]
         names = [f["name"] for f in fields]
+        if not key and not unique_keys:
+            raise ValueError("a table needs a key or unique_keys (or both)")
         for k in key:
             if k not in names:
                 raise ValueError(f"key column {k} not in schema")
+        for uk in unique_keys or []:
+            for k in uk:
+                if k not in names:
+                    raise ValueError(f"unique key column {k} not in schema")
         meta = _Meta(
             version=0,
             schema_version=0,
@@ -273,6 +322,7 @@ class LakeTable:
             totals={"rows_upserted": 0, "rows_deleted": 0, "batches": 0},
             lww_strategy=lww_strategy,
             write_mode=write_mode,
+            unique_keys=[list(uk) for uk in unique_keys or []],
         )
         t._commit(meta)
         return t
@@ -328,7 +378,7 @@ class LakeTable:
             return self.spark.createDataFrame([], ddl)
         if has_delta:
             payload = [f["name"] for f in meta.fields()]
-            w = Window.partitionBy(*_norm_key_cols(meta.key, meta.fields())).orderBy(
+            w = Window.partitionBy(*_merge_key_exprs(meta)).orderBy(
                 *[F.col(c).desc() for c in LINEAGE_COLS]
             )
             df = (
@@ -377,9 +427,19 @@ class LakeTable:
         if pre_reduce:
             from dm_spark.operators.dedup import lww_latest_salted
 
-            changes = lww_latest_salted(
-                changes, meta.key, LINEAGE_COLS, n_salts=pre_reduce
-            )
+            if meta.unique_keys:
+                # ladder tables pre-reduce on the computed identity (the
+                # PK alone would conflate all null-PK rows into one key)
+                changes = self._tolerant(changes, meta).withColumn(
+                    "__dm_ident", _merge_key_exprs(meta)[0]
+                )
+                changes = lww_latest_salted(
+                    changes, ["__dm_ident"], LINEAGE_COLS, n_salts=pre_reduce
+                ).drop("__dm_ident")
+            else:
+                changes = lww_latest_salted(
+                    changes, meta.key, LINEAGE_COLS, n_salts=pre_reduce
+                )
         if stream_id is not None and stream_id != meta.stream_id:
             # a new streaming query (fresh checkpoint) restarts batch ids
             # at 0; the monotone gate is only valid within one stream.
@@ -389,7 +449,7 @@ class LakeTable:
         if batch_id is not None and batch_id <= meta.last_batch_id:
             return MergeStats(version=meta.version, batch_id=batch_id, skipped=True)
 
-        bexpr = _bucket_expr(meta.key, meta.n_buckets, meta.fields())
+        bexpr = _bucket_expr(meta)
         # merge makes two passes over the incoming batch (bucket/stats
         # agg, then the LWW merge) — persist so an expensive upstream
         # (pandas-UDF wire decode) runs once. MEMORY_AND_DISK: a micro-
@@ -474,8 +534,9 @@ class LakeTable:
             F.max(F.struct("_cdc_file_seq", "_cdc_pos")).alias("loc"),
             F.max("_cdc_ts").alias("mts"),
         )
-        nkeys = [f"__k{i}" for i in range(len(key))]
-        for n, c in zip(nkeys, _norm_key_cols(key, meta.fields())):
+        kexprs = _merge_key_exprs(meta)
+        nkeys = [f"__k{i}" for i in range(len(kexprs))]
+        for n, c in zip(nkeys, kexprs):
             inc = inc.withColumn(n, c)
         obs = Observation()
         rep = inc.repartition(meta.n_buckets, *[F.col(n) for n in nkeys])
@@ -517,8 +578,9 @@ class LakeTable:
         base = self._read_files(meta, entries, with_lineage=True, with_op=True)
         if base is None:
             return 0
-        nkeys = [f"__k{i}" for i in range(len(meta.key))]
-        for n, c in zip(nkeys, _norm_key_cols(meta.key, meta.fields())):
+        kexprs = _merge_key_exprs(meta)
+        nkeys = [f"__k{i}" for i in range(len(kexprs))]
+        for n, c in zip(nkeys, kexprs):
             base = base.withColumn(n, c)
         rep = base.repartition(meta.n_buckets, *[F.col(n) for n in nkeys])
         out = (
@@ -554,8 +616,9 @@ class LakeTable:
         base = self._read_files(meta, entries, with_lineage=True, with_op=True)
         meta.buckets = {str(b): [] for b in range(n_buckets)}
         if base is not None:
-            nkeys = [f"__k{i}" for i in range(len(meta.key))]
-            for n, c in zip(nkeys, _norm_key_cols(meta.key, meta.fields())):
+            kexprs = _merge_key_exprs(meta)
+            nkeys = [f"__k{i}" for i in range(len(kexprs))]
+            for n, c in zip(nkeys, kexprs):
                 base = base.withColumn(n, c)
             rep = base.repartition(n_buckets, *[F.col(n) for n in nkeys])
             out = (
@@ -670,8 +733,9 @@ class LakeTable:
         # reuses that clustering — single shuffle, no sort (hash agg
         # scales better with cores than a window sort and replaces the
         # reference's per-queue ordered apply, syncer/dml_worker.go).
-        nkeys = [f"__k{i}" for i in range(len(key))]
-        for n, c in zip(nkeys, _norm_key_cols(key, meta.fields())):
+        kexprs = _merge_key_exprs(meta)
+        nkeys = [f"__k{i}" for i in range(len(kexprs))]
+        for n, c in zip(nkeys, kexprs):
             merged = merged.withColumn(n, c)
         obs = Observation()
         rep = merged.repartition(meta.n_buckets, *[F.col(n) for n in nkeys])
@@ -764,7 +828,7 @@ class LakeTable:
             .withColumn("_cdc_file_seq", F.lit(-1).cast("long"))
             .withColumn("_cdc_pos", F.lit(-1).cast("long"))
         )
-        out = out.repartition(meta.n_buckets, *_norm_key_cols(meta.key, meta.fields()))
+        out = out.repartition(meta.n_buckets, *_merge_key_exprs(meta))
         commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}-{uuid.uuid4().hex[:8]}")
         out.write.mode("errorifexists").parquet(commit_dir)
         meta.buckets = {str(b): [] for b in range(meta.n_buckets)}
@@ -811,9 +875,18 @@ class LakeTable:
         elif kind == "rename_column":
             if action["column"] in meta.key:
                 raise ValueError("cannot rename a key column")
+            # unique-key columns MAY rename: identity labels are stable
+            # field ids, so no row re-buckets — just keep the declared
+            # unique_keys in sync with the new name
+            meta.unique_keys = [
+                [action["new_name"] if c == action["column"] else c for c in uk]
+                for uk in meta.unique_keys
+            ]
             names[action["column"]]["name"] = action["new_name"]
         elif kind == "widen_type":
-            if action["column"] in meta.key:
+            if action["column"] in meta.key or any(
+                action["column"] in uk for uk in meta.unique_keys
+            ):
                 old_t = names[action["column"]]["type"]
                 if _norm_class(old_t) != _norm_class(action["new_type"]):
                     raise ValueError(
@@ -825,6 +898,8 @@ class LakeTable:
         elif kind == "drop_column":
             if action["column"] in meta.key:
                 raise ValueError("cannot drop a key column")
+            if any(action["column"] in uk for uk in meta.unique_keys):
+                raise ValueError("cannot drop a unique-key identity column")
             fields = [f for f in fields if f["name"] != action["column"]]
         else:
             raise ValueError(f"unknown ddl action {kind}")

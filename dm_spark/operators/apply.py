@@ -21,10 +21,45 @@ from dm_spark.operators.mapping import apply_column_mappings, prune_generated_co
 from dm_spark.operators.router import route_tables
 
 
+def _img_ladder_identity(
+    img, pk: list[str], unique_keys: list[list[str]], payload_fields: list[str]
+):
+    """Ladder identity of one envelope image (struct column) — the
+    envelope-side twin of identity.ladder_identity_expr, used only to
+    DETECT identity movement between before/after (never persisted, so
+    plain field names are fine as labels)."""
+
+    def usable(cols):
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & img.getField(c).isNotNull()
+        return cond
+
+    def keystr(kind, cols):
+        parts = [
+            F.concat(F.lit(f"{c}="), img.getField(c).cast("string")) for c in cols
+        ]
+        return F.concat_ws("\x1f", F.lit(kind), *parts)
+
+    rungs = ([("pk", pk)] if pk else []) + [
+        (f"uk{i}", uk) for i, uk in enumerate(unique_keys) if uk
+    ]
+    expr = None
+    for kind, cols in rungs:
+        expr = (
+            F.when(usable(cols), keystr(kind, cols))
+            if expr is None
+            else expr.when(usable(cols), keystr(kind, cols))
+        )
+    fallback = keystr("full_row", payload_fields)
+    return fallback if expr is None else expr.otherwise(fallback)
+
+
 def flatten_changes(
     df: DataFrame,
     payload_fields: list[str] | None = None,
     key: list[str] | None = None,
+    unique_keys: list[list[str]] | None = None,
 ) -> DataFrame:
     """Envelope -> flat change rows for MERGE.
 
@@ -42,6 +77,12 @@ def flatten_changes(
     pos) cannot create an LWW tie. Implemented as an explode of a 1- or
     2-element struct array — one pass over the input (no double scan of
     an expensive upstream decode), stays in codegen.
+
+    `unique_keys` (ladder-identity tables): the split fires when the
+    row's LADDER identity moved — PK if usable, else first all-non-null
+    UK, else full row (syncer/dml.go:260-318) — which also covers rung
+    transitions (an update that fills a previously-null PK deletes the
+    old UK-identified row and upserts under the PK identity).
     """
     if payload_fields is None:
         payload_fields = df.schema["after"].dataType.fieldNames()
@@ -58,14 +99,19 @@ def flatten_changes(
         F.col("file_seq").alias("_cdc_file_seq"),
         F.col("pos").alias("_cdc_pos"),
     ]
-    if not key:
+    if not key and not unique_keys:
         # no identity columns known: plain flatten (no split possible)
         return df.select(
             *keep, *[img.getField(f).alias(f) for f in payload_fields], op, *lineage
         )
-    moved = F.lit(False)
-    for k in key:
-        moved = moved | ~before.getField(k).eqNullSafe(after.getField(k))
+    if unique_keys:
+        b_id = _img_ladder_identity(before, key, unique_keys, payload_fields)
+        a_id = _img_ladder_identity(after, key, unique_keys, payload_fields)
+        moved = ~b_id.eqNullSafe(a_id)
+    else:
+        moved = F.lit(False)
+        for k in key:
+            moved = moved | ~before.getField(k).eqNullSafe(after.getField(k))
     moved = (op == "U") & before.isNotNull() & after.isNotNull() & moved
     main = F.struct(op.alias("op"), *[img.getField(f).alias(f) for f in payload_fields])
     dhalf = F.struct(
@@ -105,8 +151,9 @@ class ApplyPipeline:
         df = route_tables(df, c.routes)
         # the configured key drives the key-changing-update split — a
         # task keyed differently from the feed default must still split
-        # moved identities into DELETE(old)+upsert(new) (ADVICE r02)
-        return flatten_changes(df, key=c.key)
+        # moved identities into DELETE(old)+upsert(new) (ADVICE r02);
+        # unique_keys switches the split to ladder-identity movement
+        return flatten_changes(df, key=c.key, unique_keys=c.unique_keys or None)
 
     def apply_batch(self, lakes: dict[str, "LakeTable"], batch: DataFrame, batch_id: int | None = None) -> dict:
         """Route-partitioned MERGE: one atomic commit per target table.

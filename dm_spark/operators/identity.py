@@ -57,3 +57,76 @@ def identity_key(
     kind = kind.otherwise(F.lit("full_row"))
     key = key.otherwise(keystr("full_row", payload_fields))
     return df.withColumn("identity_kind", kind).withColumn("identity_key", key)
+
+
+def ladder_identity_expr(
+    pk: list[str],
+    unique_keys: list[list[str]],
+    payload_fields: list[str],
+    cast_to: dict[str, str] | None = None,
+    labels: dict[str, str] | None = None,
+) -> Column:
+    """The same PK -> UK -> full-row ladder as :func:`identity_key`, but
+    over FLAT change/base rows (post-`flatten_changes` payload columns)
+    — this is the expression `LakeTable` buckets, shuffles and LWW-
+    groups on when the table declares `unique_keys`, making the ladder
+    drive the MERGE identity itself (syncer/dml.go:260-318
+    `findFitIndex`/`getAvailableIndexColumn`; WHERE columns
+    :472-493). Pure Catalyst when/concat chain, stays in codegen.
+
+    Canonical-string stability (the identity is hashed into the bucket
+    id, so it must never change for a logical row across schema
+    evolution):
+
+    - `labels` maps column -> a STABLE label (LakeTable passes the
+      field id) so renames don't re-render — and so re-bucket — rows;
+    - `cast_to` maps column -> widening-class type so an in-class
+      widening (int -> bigint) renders the same string;
+    - NULL-valued parts are skipped entirely (not rendered as a
+      marker), so `add_column` doesn't perturb the full-row identities
+      of existing rows; pk/uk rungs require all components non-null,
+      so skipping only ever applies to the full-row rung, where
+      distinct null layouts still render distinct strings because each
+      part carries its own label.
+
+    Semantics note (shared with the reference): a logical row must keep
+    a stable rung — the reference's WHERE hits the same downstream row
+    through any usable index, but a keyed merge identifies a row by one
+    canonical key; a row whose events alternate between a null and a
+    non-null PK image would split. The precheck's identity validation
+    covers declaring usable keys up front.
+    """
+
+    def part(c: str) -> Column:
+        col = F.col(c)
+        if cast_to and c in cast_to:
+            col = col.cast(cast_to[c])
+        label = labels.get(c, c) if labels else c
+        # F.concat (not concat_ws) propagates NULL: a null value makes
+        # the whole part NULL, which the outer concat_ws then skips
+        return F.concat(F.lit(f"{label}="), col.cast("string"))
+
+    def usable(cols: list[str]) -> Column:
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.col(c).isNotNull()
+        return cond
+
+    def keystr(kind: str, cols: list[str]) -> Column:
+        return F.concat_ws("\x1f", F.lit(kind), *[part(c) for c in cols])
+
+    # a PK-less table (key=[]) starts the ladder at its unique keys —
+    # an empty rung would otherwise be vacuously "usable" and collapse
+    # every row onto one constant identity
+    rungs = ([("pk", pk)] if pk else []) + [
+        (f"uk{i}", uk) for i, uk in enumerate(unique_keys) if uk
+    ]
+    expr = None
+    for kind, cols in rungs:
+        expr = (
+            F.when(usable(cols), keystr(kind, cols))
+            if expr is None
+            else expr.when(usable(cols), keystr(kind, cols))
+        )
+    fallback = keystr("full_row", payload_fields)
+    return fallback if expr is None else expr.otherwise(fallback)

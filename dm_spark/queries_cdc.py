@@ -92,11 +92,11 @@ def _final_us(lake: LakeTable) -> DataFrame:
 def _replay_through_lake(
     spark: SparkSession, batch: DataFrame, n_batches: int = 4, n_buckets: int = 16,
     schema=None, key=None, write_mode: str = "cow", compact_after: bool = False,
-    pre_reduce: int | None = None,
+    pre_reduce: int | None = None, unique_keys=None,
 ) -> LakeTable:
     lake = LakeTable.create(
         spark, tempfile.mkdtemp(prefix="dm_q_"), schema or SCHEMA, key or KEY,
-        n_buckets=n_buckets, write_mode=write_mode,
+        n_buckets=n_buckets, write_mode=write_mode, unique_keys=unique_keys,
     )
     batch = batch.withColumn(
         "__ord", F.col("_cdc_file_seq") * 1_000_000 + F.col("_cdc_pos")
@@ -309,6 +309,49 @@ def q_key_change_replay(spark, sf_dir):
     return _final_us(_replay_through_lake(spark, batch))
 
 
+def _uk_feed(spark, sf_dir):
+    """The UK-identity fixture: the plain feed (key moves disabled) with
+    a surrogate unique column `uk_id` = original conv_id '#' turn_idx
+    added to both images, and conv_id — a PK component — NULLED on every
+    logical row with turn_idx % 3 = 0. Those rows are unreachable by the
+    declared PK and must merge via the UK rung of the ladder."""
+    feed = change_feed(spark, sf_dir, km_every=None)
+
+    def evolve(name: str):
+        img = F.col(name)
+        uk = F.concat(
+            img.getField("conv_id"), F.lit("#"), img.getField("turn_idx").cast("string")
+        )
+        img2 = img.withField("uk_id", uk)
+        nulled = img2.withField("conv_id", F.lit(None).cast("string"))
+        out = F.when(img2.getField("turn_idx") % 3 == 0, nulled).otherwise(img2)
+        return F.when(img.isNotNull(), out).alias(name)
+
+    return feed.select(
+        "op", evolve("before"), evolve("after"),
+        "source_table", "file_seq", "pos", "ts", "txn_id",
+    )
+
+
+def q_uk_identity_replay(spark, sf_dir):
+    """Identity-ladder merge (VERDICT r02 #1): replay a feed whose U/D
+    rows carry null PK components into a lake declaring
+    unique_keys=[['uk_id']] — each row merges on its ladder identity
+    (PK if usable, else the UK), the reference's per-row WHERE-identity
+    (syncer/dml.go:260-318, whereColumnsAndValues :472-493; the
+    downstream_more_column / UK-identity suite shape)."""
+    feed = _uk_feed(spark, sf_dir)
+    batch = flatten_changes(feed, key=KEY, unique_keys=[["uk_id"]])
+    lake = _replay_through_lake(
+        spark, batch, schema=SCHEMA + [("uk_id", "string")], key=KEY,
+        unique_keys=[["uk_id"]],
+    )
+    return lake.read().select(
+        "conv_id", "turn_idx", "uk_id", "role", "text", "tool",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
 def q_lineage_counts(spark, sf_dir):
     return (
         change_feed(spark, sf_dir)
@@ -469,6 +512,7 @@ QUERIES = {
     "cdc_shard_merge_mapped": q_shard_merge_mapped,
     "cdc_safe_mode_replay": q_safe_mode_replay,
     "cdc_key_change_replay": q_key_change_replay,
+    "cdc_uk_identity_replay": q_uk_identity_replay,
     "cdc_lineage_counts": q_lineage_counts,
     "cdc_checkpoint_locations": q_checkpoint_locations,
     "cdc_ddl_evolution": q_ddl_evolution,
@@ -553,6 +597,28 @@ ORACLES = {
     ),
     "cdc_safe_mode_replay": _with_feed(_REPLAY),
     "cdc_key_change_replay": _with_feed(_REPLAY, feed=feed_sql(km_every=1)),
+    # ladder identity: PK rung when conv_id (the nullable PK component)
+    # is present, else the UK rung on uk_id — expressed as a COALESCE
+    # over the rung key renderings ('pk|...' is NULL iff conv_id is)
+    "cdc_uk_identity_replay": _with_feed(
+        """aug AS (
+          SELECT op,
+                 CASE WHEN turn_idx % 3 = 0 THEN NULL ELSE conv_id END AS conv_id,
+                 turn_idx,
+                 conv_id || '#' || CAST(turn_idx AS VARCHAR) AS uk_id,
+                 role, text, tool, ts, file_seq, pos
+          FROM feed),
+        latest AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY coalesce(
+              'pk|' || conv_id || '|' || CAST(turn_idx AS VARCHAR),
+              'uk|' || uk_id)
+            ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn
+          FROM aug)
+        SELECT conv_id, turn_idx, uk_id, role, text, tool, epoch_us(ts) AS ts_us
+        FROM latest WHERE rn = 1 AND op <> 'D'""",
+        feed=feed_sql(km_every=None),
+    ),
     "cdc_lineage_counts": (
         f"WITH feed AS ({FEED_SQL}) "
         "SELECT source_table, op, count(*) AS n FROM feed GROUP BY 1, 2"
