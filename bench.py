@@ -53,6 +53,7 @@ HEADLINE = [
     "doc_ngram_jaccard",
     "emb_ann_lsh",
     "emb_ann_ivf",
+    "emb_near_dup_lsh",
 ]
 
 RECALL_SF_DIR = os.environ.get("DM_BENCH_RECALL_SF_DIR", "/root/testdata/sf0.01")
@@ -61,8 +62,15 @@ RECALL_SF_DIR = os.environ.get("DM_BENCH_RECALL_SF_DIR", "/root/testdata/sf0.01"
 def _ann_recall(spark) -> dict:
     """recall@3 of the ANN scale paths vs the exact baseline, at a small
     sf where brute force is the oracle, not the plan."""
-    from dm_spark.functions.similarity import cosine_topk_bruteforce
-    from dm_spark.queries_corpus import q_emb_ann_ivf, q_emb_ann_lsh
+    from dm_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        embedding_near_dup_pairs,
+    )
+    from dm_spark.queries_corpus import (
+        q_emb_ann_ivf,
+        q_emb_ann_lsh,
+        q_emb_near_dup_lsh,
+    )
 
     embs = spark.read.parquet(f"{RECALL_SF_DIR}/embeddings.parquet")
     pairs = lambda df: {  # noqa: E731
@@ -72,9 +80,12 @@ def _ann_recall(spark) -> dict:
     # measure the SHIPPED query defaults, not bespoke parameters
     lsh = pairs(q_emb_ann_lsh(spark, RECALL_SF_DIR))
     ivf = pairs(q_emb_ann_ivf(spark, RECALL_SF_DIR))
+    nd_exact = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(embs, min_cos=0.4).collect()}
+    nd_lsh = {(r.id_a, r.id_b) for r in q_emb_near_dup_lsh(spark, RECALL_SF_DIR).collect()}
     return {
         "ann_recall_lsh": round(len(exact & lsh) / max(1, len(exact)), 3),
         "ann_recall_ivf": round(len(exact & ivf) / max(1, len(exact)), 3),
+        "near_dup_recall_lsh": round(len(nd_exact & nd_lsh) / max(1, len(nd_exact)), 3),
     }
 
 

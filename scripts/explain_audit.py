@@ -125,7 +125,11 @@ def main() -> int:
         ngram_jaccard_pairs,
         simhash_near_pairs,
     )
-    from dm_spark.functions.similarity import cosine_topk_ivf, cosine_topk_lsh
+    from dm_spark.functions.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        embedding_near_dup_pairs_lsh,
+    )
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     embs = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -135,6 +139,7 @@ def main() -> int:
         "simhash": simhash_near_pairs(docs),
         "ann_lsh": cosine_topk_lsh(embs, n_planes=6),
         "ann_ivf": cosine_topk_ivf(embs, n_lists=16),
+        "emb_near_dup_lsh": embedding_near_dup_pairs_lsh(embs, n_planes=6),
     }
     bad = []
     for name, df in plans.items():

@@ -3,10 +3,14 @@ brute-force baseline (deterministic seeds — stable assertions)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from dm_spark.functions.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
 )
 
 
@@ -20,14 +24,67 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert len(exact) > 0
 
     ivf = _pairs(cosine_topk_ivf(embs, k=3, n_lists=8, n_probe=2))
-    lsh = _pairs(cosine_topk_lsh(embs, k=3, n_planes=4))
+    # the shipped LSH shape: 4 independent tables + hamming-1 multiprobe
+    lsh = _pairs(cosine_topk_lsh(embs, k=3, n_planes=3, n_tables=4))
 
     recall_ivf = len(exact & ivf) / len(exact)
     recall_lsh = len(exact & lsh) / len(exact)
-    # coarse bounds: the point is the measurement exists and the scale
-    # paths find a meaningful share of true neighbors on random data
     assert recall_ivf >= 0.3, recall_ivf
-    assert recall_lsh >= 0.35, recall_lsh  # multiprobe at 4 planes
+    # VERDICT r02 #1 bar: the LSH-forest path must clear 0.9 recall@3
+    assert recall_lsh >= 0.9, recall_lsh
     # every ANN result must be a real vector pair (sanity)
     ids = {r.vec_id for r in embs.select("vec_id").collect()}
     assert all(a in ids and b in ids for a, b in list(ivf)[:50])
+
+
+def test_lsh_forest_beats_single_table(spark, sf_dir):
+    """The recall lift must come from table independence, not luck:
+    L=4 strictly improves on L=1 at the same planes."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = _pairs(cosine_topk_bruteforce(embs, k=3))
+    r1 = len(exact & _pairs(cosine_topk_lsh(embs, k=3, n_planes=3, n_tables=1))) / len(exact)
+    r4 = len(exact & _pairs(cosine_topk_lsh(embs, k=3, n_planes=3, n_tables=4))) / len(exact)
+    assert r4 > r1, (r1, r4)
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_dir):
+    """Bucketed embedding near-dup (VERDICT r02 missing #3): the LSH
+    candidate join + exact verify must recover >= 0.95 of the exact
+    all-pairs result, with zero false positives (the verify step is an
+    exact cosine filter)."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(embs, min_cos=0.4).collect()}
+    assert len(exact) > 0
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_lsh(embs, min_cos=0.4, n_tables=4).collect()
+    }
+    assert got <= exact  # exact verify: no false positives possible
+    assert len(exact & got) / len(exact) >= 0.95, len(exact & got) / len(exact)
+
+
+def test_ivf_sample_unbiased_on_sorted_input(spark, sf_dir):
+    """VERDICT r02 #2: the IVF quantizer trains on a seeded uniform
+    sample, not limit() (which takes the first partitions scanned).
+    On input SORTED by the first embedding component — the lake-layout
+    bias fixture — recall must match the shuffled-input recall, because
+    the training sample still spans the whole space. sample_size is
+    forced below n so the sample actually selects."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = embs.count()
+    assert n > 128
+    exact = _pairs(cosine_topk_bruteforce(embs, k=3))
+
+    def recall(df):
+        got = _pairs(
+            cosine_topk_ivf(df, k=3, n_lists=8, n_probe=3, sample_size=128, n_rows=n)
+        )
+        return len(exact & got) / len(exact)
+
+    r_plain = recall(embs)
+    sorted_df = embs.orderBy(F.element_at("embedding", 1)).repartitionByRange(
+        4, F.element_at("embedding", 1)
+    )
+    r_sorted = recall(sorted_df)
+    # sorted-layout recall must not collapse relative to the plain run
+    assert r_sorted >= r_plain - 0.1, (r_plain, r_sorted)
