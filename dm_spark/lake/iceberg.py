@@ -34,6 +34,51 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def create_sql(identifier: str, schema_ddl: str, bucket_by: str, n_buckets: int) -> str:
+    """CREATE TABLE text — pure function so the contract test can pin
+    it without an Iceberg runtime on the classpath."""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {identifier} ({schema_ddl}, "
+        f"_cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint) "
+        f"USING iceberg PARTITIONED BY (bucket({n_buckets}, {bucket_by}))"
+    )
+
+
+def merge_sql(identifier: str, key: list[str], payload: list[str], src_view: str = "_dm_src") -> str:
+    """The MERGE INTO text: LWW-guarded matched-update, matched-delete
+    for 'D', not-matched-insert (safe-mode upsert, syncer/dml.go:586-666
+    analog). The `newer` guard makes redelivered (older) events no-ops —
+    the same law the native LakeTable resolves with its window."""
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in key)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in payload)
+    lin_sets = ", ".join(f"t.{c} = s.{c}" for c in LINEAGE_COLS)
+    cols = ", ".join(payload + LINEAGE_COLS)
+    vals = ", ".join(f"s.{c}" for c in payload + LINEAGE_COLS)
+    newer = (
+        "struct(s._cdc_ts, s._cdc_file_seq, s._cdc_pos) > "
+        "struct(t._cdc_ts, t._cdc_file_seq, t._cdc_pos)"
+    )
+    return (
+        f"MERGE INTO {identifier} t USING {src_view} s ON {on}\n"
+        f"WHEN MATCHED AND s.op = 'D' AND {newer} THEN DELETE\n"
+        f"WHEN MATCHED AND s.op <> 'D' AND {newer} THEN UPDATE SET {sets}, {lin_sets}\n"
+        f"WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def ddl_sql(identifier: str, action: dict) -> str:
+    a = action["action"]
+    if a == "add_column":
+        return f"ALTER TABLE {identifier} ADD COLUMN {action['column']} {action['new_type']}"
+    if a == "rename_column":
+        return f"ALTER TABLE {identifier} RENAME COLUMN {action['column']} TO {action['new_name']}"
+    if a == "widen_type":
+        return f"ALTER TABLE {identifier} ALTER COLUMN {action['column']} TYPE {action['new_type']}"
+    if a == "drop_column":
+        return f"ALTER TABLE {identifier} DROP COLUMN {action['column']}"
+    raise ValueError(a)
+
+
 class IcebergTable:
     """MERGE INTO an Iceberg table with the engine's LWW semantics."""
 
@@ -48,47 +93,16 @@ class IcebergTable:
         self.key = key
 
     def create(self, schema_ddl: str, bucket_by: str, n_buckets: int) -> None:
-        self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.identifier} ({schema_ddl}, "
-            f"_cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint) "
-            f"USING iceberg PARTITIONED BY (bucket({n_buckets}, {bucket_by}))"
-        )
+        self.spark.sql(create_sql(self.identifier, schema_ddl, bucket_by, n_buckets))
 
     def merge_into(self, changes: DataFrame, batch_id: int | None = None) -> None:
         src = lww_latest(changes, self.key, LINEAGE_COLS)
         src.createOrReplaceTempView("_dm_src")
-        on = " AND ".join(f"t.{k} = s.{k}" for k in self.key)
         payload = [c for c in src.columns if c not in ("op", *LINEAGE_COLS)]
-        sets = ", ".join(f"t.{c} = s.{c}" for c in payload)
-        lin_sets = ", ".join(f"t.{c} = s.{c}" for c in LINEAGE_COLS)
-        cols = ", ".join(payload + LINEAGE_COLS)
-        vals = ", ".join(f"s.{c}" for c in payload + LINEAGE_COLS)
-        newer = (
-            "struct(s._cdc_ts, s._cdc_file_seq, s._cdc_pos) > "
-            "struct(t._cdc_ts, t._cdc_file_seq, t._cdc_pos)"
-        )
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.identifier} t USING _dm_src s ON {on}
-            WHEN MATCHED AND s.op = 'D' AND {newer} THEN DELETE
-            WHEN MATCHED AND s.op <> 'D' AND {newer} THEN UPDATE SET {sets}, {lin_sets}
-            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT ({cols}) VALUES ({vals})
-            """
-        )
+        self.spark.sql(merge_sql(self.identifier, self.key, payload))
 
     def read(self) -> DataFrame:
         return self.spark.table(self.identifier).drop(*LINEAGE_COLS)
 
     def apply_ddl(self, action: dict) -> None:
-        a = action["action"]
-        t = self.identifier
-        if a == "add_column":
-            self.spark.sql(f"ALTER TABLE {t} ADD COLUMN {action['column']} {action['new_type']}")
-        elif a == "rename_column":
-            self.spark.sql(f"ALTER TABLE {t} RENAME COLUMN {action['column']} TO {action['new_name']}")
-        elif a == "widen_type":
-            self.spark.sql(f"ALTER TABLE {t} ALTER COLUMN {action['column']} TYPE {action['new_type']}")
-        elif a == "drop_column":
-            self.spark.sql(f"ALTER TABLE {t} DROP COLUMN {action['column']}")
-        else:
-            raise ValueError(a)
+        self.spark.sql(ddl_sql(self.identifier, action))

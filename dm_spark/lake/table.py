@@ -104,6 +104,10 @@ class _Meta:
     lww_strategy: str = "sort"  # "sort" (window; codegen, fastest) | "hash" (max_by agg)
     write_mode: str = "cow"  # "cow" (read+rewrite touched buckets) | "mor" (append deltas)
     applied_ddl: list[dict] = field(default_factory=list)
+    # obsolete-DDL gate: max (file_seq, pos, suffix) applied so far —
+    # the gate only needs the high water mark, so applied_ddl can stay
+    # a bounded tail window instead of a decade of history
+    ddl_high_water: list = field(default_factory=lambda: [-1, -1, -1])
     lineage: list[dict] = field(default_factory=list)
     totals: dict = field(default_factory=dict)
     checkpoint: dict = field(default_factory=dict)  # {file_seq, pos} global point
@@ -208,6 +212,11 @@ class LakeTable:
             d = json.loads(f.read())
         d.setdefault("buckets", {})
         meta = _Meta(**d)
+        if meta.applied_ddl and tuple(meta.ddl_high_water) == (-1, -1, -1):
+            # manifest written before ddl_high_water existed: derive it
+            # (applied_ddl is strictly increasing in location)
+            last = meta.applied_ddl[-1]
+            meta.ddl_high_water = [last["file_seq"], last["pos"], last.get("suffix", 0)]
         for rel in meta.bucket_chunks.values():
             with open(os.path.join(self.meta_dir, rel)) as f:
                 meta.buckets.update(json.load(f))
@@ -226,6 +235,13 @@ class LakeTable:
         check-then-swap window is not atomic on a plain filesystem — a
         real deployment gets the true CAS from the Iceberg/catalog
         commit — but it converts silent clobbering into a loud error."""
+        # bounded metadata (VERDICT r02 #3): the obsolete-DDL gate needs
+        # only ddl_high_water, so applied_ddl keeps a tail window; schema
+        # versions no longer referenced by any live data file are
+        # dropped (the field-id projection needs exactly the live set) —
+        # a decade of hourly DDL no longer inflates every commit
+        meta.applied_ddl = meta.applied_ddl[-200:]
+        self._prune_schema_history(meta)
         loaded = getattr(meta, "_loaded_from", None)
         if loaded is not None and self.exists:
             cur = self._head_version()
@@ -843,6 +859,18 @@ class LakeTable:
         self._commit(meta)
         return meta.version
 
+    def truncate(self) -> int:
+        """TRUNCATE TABLE: one snapshot commit that empties every bucket
+        (schema, key and checkpoint preserved; prior snapshots remain
+        time-travelable until vacuum)."""
+        meta = self._load_meta()
+        meta.buckets = {str(b): [] for b in range(meta.n_buckets)}
+        meta.version += 1
+        meta.lineage.append({"version": meta.version, "truncated": True})
+        meta.lineage = meta.lineage[-200:]
+        self._commit(meta)  # every chunk rewrites (all buckets changed)
+        return meta.version
+
     # --------------------------------------------------------------- ddl
     def apply_ddl(self, action: dict) -> bool:
         """Apply one schema action; returns False if obsolete (already
@@ -859,9 +887,8 @@ class LakeTable:
         """
         meta = self._load_meta()
         loc = (action.get("file_seq", 0), action.get("pos", 0), action.get("suffix", 0))
-        for d in meta.applied_ddl:
-            if (d["file_seq"], d["pos"], d.get("suffix", 0)) >= loc:
-                return False
+        if tuple(meta.ddl_high_water) >= loc:
+            return False
         fields = [dict(f) for f in meta.fields()]
         kind = action["action"]
         names = {f["name"]: f for f in fields}
@@ -905,6 +932,7 @@ class LakeTable:
             raise ValueError(f"unknown ddl action {kind}")
         meta.schema_version += 1
         meta.schema_history[str(meta.schema_version)] = fields
+        meta.ddl_high_water = list(loc)
         meta.applied_ddl.append(
             {
                 "action": kind,
@@ -920,6 +948,14 @@ class LakeTable:
         meta.version += 1
         self._commit(meta, dirty=set())
         return True
+
+    @staticmethod
+    def _prune_schema_history(meta: _Meta) -> None:
+        live = {e["schema_version"] for lst in meta.buckets.values() for e in lst}
+        live.add(meta.schema_version)
+        meta.schema_history = {
+            sv: f for sv, f in meta.schema_history.items() if int(sv) in live
+        }
 
     # ------------------------------------------------------------ maint
     def vacuum(self) -> int:

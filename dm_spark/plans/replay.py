@@ -58,6 +58,10 @@ class DdlEvent:
     new_type: str | None = None
     target_table: str | None = None  # for rename_table
     suffix: int = 0
+    # create_table payload: declared columns / primary key / unique keys
+    columns: list | None = None  # [(name, spark type), ...]
+    key: list | None = None
+    unique_keys: list | None = None
 
     def loc(self) -> tuple[int, int, int]:
         return (self.file_seq, self.pos, self.suffix)
@@ -92,6 +96,13 @@ class ReplayRunner:
     # members' schemas and applies the DERIVED diff to the lake, while
     # lagging shards keep writing the old shape (merge null-fills).
     optimistic_group: list[str] | None = None
+    # root dir for lakes auto-created by CREATE TABLE events (optional;
+    # without it CREATE only seeds the schema tracker)
+    lake_root: str | None = None
+    # sources dropped mid-stream (DROP TABLE): their later DMLs are
+    # filtered — the reference deletes the table's checkpoint and the
+    # shard member leaves its group (syncer/syncer.go:2306-2317)
+    dropped_tables: set = field(default_factory=set)
     applied_ddl: list[dict] = field(default_factory=list)
     # upstream column name -> current downstream name, built from applied
     # renames (the schema-tracker name mapping: upstream images keep the
@@ -132,6 +143,12 @@ class ReplayRunner:
     def handle_ddl(self, ev: DdlEvent) -> list[dict]:
         """Operator chain for one DDL; returns the actions actually
         applied to the lake (possibly empty)."""
+        if ev.action in ("create_table", "drop_table", "truncate_table"):
+            if self._ddl_filtered(ev.source_table, ev.to_action()):
+                return []
+            if not self.error_ops.resolve(ev.to_action()):
+                return []  # user skip operator at this location
+            return self._handle_table_ddl(ev)
         if ev.action == "rename_table":
             replay = self.online_ddl.on_rename(ev.source_table, ev.target_table)
             applied = []
@@ -165,6 +182,71 @@ class ReplayRunner:
                 applied += self._optimistic_sync(ev.source_table, act)
             return applied
         return self._apply_resolved(ev.source_table, action)
+
+    def _handle_table_ddl(self, ev: DdlEvent) -> list[dict]:
+        """CREATE / DROP / TRUNCATE TABLE with the reference's
+        shard-mode pre-filter semantics (syncer/syncer.go:2299-2337):
+
+        - CREATE seeds the schema tracker for the source; if the routed
+          target has no lake yet and `lake_root` is set, the lake is
+          created from the declared columns/key/unique_keys.
+        - DROP makes the source LEAVE its shard group (pessimistic
+          `sgk.LeaveGroup`) / the optimistic group, drops its tracked
+          schema, and filters its later DMLs (`DeleteTablePoint`
+          analog). The merged target's data is never destroyed — the
+          lake model keeps committed snapshots; a non-shard task that
+          truly wants the target gone removes the lake itself.
+        - TRUNCATE of a shard-group member is filtered (the reference
+          logs and skips it in both shard modes); un-grouped sources
+          truncate the routed target lake in one snapshot commit.
+        """
+        target = self.pipeline.config.route_of(ev.source_table)
+        rec = {
+            "action": ev.action, "table": ev.source_table,
+            "file_seq": ev.file_seq, "pos": ev.pos, "suffix": ev.suffix,
+        }
+        if ev.action == "create_table":
+            self.registry.seed(ev.source_table, [tuple(c) for c in ev.columns or []])
+            self.dropped_tables.discard(ev.source_table)
+            if target not in self.lakes and self.lake_root is not None and ev.columns:
+                import os
+
+                self.lakes[target] = LakeTable.create(
+                    self.lake.spark,
+                    os.path.join(self.lake_root, target),
+                    [tuple(c) for c in ev.columns],
+                    list(ev.key or []),
+                    unique_keys=[list(u) for u in ev.unique_keys or []] or None,
+                )
+            self.applied_ddl.append(rec)
+            return [rec]
+        grouped = False
+        if self.barrier is not None:
+            tgt = self.barrier.group_of(ev.source_table)
+            if tgt is not None:
+                grouped = True
+                if ev.action == "drop_table":
+                    self.barrier.groups[tgt] = [
+                        m for m in self.barrier.groups[tgt] if m != ev.source_table
+                    ]
+        if self.optimistic_group and ev.source_table in self.optimistic_group:
+            grouped = True
+            if ev.action == "drop_table":
+                self.optimistic_group.remove(ev.source_table)
+        if ev.action == "drop_table":
+            self.registry.schemas.pop(ev.source_table, None)
+            self.dropped_tables.add(ev.source_table)
+            self.applied_ddl.append(rec)
+            return [rec]
+        # truncate_table
+        if grouped:
+            return []  # filtered in shard groups (syncer.go:2318-2321, :2330-2333)
+        lake = self.lakes.get(target)
+        if lake is not None:
+            lake.truncate()
+            self.applied_ddl.append(rec)
+            return [rec]
+        return []
 
     def _optimistic_sync(self, source_table: str, act: dict) -> list[dict]:
         """Optimistic TrySync: update this shard's tracked schema, join
@@ -228,6 +310,25 @@ class ReplayRunner:
         rows routed elsewhere are dropped."""
         blocked = self.barrier.blocked_sources() if self.barrier else set()
         env = envelope
+        if self.dropped_tables:
+            env = env.where(
+                ~F.col("source_table").isin(sorted(self.dropped_tables))
+            )
+        # DML-position error operators (syncer/handle_error.go:32-73):
+        # a user skip at (file_seq, pos) surgically drops the poison row
+        # event(s) at that exact location — Catalyst predicate, pushed
+        # to the scan. (`replace` is a DDL-side concept; for DML the
+        # reference's replacement is likewise injected SQL.)
+        skips = sorted(
+            loc for loc, ov in self.error_ops.ops.items() if ov["kind"] == "skip"
+        )
+        if skips:
+            poison = F.lit(False)
+            for fs, pos in skips:
+                poison = poison | (
+                    (F.col("file_seq") == F.lit(fs)) & (F.col("pos") == F.lit(pos))
+                )
+            env = env.where(~poison)
         if blocked and self.spill is not None:
             # spill the *envelope* rows (pre-flatten keeps full fidelity)
             env, defer_env = split_blocked(envelope, blocked)

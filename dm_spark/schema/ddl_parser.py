@@ -24,7 +24,10 @@ from __future__ import annotations
 
 import re
 
-from dm_spark.plans.replay import DdlEvent
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from dm_spark.plans.replay import DdlEvent
 
 
 class UnsupportedDdl(ValueError):
@@ -110,8 +113,48 @@ def _split_clauses(body: str) -> list[str]:
     return [c for c in out if c]
 
 
-def parse_ddl(sql: str, file_seq: int, pos: int) -> list[DdlEvent]:
+def _parse_create_body(body: str) -> tuple[list, list, list]:
+    """CREATE TABLE body -> (columns, primary key, unique keys).
+    Secondary KEY/INDEX entries are ignored (no physical index here);
+    FOREIGN KEY constraints are unsupported (reference drops them from
+    shard-merge targets anyway)."""
+    cols: list[tuple[str, str]] = []
+    pk: list[str] = []
+    uks: list[list[str]] = []
+
+    def names(arglist: str) -> list[str]:
+        return [re.sub(r"[`\s]|\(\d+\)", "", a) for a in arglist.split(",")]
+
+    for clause in _split_clauses(body):
+        c = clause.strip()
+        if cm := re.match(r"(?i)^PRIMARY KEY \(([^)]*)\)$", c):
+            pk = names(cm.group(1))
+        elif cm := re.match(rf"(?i)^UNIQUE (?:KEY |INDEX )?(?:{_IDENT} )?\(([^)]*)\)$", c):
+            uks.append(names(cm.group(2)))
+        elif re.match(rf"(?i)^(?:KEY|INDEX) {_IDENT} \(", c):
+            continue  # secondary index: no-op on a lake table
+        elif re.match(r"(?i)^(?:CONSTRAINT|FOREIGN KEY)", c):
+            raise UnsupportedDdl(clause)
+        elif cm := re.match(rf"(?i)^{_IDENT} (.+)$", c):
+            name, rest = cm.group(1), cm.group(2)
+            if re.search(r"(?i)\bPRIMARY KEY\b", rest):
+                pk = [name]
+            if re.search(r"(?i)\bUNIQUE\b", rest) and not re.search(
+                r"(?i)\bPRIMARY KEY\b", rest
+            ):
+                uks.append([name])
+            cols.append((name, map_type(rest)))
+        else:
+            raise UnsupportedDdl(clause)
+    return cols, pk, uks
+
+
+def parse_ddl(sql: str, file_seq: int, pos: int) -> list["DdlEvent"]:
     """One DDL statement -> ordered atomic DdlEvents (suffix per clause)."""
+    # deferred: plans.replay imports the schema package back (online-DDL
+    # classify / registry), so a top-level import here is a cycle
+    from dm_spark.plans.replay import DdlEvent
+
     s = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
 
     m = re.match(rf"(?i)^RENAME TABLE {_TABLE} TO {_TABLE}$", s)
@@ -119,6 +162,27 @@ def parse_ddl(sql: str, file_seq: int, pos: int) -> list[DdlEvent]:
         src = _table_name(m.group(1), m.group(2))
         dst = _table_name(m.group(3), m.group(4))
         return [DdlEvent("rename_table", src, file_seq, pos, target_table=dst)]
+
+    # table lifecycle (shard-mode pre-filter surface,
+    # syncer/syncer.go:2299-2337): CREATE / DROP / TRUNCATE TABLE
+    m = re.match(rf"(?i)^CREATE TABLE (?:IF NOT EXISTS )?{_TABLE} \((.*)\)[^)]*$", s)
+    if m:
+        table = _table_name(m.group(1), m.group(2))
+        cols, pk, uks = _parse_create_body(m.group(3))
+        return [
+            DdlEvent(
+                "create_table", table, file_seq, pos,
+                columns=cols, key=pk, unique_keys=uks,
+            )
+        ]
+    m = re.match(rf"(?i)^DROP TABLE (?:IF EXISTS )?{_TABLE}$", s)
+    if m:
+        return [DdlEvent("drop_table", _table_name(m.group(1), m.group(2)), file_seq, pos)]
+    m = re.match(rf"(?i)^TRUNCATE (?:TABLE )?{_TABLE}$", s)
+    if m:
+        return [
+            DdlEvent("truncate_table", _table_name(m.group(1), m.group(2)), file_seq, pos)
+        ]
 
     m = re.match(rf"(?i)^ALTER TABLE {_TABLE} (.*)$", s)
     if not m:

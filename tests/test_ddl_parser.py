@@ -107,3 +107,50 @@ def test_change_key_retype_applies(spark, tmp_path):
         assert lake.apply_ddl(e.to_action())
     types = {f["name"]: f["type"] for f in lake.schema_fields()}
     assert types["turn_idx"] == "bigint"
+
+
+def test_parse_create_table():
+    evs = parse_ddl(
+        "CREATE TABLE IF NOT EXISTS db.t ("
+        " id BIGINT NOT NULL,"
+        " conv VARCHAR(64),"
+        " amount DECIMAL(10,2) DEFAULT 0,"
+        " uk_code VARCHAR(32) UNIQUE,"
+        " PRIMARY KEY (id),"
+        " UNIQUE KEY uq_conv (conv, amount),"
+        " KEY idx_c (conv)"
+        ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4",
+        3, 7,
+    )
+    assert len(evs) == 1
+    e = evs[0]
+    assert e.action == "create_table" and e.source_table == "db.t"
+    assert e.columns == [
+        ("id", "bigint"), ("conv", "string"), ("amount", "decimal(10,2)"),
+        ("uk_code", "string"),
+    ]
+    assert e.key == ["id"]
+    assert e.unique_keys == [["uk_code"], ["conv", "amount"]]
+
+
+def test_parse_create_inline_pk():
+    e = parse_ddl("CREATE TABLE t (id INT PRIMARY KEY, v TEXT)", 0, 0)[0]
+    assert e.key == ["id"] and e.columns == [("id", "int"), ("v", "string")]
+
+
+def test_parse_drop_truncate():
+    d = parse_ddl("DROP TABLE IF EXISTS db.t", 0, 1)[0]
+    assert (d.action, d.source_table) == ("drop_table", "db.t")
+    t = parse_ddl("TRUNCATE TABLE db.t", 0, 2)[0]
+    assert (t.action, t.source_table) == ("truncate_table", "db.t")
+    t2 = parse_ddl("truncate db.t", 0, 3)[0]
+    assert t2.action == "truncate_table"
+
+
+def test_parse_create_foreign_key_unsupported():
+    import pytest
+
+    with pytest.raises(UnsupportedDdl):
+        parse_ddl(
+            "CREATE TABLE t (id INT, FOREIGN KEY (id) REFERENCES p(id))", 0, 0
+        )

@@ -1,0 +1,113 @@
+"""Iceberg adapter contract (VERDICT r02 missing #2).
+
+No Iceberg runtime jar ships in this sandbox, so the suite has two
+tiers:
+
+1. SQL-text contract (always runs): the exact CREATE / MERGE / ALTER
+   statements the adapter issues are pure functions — pinned here so
+   the LWW guard, the tombstone branch and the null-safe key join can
+   never silently drift from the native LakeTable's law.
+2. End-to-end semantics (skip-gated on `iceberg_available`): on a
+   cluster launched with the documented spark-submit line
+   (dm_spark/lake/iceberg.py module docstring), the same change batches
+   drive an IcebergTable and a native LakeTable and the final states
+   must match row-for-row, including redelivery no-ops.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from dm_spark.lake.iceberg import create_sql, ddl_sql, iceberg_available, merge_sql
+
+
+def test_merge_sql_contract():
+    sql = merge_sql("lake.db.t", ["conv_id", "turn_idx"], ["conv_id", "turn_idx", "text"])
+    # null-safe key join (UK-identity rows may carry null key components)
+    assert "t.conv_id <=> s.conv_id AND t.turn_idx <=> s.turn_idx" in sql
+    # the LWW guard: older (redelivered) events are no-ops on match
+    newer = (
+        "struct(s._cdc_ts, s._cdc_file_seq, s._cdc_pos) > "
+        "struct(t._cdc_ts, t._cdc_file_seq, t._cdc_pos)"
+    )
+    assert f"WHEN MATCHED AND s.op = 'D' AND {newer} THEN DELETE" in sql
+    assert f"WHEN MATCHED AND s.op <> 'D' AND {newer} THEN UPDATE SET" in sql
+    # tombstones never insert
+    assert "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT" in sql
+    # lineage columns ride every insert/update (future merges need them)
+    assert "t._cdc_ts = s._cdc_ts" in sql
+    assert "_cdc_ts, _cdc_file_seq, _cdc_pos) VALUES" in sql
+
+
+def test_create_sql_contract():
+    sql = create_sql("lake.db.t", "conv_id string, turn_idx int", "conv_id", 32)
+    assert "USING iceberg PARTITIONED BY (bucket(32, conv_id))" in sql
+    # lineage columns are part of the physical schema
+    assert "_cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint" in sql
+
+
+def test_ddl_sql_contract():
+    t = "lake.db.t"
+    assert ddl_sql(t, {"action": "add_column", "column": "r", "new_type": "int"}).endswith(
+        "ADD COLUMN r int"
+    )
+    assert "RENAME COLUMN a TO b" in ddl_sql(
+        t, {"action": "rename_column", "column": "a", "new_name": "b"}
+    )
+    assert "ALTER COLUMN c TYPE bigint" in ddl_sql(
+        t, {"action": "widen_type", "column": "c", "new_type": "bigint"}
+    )
+    assert "DROP COLUMN d" in ddl_sql(t, {"action": "drop_column", "column": "d"})
+    with pytest.raises(ValueError):
+        ddl_sql(t, {"action": "nope"})
+
+
+def _iceberg_ready(spark) -> bool:
+    return iceberg_available(spark)
+
+
+def test_iceberg_merge_end_to_end(spark, tmp_path):
+    """Runs only with the Iceberg runtime on the classpath (see the
+    spark-submit line in dm_spark/lake/iceberg.py): replay the same
+    batches through IcebergTable and the native LakeTable; states must
+    match, and a redelivered older batch must be a no-op."""
+    if not _iceberg_ready(spark):
+        pytest.skip("Iceberg runtime jar not on the classpath (documented gate)")
+
+    from dm_spark.lake import LakeTable
+    from dm_spark.lake.iceberg import IcebergTable
+
+    spark.conf.set("spark.sql.catalog.dmtest", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.dmtest.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.dmtest.warehouse", str(tmp_path / "wh"))
+
+    key = ["conv_id", "turn_idx"]
+    ddl = (
+        "conv_id string, turn_idx int, text string, op string, "
+        "_cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint"
+    )
+
+    def T(i):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+    b1 = spark.createDataFrame(
+        [("a", 1, "v1", "I", T(1), 0, 1), ("b", 1, "v1", "I", T(2), 0, 2)], ddl
+    )
+    b2 = spark.createDataFrame(
+        [("a", 1, "v2", "U", T(11), 1, 1), ("b", 1, None, "D", T(12), 1, 2)], ddl
+    )
+    ice = IcebergTable(spark, "dmtest.db.t", key)
+    ice.create("conv_id string, turn_idx int, text string", "conv_id", 8)
+    nat = LakeTable.create(
+        spark, str(tmp_path / "nat"),
+        [("conv_id", "string"), ("turn_idx", "int"), ("text", "string")], key,
+        n_buckets=8,
+    )
+    for b in (b1, b2, b1):  # third = full redelivery, must be a no-op
+        ice.merge_into(b)
+        nat.merge_into(b)
+    got_ice = sorted((r.conv_id, r.turn_idx, r.text) for r in ice.read().collect())
+    got_nat = sorted((r.conv_id, r.turn_idx, r.text) for r in nat.read().collect())
+    assert got_ice == got_nat == [("a", 1, "v2")]

@@ -317,3 +317,74 @@ def test_concurrent_manifest_write_fails_loudly(spark, tmp_path):
     b._loaded_from = a.version  # simulate B passing the HEAD check in the window
     with pytest.raises(FileExistsError):
         lake._commit(b, dirty=set())
+
+
+def test_manifest_metadata_bounded_after_many_ddls(spark, tmp_path):
+    """500 add/widen DDLs: the manifest must stay bounded — applied_ddl
+    capped to a tail window (the obsolete gate uses ddl_high_water) and
+    schema_history pruned to versions still referenced by live files
+    (VERDICT r02 #3: unbounded growth inflated every commit)."""
+    import json
+    import os
+
+    lake = LakeTable.create(spark, str(tmp_path / "mg"), SCHEMA, KEY, n_buckets=4)
+    b1 = spark.createDataFrame(
+        [ch(f"c{i}", 1, "I", "v1", 0, i, i) for i in range(10)], CHANGE_DDL
+    )
+    lake.merge_into(b1, batch_id=0)
+    for i in range(500):
+        lake.apply_ddl(
+            {"action": "add_column", "column": f"extra_{i}", "new_type": "int",
+             "file_seq": 10, "pos": 2 * i}
+        )
+        if i % 2:  # churn versions further
+            lake.apply_ddl(
+                {"action": "widen_type", "column": f"extra_{i}", "new_type": "bigint",
+                 "file_seq": 10, "pos": 2 * i + 1}
+            )
+    meta = lake._load_meta()
+    assert len(meta.applied_ddl) <= 200
+    # live files were written at schema_version 0; current is the only
+    # other version that must survive
+    assert set(meta.schema_history) == {"0", str(meta.schema_version)}
+    head = lake._head_version()
+    size = os.path.getsize(os.path.join(lake.meta_dir, f"v{head}.json"))
+    assert size < 500_000, size
+    # the gate still rejects an obsolete DDL after the tail truncation
+    assert not lake.apply_ddl(
+        {"action": "add_column", "column": "stale", "new_type": "int",
+         "file_seq": 5, "pos": 0}
+    )
+    # reads still project old files through the surviving versions
+    assert lake.read().where("conv_id = 'c3'").count() == 1
+
+
+def test_failover_restarted_file_seq_converges(spark, tmp_path):
+    """Source failover (GTID scope decision, SURVEY §1 Location row): a
+    re-mastered upstream restarts file_seq at 0. Correctness must not
+    depend on location monotonicity — LWW orders by commit ts FIRST, so
+    post-failover events (later ts, smaller file_seq) still win, and
+    redelivered pre-failover events still lose."""
+    lake = LakeTable.create(spark, str(tmp_path / "fo"), SCHEMA, KEY, n_buckets=4)
+    epoch0 = spark.createDataFrame(
+        [ch("c1", 1, "I", "v1", 900, 5, 10), ch("c2", 1, "I", "v1", 900, 6, 11)],
+        CHANGE_DDL,
+    )
+    lake.merge_into(epoch0, batch_id=0)
+    # failover: new master, file_seq restarts at 0, commit ts continues
+    epoch1 = spark.createDataFrame(
+        [
+            ch("c1", 1, "U", "v2-post-failover", 0, 1, 20),
+            ch("c2", 1, "I", "v1", 0, 2, 11),  # redelivered (same ts as original)
+            ch("c3", 1, "I", "new", 0, 3, 21),
+        ],
+        CHANGE_DDL,
+    )
+    lake.merge_into(epoch1, batch_id=1)
+    got = dict(((r[0], r[1]), r[2]) for r in rows(lake.read()))
+    assert got[("c1", 1)] == "v2-post-failover"  # later ts wins despite smaller loc
+    assert got[("c2", 1)] == "v1"
+    assert got[("c3", 1)] == "new"
+    # the reported checkpoint is epoch-scoped: it does not regress to the
+    # new epoch's smaller locations (disclosed behavior, not silent)
+    assert lake.global_checkpoint()["file_seq"] == 900

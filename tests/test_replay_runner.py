@@ -336,3 +336,114 @@ def test_pipeline_splits_on_configured_key(spark, tmp_path):
     flat = ApplyPipeline(cfg).transform(env)
     got = sorted((r.op, r.conv_id) for r in flat.collect())
     assert got == [("D", "a"), ("U", "b")]
+
+
+def test_drop_table_leaves_group_and_filters_dml(spark, runner):
+    """DROP TABLE on a shard member: it leaves the barrier group (its
+    absence must not block the group's next DDL), its tracked schema is
+    dropped, and its later DMLs are filtered — the reference's
+    LeaveGroup + DeleteTablePoint (syncer/syncer.go:2306-2317)."""
+    feed = ev(
+        spark,
+        [
+            ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+            ("I", "b", 1, "v1", "shard_1.t", 0, 2),
+            ("I", "zz", 9, "after-drop", "shard_1.t", 0, 5),  # post-drop DML
+        ],
+    )
+    ddls = [
+        DdlEvent("drop_table", "shard_1.t", 0, 3),
+        # only shard_0 remains: its lone announce must now satisfy the barrier
+        DdlEvent("add_column", "shard_0.t", 0, 4, column="rating", new_type="int"),
+    ]
+    runner.replay(feed, ddls)
+    got = rows(runner.lake)
+    assert ("a", 1, "v1") in got and ("b", 1, "v1") in got
+    assert ("zz", 9, "after-drop") not in got  # dropped source filtered
+    assert "rating" in runner.lake.read().columns  # barrier shrank to 1 member
+    assert runner.barrier.groups["transcripts"] == ["shard_0.t"]
+
+
+def test_truncate_filtered_in_shard_group(spark, runner):
+    """TRUNCATE of a shard-group member is filtered (the reference logs
+    and skips in both shard modes, syncer/syncer.go:2318-2321)."""
+    feed = ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)])
+    runner.replay(feed, [DdlEvent("truncate_table", "shard_0.t", 0, 2)])
+    assert rows(runner.lake) == [("a", 1, "v1")]  # survived
+
+
+def test_truncate_ungrouped_truncates_target(spark, runner):
+    runner.barrier = None
+    feed = ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)])
+    runner.apply_dml_batch(feed)
+    assert rows(runner.lake) == [("a", 1, "v1")]
+    runner.handle_ddl(DdlEvent("truncate_table", "shard_0.t", 0, 2))
+    assert rows(runner.lake) == []
+    # table keeps working after the truncate
+    runner.apply_dml_batch(ev(spark, [("I", "c", 1, "v2", "shard_0.t", 0, 9)]))
+    assert rows(runner.lake) == [("c", 1, "v2")]
+
+
+def test_truncate_suppressed_by_filter_rule(spark, tmp_path):
+    """A rule ignoring truncate_table decides the outcome — the
+    'shard truncates mid-feed and the rule set decides' scenario."""
+    from dm_spark.config import DdlFilterRule
+
+    cfg = TaskConfig(
+        routes=[RouteRule(pattern="shard_*.t", target="transcripts")],
+        ddl_filters=[DdlFilterRule(pattern="shard_*.t", ignore_kinds=["truncate_table"])],
+    )
+    lake = LakeTable.create(spark, str(tmp_path / "lake_tf"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    runner.apply_dml_batch(ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)]))
+    assert runner.handle_ddl(DdlEvent("truncate_table", "shard_0.t", 0, 2)) == []
+    assert rows(lake) == [("a", 1, "v1")]
+
+
+def test_create_table_seeds_registry_and_lake(spark, tmp_path):
+    from dm_spark.schema.ddl_parser import parse_ddl
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.n", target="new_table")])
+    anchor = LakeTable.create(spark, str(tmp_path / "anchor"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(
+        pipeline=ApplyPipeline(cfg),
+        lakes={"transcripts": anchor},
+        lake_root=str(tmp_path / "root"),
+    )
+    evs = parse_ddl(
+        "CREATE TABLE shard_0.n (id BIGINT, u VARCHAR(8), PRIMARY KEY (id), "
+        "UNIQUE KEY (u))",
+        0, 1,
+    )
+    applied = runner.handle_ddl(evs[0])
+    assert applied and "new_table" in runner.lakes
+    created = runner.lakes["new_table"]
+    assert [(f["name"], f["type"]) for f in created.schema_fields()] == [
+        ("id", "bigint"), ("u", "string")
+    ]
+    assert created._load_meta().key == ["id"]
+    assert created._load_meta().unique_keys == [["u"]]
+    assert runner.registry.get("shard_0.n") == [("id", "bigint"), ("u", "string")]
+
+
+def test_error_operator_skips_poison_dml(spark, runner):
+    """A skip operator at a DML location drops exactly that row event
+    (syncer/handle_error.go:32-73 binlog-position skip) — final state
+    matches a replay without the poison event."""
+    runner.barrier = None
+    runner.error_ops.set_skip(0, 2)  # the poison row
+    feed = ev(
+        spark,
+        [
+            ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+            ("I", "poison", 1, "boom", "shard_0.t", 0, 2),
+            ("U", "a", 1, "v2", "shard_0.t", 0, 3),
+        ],
+    )
+    runner.apply_dml_batch(feed)
+    assert rows(runner.lake) == [("a", 1, "v2")]
+    # reverting the operator restores normal flow at that location
+    assert runner.error_ops.revert(0, 2)
+    runner.apply_dml_batch(ev(spark, [("I", "b", 1, "v1", "shard_0.t", 0, 9)]))
+    got = rows(runner.lake)
+    assert ("b", 1, "v1") in got and ("poison", 1, "boom") not in got
