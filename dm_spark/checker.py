@@ -38,6 +38,51 @@ def precheck_feed(feed: DataFrame, key_fields: list[str]) -> dict:
     }
 
 
+def precheck_identity(
+    feed: DataFrame, key: list[str], unique_keys: list[list[str]]
+) -> dict:
+    """Identity-ladder coverage (one agg pass): for each change event,
+    which rung of the PK -> UK -> full-row ladder resolves it
+    (syncer/dml.go:260-318)? The reference's prechecker refuses tables
+    whose rows can't be uniquely addressed; here the equivalent is
+    surfacing how many events would fall PAST the declared keys to the
+    full-row rung (exact-image identity — correct but fragile under
+    payload-mutating updates). `ok` = every event resolves at pk or a
+    declared uk."""
+
+    def usable(cols: list[str]):
+        cond = F.lit(True)
+        for c in cols:
+            img = F.when(F.col("op") == "D", F.col(f"before.{c}")).otherwise(
+                F.col(f"after.{c}")
+            )
+            cond = cond & img.isNotNull()
+        return cond
+
+    pk_ok = usable(key) if key else F.lit(False)
+    uk_oks = [usable(uk) for uk in unique_keys]
+    rung = F.when(pk_ok, F.lit("pk"))
+    for i, ok in enumerate(uk_oks):
+        rung = rung.when(ok, F.lit(f"uk{i}"))
+    rung = rung.otherwise(F.lit("full_row"))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum((rung == "pk").cast("int")).alias("pk"),
+        F.sum((rung == "full_row").cast("int")).alias("full_row"),
+    ]
+    for i in range(len(unique_keys)):
+        aggs.append(F.sum((rung == f"uk{i}").cast("int")).alias(f"uk{i}"))
+    row = feed.agg(*aggs).collect()[0]
+    out = {
+        "events": row["n"],
+        "pk_rows": row["pk"] or 0,
+        "full_row_rows": row["full_row"] or 0,
+        "uk_rows": {f"uk{i}": row[f"uk{i}"] or 0 for i in range(len(unique_keys))},
+        "ok": not (row["full_row"] or 0),
+    }
+    return out
+
+
 def precheck_target(table_df: DataFrame, key: list[str]) -> dict:
     """Target invariants: key uniqueness + non-null key (the auto-inc
     PK conflict check analog for shard merge)."""

@@ -54,6 +54,7 @@ def main(argv: list[str]) -> int:
             cfg.key,
             n_buckets=cfg.n_buckets,
             write_mode=spec.get("write_mode", "cow"),
+            unique_keys=cfg.unique_keys or None,
         )
 
     task = Task(spark, cfg, lake, feed_dir=paths["feed"], checkpoint_dir=paths["checkpoint"])

@@ -36,3 +36,26 @@ def test_precheck_target(spark):
     assert not r["ok"] and not r["key_unique"]
     nullk = spark.createDataFrame([("a", None)], "conv_id string, turn_idx int")
     assert precheck_target(nullk, ["conv_id", "turn_idx"])["null_key_rows"] == 1
+
+
+def test_precheck_identity_ladder(spark):
+    from dm_spark.checker import precheck_identity
+
+    ddl = (
+        "op string, before struct<k int, u string, v string>, "
+        "after struct<k int, u string, v string>"
+    )
+    feed = spark.createDataFrame(
+        [
+            ("I", None, (1, "a", "x")),       # pk rung
+            ("I", None, (None, "b", "x")),    # uk rung
+            ("D", (None, None, "x"), None),   # full-row fallback
+        ],
+        ddl,
+    )
+    r = precheck_identity(feed, ["k"], [["u"]])
+    assert r["events"] == 3 and r["pk_rows"] == 1
+    assert r["uk_rows"] == {"uk0": 1}
+    assert r["full_row_rows"] == 1 and not r["ok"]
+    ok = precheck_identity(feed.where("op = 'I'"), ["k"], [["u"]])
+    assert ok["ok"] and ok["full_row_rows"] == 0
