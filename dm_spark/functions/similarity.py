@@ -63,16 +63,30 @@ def lsh_signatures(
     vec_col: str = "embedding",
     seed: int = 42,
     n_tables: int = 1,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Random-hyperplane signatures: sign bits of V @ P, vectorized
     numpy over Arrow batches. Deterministic planes from `seed`.
+    Output: (id, table, bucket, is_home) — is_home marks the vector's
+    own bucket (candidate joins use home rows as members and ALL rows
+    as query probes).
 
     `n_tables` > 1 builds L INDEPENDENT hash tables (disjoint plane
     sets — one matmul of shape (dim, L*p)): each vector gets one bucket
     per table, and downstream candidate joins key on (table, bucket).
     Independent tables are the standard LSH-forest recall lever — a
     true neighbor pair only needs ALL p sign bits to agree in ANY one
-    table, so recall ~ 1-(1-q^p)^L instead of q^p (VERDICT r02 #1)."""
+    table, so recall ~ 1-(1-q^p)^L instead of q^p (VERDICT r02 #1).
+
+    `n_probes` > 1 adds QUERY-DIRECTED multiprobe rows per table: the
+    extra probes flip the sign bits with the SMALLEST |margin| (the
+    hyperplane projections the vector was closest to — the flips most
+    likely to reach a true neighbor's bucket). This gets most of the
+    recall of flipping every bit at a fraction of the candidate
+    volume: probes/table is a constant n_probes instead of n_planes+1,
+    so the per-query candidate budget stays flat as planes scale with
+    the corpus (Lv et al.'s multi-probe LSH, re-expressed as extra
+    (table, bucket) rows so the join shape is unchanged)."""
 
     def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
@@ -83,20 +97,58 @@ def lsh_signatures(
             if planes is None:
                 rng = np.random.RandomState(seed)
                 planes = rng.standard_normal((V.shape[1], n_tables * n_planes))
-            bits = (V @ planes) > 0
+            proj = V @ planes
             w = np.arange(n_planes, dtype=np.int64)
             out = []
             for t in range(n_tables):
-                b = bits[:, t * n_planes : (t + 1) * n_planes]
-                sig = (b.astype(np.int64) << w).sum(axis=1)
+                m = proj[:, t * n_planes : (t + 1) * n_planes]
+                sig = ((m > 0).astype(np.int64) << w).sum(axis=1)
                 out.append(
                     pd.DataFrame(
-                        {"id": pdf[id_col].values, "table": np.int32(t), "bucket": sig}
+                        {"id": pdf[id_col].values, "table": np.int32(t),
+                         "bucket": sig, "is_home": True}
                     )
                 )
+                if n_probes > 1:
+                    # score-ordered perturbation sets over the 3
+                    # lowest-|margin| bits (singles + pairs + triple,
+                    # score = sum of squared flipped margins — the
+                    # probability-ordered probe sequence of multi-probe
+                    # LSH), vectorized: rank the 7 candidate subsets per
+                    # row, probe the best (n_probes - 1)
+                    am = np.abs(m)
+                    order = np.argsort(am, axis=1)
+                    kbits = min(3, n_planes)
+                    idx = order[:, :kbits].astype(np.int64)  # (n, kbits)
+                    sc = np.take_along_axis(am, idx, axis=1) ** 2
+                    subsets = [
+                        s for s in ([0], [1], [2], [0, 1], [0, 2], [1, 2], [0, 1, 2])
+                        if max(s) < kbits
+                    ]
+                    scores = np.stack(
+                        [sc[:, s].sum(axis=1) for s in subsets], axis=1
+                    )  # (n, n_subsets)
+                    masks = np.stack(
+                        [
+                            np.bitwise_or.reduce(
+                                (np.int64(1) << idx[:, s]), axis=1
+                            )
+                            for s in subsets
+                        ],
+                        axis=1,
+                    )  # (n, n_subsets)
+                    pick = np.argsort(scores, axis=1)[:, : n_probes - 1]
+                    for j in range(pick.shape[1]):
+                        mask_j = np.take_along_axis(masks, pick[:, j : j + 1], axis=1)[:, 0]
+                        out.append(
+                            pd.DataFrame(
+                                {"id": pdf[id_col].values, "table": np.int32(t),
+                                 "bucket": sig ^ mask_j, "is_home": False}
+                            )
+                        )
             yield pd.concat(out, ignore_index=True)
 
-    return df.mapInPandas(compute, schema="id long, table int, bucket long")
+    return df.mapInPandas(compute, schema="id long, table int, bucket long, is_home boolean")
 
 
 def cosine_topk_lsh(
@@ -107,6 +159,7 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     multiprobe: bool = True,
     n_tables: int = 4,
+    n_probes: int = 5,
 ) -> DataFrame:
     """ANN: bucket by hyperplane signature in `n_tables` independent
     hash tables, union candidates, exact rerank.
@@ -117,30 +170,19 @@ def cosine_topk_lsh(
       recall 1-(1-q^p)^L. This is what lifted recall@3 past 0.9
       (single-table Hamming-1 multiprobe plateaued at 0.67,
       VERDICT r02 #1).
-    - `multiprobe` additionally probes every signature at Hamming
-      distance 1 within each table (flip each plane bit): members
-      still live in exactly one bucket per table, so candidate volume
-      stays bounded at ~n_tables*(n_planes+1)*bucket_size per query."""
-    sig = lsh_signatures(df, n_planes, id_col, vec_col, n_tables=n_tables)
+    - `multiprobe`: each query additionally probes the `n_probes - 1`
+      buckets reached by flipping its lowest-|margin| sign bits
+      (query-directed multiprobe — see lsh_signatures). Members still
+      live in exactly one bucket per table, so candidate volume stays
+      bounded at ~n_tables * n_probes * bucket_size per query, FLAT in
+      corpus size (probes no longer grow with plane count)."""
+    sig = lsh_signatures(
+        df, n_planes, id_col, vec_col, n_tables=n_tables,
+        n_probes=n_probes if multiprobe else 1,
+    )
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
-    members = base.join(sig, "id")
-    if multiprobe:
-        probes = sig.select(
-            "id",
-            "table",
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[
-                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                        for i in range(n_planes)
-                    ],
-                )
-            ).alias("bucket"),
-        )
-        queries = base.join(probes, "id")
-    else:
-        queries = members
+    members = base.join(sig.where("is_home").drop("is_home"), "id")
+    queries = base.join(sig.drop("is_home"), "id") if multiprobe else members
     a, b = queries.alias("a"), members.alias("b")
     pairs = (
         a.join(
@@ -173,6 +215,7 @@ def embedding_near_dup_pairs_lsh(
     vec_col: str = "embedding",
     n_rows: int | None = None,
     multiprobe: bool = True,
+    n_probes: int = 5,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale (VERDICT r02
     missing #3): LSH-bucketed candidate generation (the
@@ -189,23 +232,13 @@ def embedding_near_dup_pairs_lsh(
     if n_planes is None:
         n = n_rows if n_rows is not None else df.count()
         n_planes = max(3, int(math.log2(max(n, 128) / 64)))
-    sig = lsh_signatures(df, n_planes, id_col, vec_col, n_tables=n_tables)
+    sig = lsh_signatures(
+        df, n_planes, id_col, vec_col, n_tables=n_tables,
+        n_probes=n_probes if multiprobe else 1,
+    )
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
-    members = base.join(sig, "id")
-    if multiprobe:
-        probes = sig.select(
-            "id",
-            "table",
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
-                )
-            ).alias("bucket"),
-        )
-        left = base.join(probes, "id")
-    else:
-        left = members
+    members = base.join(sig.where("is_home").drop("is_home"), "id")
+    left = base.join(sig.drop("is_home"), "id") if multiprobe else members
     a, b = left.alias("a"), members.alias("b")
     return (
         a.join(
