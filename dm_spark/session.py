@@ -38,7 +38,12 @@ def get_spark(
         # task-side commit renames (v2) — avoids driver-serial renames
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("DM_SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor; 8g starved the
+        # block manager once a long session accumulated shuffle/GC
+        # history (profiled: the same 5M-pair ANN rerank ran 7s in a
+        # fresh session vs 40s late in the bench session, pure GC).
+        # The box budget is 128 GiB; a real cluster sets executor.memory.
+        .config("spark.driver.memory", os.environ.get("DM_SPARK_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
