@@ -143,6 +143,23 @@ class ReplayRunner:
     def handle_ddl(self, ev: DdlEvent) -> list[dict]:
         """Operator chain for one DDL; returns the actions actually
         applied to the lake (possibly empty)."""
+        if ev.action == "drop_database":
+            # expand to drop_table over every known table of that schema
+            # (dropSchemaInSharding, syncer/syncer.go:2301-2306): group
+            # members, tracked schemas, and routed lakes are the three
+            # places a table can be known to this runner
+            prefix = f"{ev.source_table}."
+            known = set(self.registry.schemas) | set(self.optimistic_group or [])
+            if self.barrier is not None:
+                for members in self.barrier.groups.values():
+                    known |= set(members)
+            applied = []
+            for t in sorted(known):
+                if t.startswith(prefix):
+                    applied += self.handle_ddl(
+                        DdlEvent("drop_table", t, ev.file_seq, ev.pos, suffix=ev.suffix)
+                    )
+            return applied
         if ev.action in ("create_table", "drop_table", "truncate_table"):
             if self._ddl_filtered(ev.source_table, ev.to_action()):
                 return []

@@ -352,6 +352,22 @@ def q_uk_identity_replay(spark, sf_dir):
     )
 
 
+def q_validator_checksum(spark, sf_dir):
+    """sync_diff checksum law end-to-end (tests/sharding/run.sh:9-18
+    BIT_XOR(CRC32) analog): replay the feed into the lake, then reduce
+    the final table to 256 order-insensitive bucket digests — count +
+    sorted md5 prefixes. The DuckDB oracle computes the SAME digests
+    from its own replay, proving replicated-state equality the way the
+    reference's integration suites do, but cross-engine."""
+    from dm_spark.validator import checksum_digests
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    lake = _replay_through_lake(spark, batch)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts_us"]
+    return checksum_digests(_final_us(lake), cols)
+
+
 def q_lineage_counts(spark, sf_dir):
     return (
         change_feed(spark, sf_dir)
@@ -513,6 +529,7 @@ QUERIES = {
     "cdc_safe_mode_replay": q_safe_mode_replay,
     "cdc_key_change_replay": q_key_change_replay,
     "cdc_uk_identity_replay": q_uk_identity_replay,
+    "cdc_validator_checksum": q_validator_checksum,
     "cdc_lineage_counts": q_lineage_counts,
     "cdc_checkpoint_locations": q_checkpoint_locations,
     "cdc_ddl_evolution": q_ddl_evolution,
@@ -622,6 +639,29 @@ ORACLES = {
     "cdc_lineage_counts": (
         f"WITH feed AS ({FEED_SQL}) "
         "SELECT source_table, op, count(*) AS n FROM feed GROUP BY 1, 2"
+    ),
+    "cdc_validator_checksum": _with_feed(
+        _SPLIT
+        + """,
+        latest AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn FROM split),
+        final AS (
+          SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+          FROM latest WHERE rn = 1 AND op <> 'D'),
+        hashed AS (
+          SELECT md5(concat_ws(chr(31),
+                   coalesce(CAST(conv_id AS VARCHAR), chr(0)),
+                   coalesce(CAST(turn_idx AS VARCHAR), chr(0)),
+                   coalesce(CAST(role AS VARCHAR), chr(0)),
+                   coalesce(CAST(text AS VARCHAR), chr(0)),
+                   coalesce(CAST(tool AS VARCHAR), chr(0)),
+                   coalesce(CAST(ts_us AS VARCHAR), chr(0)))) AS hh
+          FROM final)
+        SELECT substr(hh, 1, 2) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               string_agg(substr(hh, 1, 16), ',' ORDER BY substr(hh, 1, 16)) AS digest
+        FROM hashed GROUP BY 1"""
     ),
     "cdc_checkpoint_locations": (
         f"WITH feed AS ({FEED_SQL}), r AS ("

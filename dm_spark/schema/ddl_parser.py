@@ -178,6 +178,12 @@ def parse_ddl(sql: str, file_seq: int, pos: int) -> list["DdlEvent"]:
     m = re.match(rf"(?i)^DROP TABLE (?:IF EXISTS )?{_TABLE}$", s)
     if m:
         return [DdlEvent("drop_table", _table_name(m.group(1), m.group(2)), file_seq, pos)]
+    m = re.match(rf"(?i)^DROP (?:DATABASE|SCHEMA) (?:IF EXISTS )?{_IDENT}$", s)
+    if m:
+        # schema-level drop: the runner expands it to drop_table over
+        # every tracked table in that schema (dropSchemaInSharding,
+        # syncer/syncer.go:2301-2306)
+        return [DdlEvent("drop_database", m.group(1), file_seq, pos)]
     m = re.match(rf"(?i)^TRUNCATE (?:TABLE )?{_TABLE}$", s)
     if m:
         return [

@@ -49,6 +49,31 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None, n_buckets: int 
     return {"rows": rows, "xor": total, "buckets": buckets}
 
 
+def checksum_digests(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Engine-portable multiset checksum (the `BIT_XOR(CRC32(...))`
+    trick from the reference's suites, tests/sharding/run.sh:9-18,
+    re-expressed so ANSI engines produce IDENTICAL digests): md5 over a
+    canonical row rendering, bucketed by the first hex byte, each
+    bucket reduced to (count, comma-joined SORTED 16-hex-char
+    prefixes). Equal digest tables <=> equal row multisets (up to md5
+    collisions). Order-insensitive, one shuffle, and — unlike
+    xxhash64/CRC32 — expressible identically in DuckDB/Trino/BigQuery
+    for cross-engine validation."""
+    cols = cols or sorted(df.columns)
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = F.md5(canon)
+    return (
+        df.select(F.substring(h, 1, 2).alias("bucket"), F.substring(h, 1, 16).alias("h16"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(F.array_sort(F.collect_list("h16")), ",").alias("digest"),
+        )
+    )
+
+
 def table_diff(left: DataFrame, right: DataFrame, key: list[str]) -> dict:
     """Key-based diff: counts + missing/extra/mismatched key counts and
     a small sample of offending keys."""

@@ -198,3 +198,28 @@ def test_pkless_table_starts_ladder_at_uk(spark, tmp_path):
 def test_create_requires_some_identity(spark, tmp_path):
     with pytest.raises(ValueError, match="key or unique_keys"):
         LakeTable.create(spark, str(tmp_path / "nok"), SCHEMA, key=[])
+
+
+def test_rescale_preserves_ladder_state(spark, tmp_path):
+    """Bucket rescale on a unique_keys table: the rewrite re-buckets on
+    the ladder identity; state identical, next trickle merge works."""
+    lake = LakeTable.create(
+        spark, str(tmp_path / "ukrs"), SCHEMA, key=["k"], unique_keys=[["u"]],
+        n_buckets=4,
+    )
+    lake.merge_into(
+        spark.createDataFrame(
+            [ch(i if i % 2 else None, f"u{i}", "v1", "I", 0, i) for i in range(1, 13)],
+            CHANGE_DDL,
+        ),
+        batch_id=0,
+    )
+    before = rows(lake)
+    lake.rescale(16)
+    assert rows(lake) == before
+    lake.merge_into(
+        spark.createDataFrame([ch(None, "u2", "v2", "U", 1, 99)], CHANGE_DDL),
+        batch_id=1,
+    )
+    got = dict(((r[0], r[1]), r[2]) for r in rows(lake))
+    assert got[(None, "u2")] == "v2"

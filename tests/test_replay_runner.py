@@ -447,3 +447,27 @@ def test_error_operator_skips_poison_dml(spark, runner):
     runner.apply_dml_batch(ev(spark, [("I", "b", 1, "v1", "shard_0.t", 0, 9)]))
     got = rows(runner.lake)
     assert ("b", 1, "v1") in got and ("poison", 1, "boom") not in got
+
+
+def test_drop_database_expands_to_group_members(spark, runner):
+    """DROP DATABASE drops every known table of that schema
+    (dropSchemaInSharding, syncer/syncer.go:2301-2306): both shard_0.t
+    members... here schemas differ per shard, so drop shard_1 only."""
+    from dm_spark.schema.ddl_parser import parse_ddl
+
+    feed = ev(
+        spark,
+        [
+            ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+            ("I", "b", 1, "v1", "shard_1.t", 0, 2),
+        ],
+    )
+    runner.apply_dml_batch(feed)
+    evs = parse_ddl("DROP DATABASE shard_1", 0, 3)
+    applied = runner.handle_ddl(evs[0])
+    assert [a["table"] for a in applied] == ["shard_1.t"]
+    assert runner.barrier.groups["transcripts"] == ["shard_0.t"]
+    assert "shard_1.t" in runner.dropped_tables
+    # shard_1's later DMLs are filtered
+    runner.apply_dml_batch(ev(spark, [("I", "z", 9, "late", "shard_1.t", 0, 9)]))
+    assert ("z", 9, "late") not in rows(runner.lake)
