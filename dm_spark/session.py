@@ -40,10 +40,20 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         # local mode: the driver JVM IS the executor; 8g starved the
         # block manager once a long session accumulated shuffle/GC
-        # history (profiled: the same 5M-pair ANN rerank ran 7s in a
-        # fresh session vs 40s late in the bench session, pure GC).
-        # The box budget is 128 GiB; a real cluster sets executor.memory.
+        # history. The box budget is 128 GiB; a real cluster sets
+        # executor.memory.
         .config("spark.driver.memory", os.environ.get("DM_SPARK_DRIVER_MEM", "24g"))
+        # a REUSED python worker intermittently stalls the single
+        # mapInPandas task of a broadcast-subquery job for ~40s (bisected
+        # on this box: after two pandas-UDF queries, the next ANN query
+        # ran 33-44s vs 8-10s in ~half of reuse=true runs and 0/6 of
+        # reuse=false runs — a dirty idle worker from the previous
+        # stage's stream). Fresh workers cost ~100ms per python task,
+        # negligible for this engine's Arrow-batched stages.
+        .config(
+            "spark.python.worker.reuse",
+            os.environ.get("DM_SPARK_PY_WORKER_REUSE", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
