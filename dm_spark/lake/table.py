@@ -111,6 +111,11 @@ class _Meta:
     lineage: list[dict] = field(default_factory=list)
     totals: dict = field(default_factory=dict)
     checkpoint: dict = field(default_factory=dict)  # {file_seq, pos} global point
+    # per-source-table applied locations (the reference's TablePoint,
+    # syncer/checkpoint.go: tables progress independently during shard
+    # coordination / resync; IsOlderThanTablePoint gates obsolete DMLs).
+    # source_table -> [file_seq, pos]; bounded by the source-table count.
+    table_points: dict = field(default_factory=dict)
     # chunk id (str) -> relative path of the bucket-chunk file holding
     # that range's file lists (manifest-of-manifests: the per-commit
     # manifest stays O(1); only chunks with touched buckets rewrite)
@@ -415,6 +420,7 @@ class LakeTable:
         stream_id: str | None = None,
         prune: bool = True,
         pre_reduce: int | None = None,
+        table_points: dict | None = None,
     ) -> MergeStats:
         """Apply a batch of change rows with LWW upsert/delete semantics.
 
@@ -464,6 +470,15 @@ class LakeTable:
             meta.last_batch_id = -1
         if batch_id is not None and batch_id <= meta.last_batch_id:
             return MergeStats(version=meta.version, batch_id=batch_id, skipped=True)
+        if table_points:
+            # per-source-table applied locations ride the same atomic
+            # commit (TablePoint analog, syncer/checkpoint.go) — only
+            # ever advance
+            for t, loc in table_points.items():
+                prev = meta.table_points.get(t)
+                cand = [int(loc[0]), int(loc[1])]
+                if prev is None or tuple(prev) < tuple(cand):
+                    meta.table_points[t] = cand
 
         bexpr = _bucket_expr(meta)
         # merge makes two passes over the incoming batch (bucket/stats
@@ -1000,3 +1015,8 @@ class LakeTable:
 
     def global_checkpoint(self) -> dict:
         return self._load_meta().checkpoint
+
+    def table_checkpoints(self) -> dict:
+        """source_table -> [file_seq, pos] applied high water (the
+        reference's per-table checkpoint, syncer/checkpoint.go)."""
+        return self._load_meta().table_points

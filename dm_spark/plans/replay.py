@@ -99,6 +99,16 @@ class ReplayRunner:
     # root dir for lakes auto-created by CREATE TABLE events (optional;
     # without it CREATE only seeds the schema tracker)
     lake_root: str | None = None
+    # per-source-table checkpoint tracking (TablePoint analog,
+    # syncer/checkpoint.go; gate at syncer/syncer.go:1983-1989
+    # IsOlderThanTablePoint): when True, each batch records every
+    # source's max applied (file_seq, pos) into the lake commit, and
+    # incoming DMLs at-or-before their table's stored point are
+    # filtered — a resync over an already-applied range skips the merge
+    # work per table instead of re-upserting (LWW keeps either path
+    # correct; this is the cheap path). Costs one small agg per batch.
+    track_table_points: bool = False
+    _points_cache: dict | None = None
     # sources dropped mid-stream (DROP TABLE): their later DMLs are
     # filtered — the reference deletes the table's checkpoint and the
     # shard member leaves its group (syncer/syncer.go:2306-2317)
@@ -346,19 +356,79 @@ class ReplayRunner:
                     (F.col("file_seq") == F.lit(fs)) & (F.col("pos") == F.lit(pos))
                 )
             env = env.where(~poison)
+        pts_by_target: dict[str, dict] | None = None
+        if self.track_table_points:
+            pts = self._table_points()
+            if pts:
+                # IsOlderThanTablePoint gate (syncer/syncer.go:1983-1989):
+                # drop DMLs at-or-before their table's applied point —
+                # bounded OR chain (one term per tracked table), a
+                # Catalyst predicate pushed into the scan
+                loc = F.struct(F.col("file_seq"), F.col("pos"))
+                obsolete = F.lit(False)
+                for t, (fs, pos) in sorted(pts.items()):
+                    obsolete = obsolete | (
+                        (F.col("source_table") == t)
+                        & (
+                            loc
+                            <= F.struct(
+                                F.lit(fs).cast("bigint").alias("file_seq"),
+                                F.lit(pos).cast("bigint").alias("pos"),
+                            )
+                        )
+                    )
+                env = env.where(~obsolete)
         if blocked and self.spill is not None:
             # spill the *envelope* rows (pre-flatten keeps full fidelity)
-            env, defer_env = split_blocked(envelope, blocked)
+            env, defer_env = split_blocked(env, blocked)
             self.spill.spill(defer_env)
-        self._merge_targets(self.pipeline.transform(env), batch_id)
+        if self.track_table_points:
+            # points advance only for rows actually merged (spilled
+            # tables' points hold until their rows drain)
+            new_pts = {
+                r["source_table"]: (int(r["loc"]["file_seq"]), int(r["loc"]["pos"]))
+                for r in env.groupBy("source_table")
+                .agg(F.max(F.struct(F.col("file_seq"), F.col("pos"))).alias("loc"))
+                .collect()
+            }
+            pts = self._table_points()
+            for t, cand in new_pts.items():
+                if pts.get(t) is None or pts[t] < cand:
+                    pts[t] = cand
+            pts_by_target = {}
+            for t, cand in new_pts.items():
+                pts_by_target.setdefault(self.pipeline.config.route_of(t), {})[t] = cand
+        self._merge_targets(self.pipeline.transform(env), batch_id, pts_by_target)
 
-    def _merge_targets(self, flat: DataFrame, batch_id: int | None = None) -> None:
+    def _table_points(self) -> dict:
+        """Union of every target lake's stored per-table checkpoints
+        (loaded once, then maintained in-memory per batch)."""
+        if self._points_cache is None:
+            pts: dict = {}
+            for lake in self.lakes.values():
+                for t, loc in lake.table_checkpoints().items():
+                    cand = (int(loc[0]), int(loc[1]))
+                    if pts.get(t) is None or pts[t] < cand:
+                        pts[t] = cand
+            self._points_cache = pts
+        return self._points_cache
+
+    def _merge_targets(
+        self,
+        flat: DataFrame,
+        batch_id: int | None = None,
+        pts_by_target: dict | None = None,
+    ) -> None:
         many = len(self.lakes) > 1
         if many:
             flat = flat.persist()
         try:
             for target, lake in self.lakes.items():
-                lake.merge_into(self._to_target_shape(flat, target), batch_id=batch_id)
+                lake.merge_into(
+                    self._to_target_shape(flat, target),
+                    batch_id=batch_id,
+                    table_points=(pts_by_target or {}).get(target),
+                )
         finally:
             if many:
                 flat.unpersist()

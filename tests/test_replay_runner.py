@@ -471,3 +471,41 @@ def test_drop_database_expands_to_group_members(spark, runner):
     # shard_1's later DMLs are filtered
     runner.apply_dml_batch(ev(spark, [("I", "z", 9, "late", "shard_1.t", 0, 9)]))
     assert ("z", 9, "late") not in rows(runner.lake)
+
+
+def test_table_points_gate_resync(spark, tmp_path):
+    """Per-table checkpoints (syncer/checkpoint.go TablePoint;
+    IsOlderThanTablePoint gate syncer/syncer.go:1983-1989): a resync
+    over an already-applied range is filtered per table before the
+    merge — only genuinely new locations contribute rows."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_tp"), SCHEMA, KEY, n_buckets=4)
+    r1 = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake, track_table_points=True)
+    r1.apply_dml_batch(
+        ev(
+            spark,
+            [
+                ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+                ("I", "a", 2, "v1", "shard_0.t", 0, 2),
+                ("I", "b", 1, "v1", "shard_1.t", 0, 3),
+            ],
+        ),
+        batch_id=0,
+    )
+    assert lake.table_checkpoints() == {"shard_0.t": [0, 2], "shard_1.t": [0, 3]}
+
+    # fresh runner (restart), same lake: resync redelivers an old range
+    r2 = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake, track_table_points=True)
+    resync = ev(
+        spark,
+        [
+            ("U", "a", 2, "stale-redelivery", "shard_0.t", 0, 2),  # <= point
+            ("I", "a", 3, "new", "shard_0.t", 0, 9),  # past the point
+        ],
+    )
+    r2.apply_dml_batch(resync, batch_id=None)
+    # only the new row reached the merge (the gate, not LWW, dropped the old)
+    assert lake.lineage_log()[-1]["n_incoming"] == 1
+    got = rows(lake)
+    assert ("a", 3, "new") in got and ("a", 2, "v1") in got
+    assert lake.table_checkpoints()["shard_0.t"] == [0, 9]
