@@ -248,14 +248,26 @@ class ReplayRunner:
             self.applied_ddl.append(rec)
             return [rec]
         grouped = False
+        released: list[dict] = []
         if self.barrier is not None:
             tgt = self.barrier.group_of(ev.source_table)
             if tgt is not None:
                 grouped = True
                 if ev.action == "drop_table":
-                    self.barrier.groups[tgt] = [
-                        m for m in self.barrier.groups[tgt] if m != ev.source_table
-                    ]
+                    # LeaveGroup + re-evaluation: a pending shard DDL
+                    # waiting only on the departing member applies now
+                    tgt, done = self.barrier.shrink(ev.source_table)
+                    lake = self.lakes.get(tgt, self.lake)
+                    for i, act in enumerate(done):
+                        act = {
+                            **act,
+                            "file_seq": ev.file_seq,
+                            "pos": ev.pos,
+                            "suffix": ev.suffix + i + 1,
+                        }
+                        if lake.apply_ddl(act):
+                            released.append(act)
+                            self.applied_ddl.append(act)
         if self.optimistic_group and ev.source_table in self.optimistic_group:
             grouped = True
             if ev.action == "drop_table":
@@ -264,7 +276,7 @@ class ReplayRunner:
             self.registry.schemas.pop(ev.source_table, None)
             self.dropped_tables.add(ev.source_table)
             self.applied_ddl.append(rec)
-            return [rec]
+            return [rec, *released]
         # truncate_table
         if grouped:
             return []  # filtered in shard groups (syncer.go:2318-2321, :2330-2333)
@@ -329,23 +341,25 @@ class ReplayRunner:
                         self.barrier.release(tgt, act)
         return applied
 
-    # -------------------------------------------------------------- DML
-    def apply_dml_batch(self, envelope: DataFrame, batch_id: int | None = None) -> None:
-        """Transform + merge one envelope batch, honoring the barrier:
-        blocked tables' rows spill; spilled rows re-merge once no
-        barrier blocks them. Rows route to every configured target lake;
-        rows routed elsewhere are dropped."""
-        blocked = self.barrier.blocked_sources() if self.barrier else set()
-        env = envelope
+    def _gate_env(self, env: DataFrame) -> DataFrame:
+        """The per-event admission gates, shared by the live path and
+        the spill drain (a rule arriving WHILE rows sit spilled must
+        still apply when they drain):
+
+        - dropped tables (DROP TABLE mid-stream: DeleteTablePoint
+          analog — later DMLs of that source never apply);
+        - DML-position error operators (syncer/handle_error.go:32-73):
+          a user skip at (file_seq, pos) surgically drops the poison
+          row event(s) at that exact location;
+        - per-table checkpoint gate (IsOlderThanTablePoint,
+          syncer/syncer.go:1983-1989) when track_table_points is on.
+
+        All three are bounded Catalyst predicate chains pushed into the
+        scan."""
         if self.dropped_tables:
             env = env.where(
                 ~F.col("source_table").isin(sorted(self.dropped_tables))
             )
-        # DML-position error operators (syncer/handle_error.go:32-73):
-        # a user skip at (file_seq, pos) surgically drops the poison row
-        # event(s) at that exact location — Catalyst predicate, pushed
-        # to the scan. (`replace` is a DDL-side concept; for DML the
-        # reference's replacement is likewise injected SQL.)
         skips = sorted(
             loc for loc, ov in self.error_ops.ops.items() if ov["kind"] == "skip"
         )
@@ -356,14 +370,9 @@ class ReplayRunner:
                     (F.col("file_seq") == F.lit(fs)) & (F.col("pos") == F.lit(pos))
                 )
             env = env.where(~poison)
-        pts_by_target: dict[str, dict] | None = None
         if self.track_table_points:
             pts = self._table_points()
             if pts:
-                # IsOlderThanTablePoint gate (syncer/syncer.go:1983-1989):
-                # drop DMLs at-or-before their table's applied point —
-                # bounded OR chain (one term per tracked table), a
-                # Catalyst predicate pushed into the scan
                 loc = F.struct(F.col("file_seq"), F.col("pos"))
                 obsolete = F.lit(False)
                 for t, (fs, pos) in sorted(pts.items()):
@@ -378,27 +387,46 @@ class ReplayRunner:
                         )
                     )
                 env = env.where(~obsolete)
+        return env
+
+    # -------------------------------------------------------------- DML
+    def apply_dml_batch(self, envelope: DataFrame, batch_id: int | None = None) -> None:
+        """Transform + merge one envelope batch, honoring the barrier:
+        blocked tables' rows spill; spilled rows re-merge once no
+        barrier blocks them. Rows route to every configured target lake;
+        rows routed elsewhere are dropped."""
+        blocked = self.barrier.blocked_sources() if self.barrier else set()
+        env = self._gate_env(envelope)
+        pts_by_target: dict[str, dict] | None = None
         if blocked and self.spill is not None:
             # spill the *envelope* rows (pre-flatten keeps full fidelity)
             env, defer_env = split_blocked(env, blocked)
             self.spill.spill(defer_env)
-        if self.track_table_points:
-            # points advance only for rows actually merged (spilled
-            # tables' points hold until their rows drain)
-            new_pts = {
-                r["source_table"]: (int(r["loc"]["file_seq"]), int(r["loc"]["pos"]))
-                for r in env.groupBy("source_table")
-                .agg(F.max(F.struct(F.col("file_seq"), F.col("pos"))).alias("loc"))
-                .collect()
-            }
-            pts = self._table_points()
-            for t, cand in new_pts.items():
-                if pts.get(t) is None or pts[t] < cand:
-                    pts[t] = cand
-            pts_by_target = {}
-            for t, cand in new_pts.items():
-                pts_by_target.setdefault(self.pipeline.config.route_of(t), {})[t] = cand
+        # points advance only for rows actually merged (spilled tables'
+        # points hold until their rows drain)
+        pts_by_target = self._advance_points(env)
         self._merge_targets(self.pipeline.transform(env), batch_id, pts_by_target)
+
+    def _advance_points(self, env: DataFrame) -> dict | None:
+        """Record the batch's per-source max applied locations (one
+        bounded agg) into the in-memory point map; returns the
+        per-target subsets the merges commit atomically."""
+        if not self.track_table_points:
+            return None
+        new_pts = {
+            r["source_table"]: (int(r["loc"]["file_seq"]), int(r["loc"]["pos"]))
+            for r in env.groupBy("source_table")
+            .agg(F.max(F.struct(F.col("file_seq"), F.col("pos"))).alias("loc"))
+            .collect()
+        }
+        pts = self._table_points()
+        for t, cand in new_pts.items():
+            if pts.get(t) is None or pts[t] < cand:
+                pts[t] = cand
+        pts_by_target: dict[str, dict] = {}
+        for t, cand in new_pts.items():
+            pts_by_target.setdefault(self.pipeline.config.route_of(t), {})[t] = cand
+        return pts_by_target
 
     def _table_points(self) -> dict:
         """Union of every target lake's stored per-table checkpoints
@@ -451,9 +479,16 @@ class ReplayRunner:
         pend, old_dirs = drained
         blocked = self.barrier.blocked_sources() if self.barrier else set()
         ok_env, still = split_blocked(pend, blocked)
+        # rules that arrived WHILE these rows sat spilled (a dropped
+        # table, a poison-location skip, an advanced table point) must
+        # gate the drain exactly like the live path
+        ok_env = self._gate_env(ok_env)
         n = ok_env.count()
         if n:
-            self._merge_targets(self.pipeline.transform(ok_env))
+            self._merge_targets(
+                self.pipeline.transform(ok_env),
+                pts_by_target=self._advance_points(ok_env),
+            )
         # re-spill still-blocked rows into a NEW dir while the old files
         # are intact (lazy plans read them), then drop the old dirs
         if self.barrier and still.count() > 0:

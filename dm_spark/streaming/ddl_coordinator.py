@@ -71,6 +71,26 @@ class ShardDdlBarrier:
     def release(self, target: str, action: dict) -> None:
         self.announced.get(target, {}).pop(_ddl_key(action), None)
 
+    def shrink(self, source_table: str) -> tuple[str | None, list[dict]]:
+        """A member leaves its group (DROP TABLE — the reference's
+        `sgk.LeaveGroup`): remove it and RE-EVALUATE pending announces.
+        A DDL that was waiting only on the departed member is now
+        satisfied by the remaining members — returns (target, [actions
+        newly complete]) so the caller applies them (locations are
+        stamped at the drop event, the moment the barrier resolved)."""
+        tgt = self.group_of(source_table)
+        if tgt is None:
+            return None, []
+        self.groups[tgt] = [m for m in self.groups[tgt] if m != source_table]
+        members = set(self.groups[tgt])
+        done = []
+        for k, seen in list(self.announced.get(tgt, {}).items()):
+            seen.discard(source_table)
+            if members and seen >= members:
+                done.append(json.loads(k))
+                self.announced[tgt].pop(k)
+        return tgt, done
+
     def to_json(self) -> dict:
         return {
             t: {k: sorted(v) for k, v in per.items()} for t, per in self.announced.items()

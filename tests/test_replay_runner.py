@@ -509,3 +509,51 @@ def test_table_points_gate_resync(spark, tmp_path):
     got = rows(lake)
     assert ("a", 3, "new") in got and ("a", 2, "v1") in got
     assert lake.table_checkpoints()["shard_0.t"] == [0, 9]
+
+
+def test_drop_while_spilled_gates_drain(spark, runner):
+    """A DROP TABLE arriving while the table's DMLs sit spilled behind
+    the barrier must gate the drain too — otherwise the dropped
+    table's rows apply after the fact (the drain path previously
+    bypassed the admission gates)."""
+    feed = ev(
+        spark,
+        [
+            ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+            ("I", "a", 2, "spilled-then-dropped", "shard_0.t", 0, 5),
+            ("I", "b", 1, "v1", "shard_1.t", 0, 6),
+        ],
+    )
+    ddls = [
+        # shard_0 announces first: its later DMLs spill
+        DdlEvent("add_column", "shard_0.t", 0, 2, column="rating", new_type="int"),
+        # while spilled, shard_0 is dropped
+        DdlEvent("drop_table", "shard_0.t", 0, 7),
+    ]
+    runner.replay(feed, ddls)
+    got = rows(runner.lake)
+    assert ("a", 1, "v1") in got and ("b", 1, "v1") in got
+    assert ("a", 2, "spilled-then-dropped") not in got
+
+
+def test_drop_releases_pending_barrier_ddl(spark, runner):
+    """LeaveGroup re-evaluation: shard_0 announced a DDL and waits on
+    shard_1; shard_1 is DROPPED — the pending DDL is now satisfied by
+    the remaining members and must apply (plus shard_0's spilled rows
+    drain under the evolved schema)."""
+    feed = ev(
+        spark,
+        [
+            ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+            ("I", "a", 2, "post-ddl", "shard_0.t", 0, 5),  # spills behind barrier
+        ],
+    )
+    ddls = [
+        DdlEvent("add_column", "shard_0.t", 0, 2, column="rating", new_type="int"),
+        DdlEvent("drop_table", "shard_1.t", 0, 7),  # the laggard leaves
+    ]
+    runner.replay(feed, ddls)
+    assert "rating" in runner.lake.read().columns  # pending DDL released
+    got = rows(runner.lake)
+    assert ("a", 1, "v1") in got and ("a", 2, "post-ddl") in got  # drained
+    assert runner.barrier.blocked_sources() == set()
