@@ -120,6 +120,14 @@ class _Meta:
     # that range's file lists (manifest-of-manifests: the per-commit
     # manifest stays O(1); only chunks with touched buckets rewrite)
     bucket_chunks: dict = field(default_factory=dict)
+    # change feed (CDC-out, the Delta CDF analog): when enabled, every
+    # DML merge records its applied change rows so downstream consumers
+    # can read incremental deltas instead of rescanning the table.
+    # version (str) -> [ {path, schema_version, delta} ]; pruned by
+    # prune_changes() — a production deployment keeps a bounded
+    # retention window, exactly like Delta CDF.
+    change_feed: bool = False
+    change_log: dict = field(default_factory=dict)
 
     def fields(self) -> list[dict]:
         return self.schema_history[str(self.schema_version)]
@@ -304,6 +312,7 @@ class LakeTable:
         lww_strategy: str = "sort",
         write_mode: str = "cow",
         unique_keys: list[list[str]] | None = None,
+        change_feed: bool = False,
     ) -> "LakeTable":
         """schema: [(name, spark simpleString type), ...]; key ⊆ schema.
         lww_strategy: "sort" = window row_number (whole-stage codegen
@@ -317,7 +326,14 @@ class LakeTable:
         indexes). When set, each row's merge identity is picked by the
         reference's ladder — PK if usable, else the first all-non-null
         UK, else the full row (syncer/dml.go:260-318) — see
-        :func:`_merge_key_exprs`."""
+        :func:`_merge_key_exprs`.
+
+        `change_feed=True`: every DML merge also records its applied
+        change rows (op + payload + lineage), readable incrementally
+        via :meth:`changes` — the lake re-emits CDC so downstream
+        pipelines chain without full rescans. MoR tables get this for
+        FREE (the per-batch delta files double as the change set);
+        CoW tables pay one extra flat write of the batch."""
         t = cls(spark, path)
         if t.exists:
             raise ValueError(f"table already exists at {path}")
@@ -344,6 +360,7 @@ class LakeTable:
             lww_strategy=lww_strategy,
             write_mode=write_mode,
             unique_keys=[list(uk) for uk in unique_keys or []],
+            change_feed=change_feed,
         )
         t._commit(meta)
         return t
@@ -411,6 +428,59 @@ class LakeTable:
 
     def schema_fields(self) -> list[dict]:
         return self._load_meta().fields()
+
+    def changes(self, from_version: int = 1, to_version: int | None = None) -> DataFrame:
+        """Incremental change rows applied between versions (inclusive
+        bounds) — the lake re-emitting CDC, the Delta CDF analog. Rows:
+        current payload + `op` ('I'|'U'|'D') + lineage
+        (`_cdc_ts`, `_cdc_file_seq`, `_cdc_pos`) + `_change_version` —
+        exactly :meth:`merge_into`'s input shape, so a downstream lake
+        chains with `lake2.merge_into(lake1.changes(k).drop(
+        "_change_version"))` and converges to the same state (LWW on
+        the same lineage ordering; pinned in tests/test_change_feed).
+
+        Scale shape: one bounded parquet scan per consumed version (a
+        consumer reads from its last-consumed version, a bounded
+        window), files projected to the current schema by field id —
+        changes written before a DDL read back in today's shape.
+        Versions without DML (DDL/compact/rescale commits) simply have
+        no rows."""
+        meta = self._load_meta()
+        if not meta.change_feed:
+            raise ValueError("change feed not enabled on this table (create(change_feed=True))")
+        to_v = meta.version if to_version is None else to_version
+        parts = []
+        for v in range(max(1, from_version), to_v + 1):
+            ents = meta.change_log.get(str(v))
+            if not ents:
+                continue
+            df = self._read_files(meta, ents, with_lineage=True, with_op=True)
+            if df is not None:
+                parts.append(df.withColumn("_change_version", F.lit(v)))
+        if not parts:
+            ddl = ", ".join(f"{f['name']} {f['type']}" for f in self._load_meta().fields())
+            ddl += ", op string, _cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint, _change_version int"
+            return self.spark.createDataFrame([], ddl)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def prune_changes(self, before_version: int) -> int:
+        """Drop change-log entries for versions < before_version (the
+        CDF retention window); CoW change dirs are deleted, MoR delta
+        files are freed by the next vacuum() once unreferenced."""
+        meta = self._load_meta()
+        removed = 0
+        for v in [v for v in meta.change_log if int(v) < before_version]:
+            for e in meta.change_log.pop(v):
+                if e["path"].startswith(os.path.join(self.path, "_changes")):
+                    if os.path.exists(e["path"]):
+                        os.remove(e["path"])
+                        removed += 1
+        meta.version += 1
+        self._commit(meta, dirty=set())
+        return removed
 
     # ------------------------------------------------------------- merge
     def merge_into(
@@ -577,6 +647,13 @@ class LakeTable:
             .observe(obs, F.count(F.lit(1)).alias("rows"))
         )
         new_lists = self._commit_files(out, meta, list(range(meta.n_buckets)), delta=True)
+        if meta.change_feed:
+            # MoR change feed is free: the batch's delta files ARE the
+            # applied change set (post-LWW winners incl. tombstones) —
+            # record the same entries, write nothing extra
+            meta.change_log[str(meta.version + 1)] = [
+                dict(e) for files in new_lists.values() for e in files
+            ]
         m = obs_in.get
         stats = MergeStats(
             version=meta.version + 1,
@@ -791,6 +868,22 @@ class LakeTable:
         commit_dir = os.path.join(self.data_dir, f"commit-{meta.version + 1}-{uuid.uuid4().hex[:8]}")
         out.write.mode("errorifexists").parquet(commit_dir)
         stats.rows_written = obs.get["rows"]
+        if meta.change_feed:
+            # CoW change feed: one extra flat write of the incoming
+            # batch (op + payload + lineage). In the trickle path the
+            # upstream is persisted by merge_into so this is a cheap
+            # second read; rows that lose LWW to base state still emit
+            # (harmless to LWW consumers — they lose downstream too).
+            chdir = os.path.join(
+                self.path, "_changes", f"v{meta.version + 1}-{uuid.uuid4().hex[:8]}"
+            )
+            changes.select(*sel).write.mode("errorifexists").parquet(chdir)
+            meta.change_log[str(meta.version + 1)] = [
+                {"path": os.path.join(chdir, fn), "schema_version": meta.schema_version,
+                 "delta": True}
+                for fn, nrows in _parquet_files_with_rows(chdir)
+                if nrows > 0
+            ]
         if obs_in is not None:
             m = obs_in.get
             stats.n_incoming = m["n"]
@@ -967,6 +1060,7 @@ class LakeTable:
     @staticmethod
     def _prune_schema_history(meta: _Meta) -> None:
         live = {e["schema_version"] for lst in meta.buckets.values() for e in lst}
+        live |= {e["schema_version"] for lst in meta.change_log.values() for e in lst}
         live.add(meta.schema_version)
         meta.schema_history = {
             sv: f for sv, f in meta.schema_history.items() if int(sv) in live
@@ -978,6 +1072,8 @@ class LakeTable:
         by the HEAD manifest."""
         meta = self._load_meta()
         live = {e["path"] for lst in meta.buckets.values() for e in lst}
+        # change-feed files stay live until prune_changes drops them
+        live |= {e["path"] for lst in meta.change_log.values() for e in lst}
         removed = 0
         chunk_dir = os.path.join(self.meta_dir, "chunks")
         if os.path.isdir(chunk_dir):
@@ -1002,6 +1098,19 @@ class LakeTable:
             # prune empty commit dirs
             if not any(files for _r, _d, files in os.walk(cdir)):
                 shutil.rmtree(cdir, ignore_errors=True)
+        ch_root = os.path.join(self.path, "_changes")
+        if os.path.isdir(ch_root):
+            # orphaned change dirs (crash between change write and the
+            # manifest commit) and pruned retention windows
+            for cdir in [os.path.join(ch_root, d) for d in os.listdir(ch_root)]:
+                for root, _dirs, files in os.walk(cdir, topdown=False):
+                    for fn in files:
+                        p = os.path.join(root, fn)
+                        if p not in live and fn.endswith(".parquet"):
+                            os.remove(p)
+                            removed += 1
+                if not any(files for _r, _d, files in os.walk(cdir)):
+                    shutil.rmtree(cdir, ignore_errors=True)
         return removed
 
     def lineage_log(self) -> list[dict]:

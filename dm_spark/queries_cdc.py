@@ -92,11 +92,12 @@ def _final_us(lake: LakeTable) -> DataFrame:
 def _replay_through_lake(
     spark: SparkSession, batch: DataFrame, n_batches: int = 4, n_buckets: int = 16,
     schema=None, key=None, write_mode: str = "cow", compact_after: bool = False,
-    pre_reduce: int | None = None, unique_keys=None,
+    pre_reduce: int | None = None, unique_keys=None, change_feed: bool = False,
 ) -> LakeTable:
     lake = LakeTable.create(
         spark, tempfile.mkdtemp(prefix="dm_q_"), schema or SCHEMA, key or KEY,
         n_buckets=n_buckets, write_mode=write_mode, unique_keys=unique_keys,
+        change_feed=change_feed,
     )
     # NOT persisted: the upstream here is pure JVM column math over one
     # parquet scan, and each bulk merge is single-pass — re-deriving a
@@ -238,6 +239,25 @@ def q_replay_merge(spark, sf_dir):
     cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
     batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
     return _final_us(_replay_through_lake(spark, batch))
+
+
+def q_change_feed_chain(spark, sf_dir):
+    """CDC-out closure (the Delta CDF analog, no reference counterpart —
+    dm consumes CDC, never emits): replay the feed into lake1 with
+    change_feed=True, then build lake2 PURELY from lake1.changes().
+    lake2's final state must equal the direct replay (shared _REPLAY
+    oracle) — deletes, key-moving updates and LWW overwrites all
+    propagate through the emitted feed. This is what lets a downstream
+    pipeline consume incremental table deltas instead of rescanning at
+    every step."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    lake1 = _replay_through_lake(spark, batch, change_feed=True)
+    lake2 = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="dm_q_"), SCHEMA, KEY, n_buckets=16
+    )
+    lake2.merge_into(lake1.changes().drop("_change_version"), prune=False)
+    return _final_us(lake2)
 
 
 def q_replay_merge_salted(spark, sf_dir):
@@ -524,6 +544,7 @@ QUERIES = {
     "cdc_dedup_lww": q_dedup_lww,
     "cdc_dedup_lww_salted": q_dedup_lww_salted,
     "cdc_replay_merge": q_replay_merge,
+    "cdc_change_feed_chain": q_change_feed_chain,
     "cdc_replay_merge_salted": q_replay_merge_salted,
     "cdc_replay_merge_mor": q_replay_merge_mor,
     "cdc_replay_filtered": q_replay_filtered,
@@ -605,6 +626,7 @@ ORACLES = {
            FROM latest WHERE rn = 1"""
     ),
     "cdc_replay_merge": _with_feed(_REPLAY),
+    "cdc_change_feed_chain": _with_feed(_REPLAY),
     "cdc_replay_merge_salted": _with_feed(_REPLAY),
     "cdc_replay_merge_mor": _with_feed(_REPLAY),
     "cdc_replay_filtered": _with_feed(_REPLAY, _FILTER_MATRIX_WHERE),

@@ -1,0 +1,125 @@
+"""Lake change feed (CDC-out, the Delta CDF analog): a table created
+with change_feed=True re-emits every merge's applied change rows via
+lake.changes(from_v, to_v), so downstream pipelines consume incremental
+deltas instead of rescanning. The governing law: replaying the emitted
+feed into a SECOND lake converges to the first lake's exact state
+(LWW on the same lineage ordering).
+
+Reference analog: none in pingcap/dm (it consumes CDC, never emits) —
+this is the lake-side closure that lets dm_spark pipelines chain."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dm_spark.lake import LakeTable
+
+SCHEMA = [("k", "string"), ("v", "int"), ("txt", "string")]
+
+
+def _ev(spark, rows):
+    """rows: (op, k, v, txt, file_seq, pos)"""
+    df = spark.createDataFrame(
+        [(op, k, v, t, fs, pos) for op, k, v, t, fs, pos in rows],
+        "op string, k string, v int, txt string, _cdc_file_seq long, _cdc_pos long",
+    )
+    return df.withColumn(
+        "_cdc_ts", F.timestamp_seconds(F.lit(1700000000) + F.col("_cdc_pos"))
+    )
+
+
+def _state(lake):
+    return {(r.k, r.v, r.txt) for r in lake.read().select("k", "v", "txt").collect()}
+
+
+def _mk(spark, tmp_path, name, **kw):
+    return LakeTable.create(spark, str(tmp_path / name), SCHEMA, ["k"], n_buckets=4, **kw)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_change_feed_chain_reproduces_state(spark, tmp_path, mode):
+    """The chain law: lake1 -> changes() -> lake2 gives lake2 == lake1,
+    including deletes and multi-batch LWW overwrites."""
+    src = _mk(spark, tmp_path, f"src_{mode}", write_mode=mode, change_feed=True)
+    src.merge_into(_ev(spark, [
+        ("I", "a", 1, "a1", 0, 1), ("I", "b", 1, "b1", 0, 2), ("I", "c", 1, "c1", 0, 3),
+    ]), batch_id=0)
+    src.merge_into(_ev(spark, [
+        ("U", "a", 2, "a2", 1, 1), ("D", "b", None, None, 1, 2),
+    ]), batch_id=1)
+    src.merge_into(_ev(spark, [("I", "d", 4, "d4", 2, 1)]), batch_id=2)
+
+    dst = _mk(spark, tmp_path, f"dst_{mode}", write_mode=mode)
+    dst.merge_into(src.changes().drop("_change_version"))
+    assert _state(dst) == _state(src)
+    assert ("b", 1, "b1") not in _state(dst)  # the delete propagated
+
+
+def test_change_feed_incremental_consumption(spark, tmp_path):
+    """A consumer reading [1..k] then (k..head] sees the same end state
+    as one reading everything — the bounded-window consumption shape a
+    production subscriber uses."""
+    src = _mk(spark, tmp_path, "src_inc", change_feed=True)
+    src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1), ("I", "b", 1, "b1", 0, 2)]), batch_id=0)
+    v_mid = src._head_version()
+    src.merge_into(_ev(spark, [("U", "a", 2, "a2", 1, 1), ("D", "b", None, None, 1, 2)]), batch_id=1)
+
+    dst = _mk(spark, tmp_path, "dst_inc")
+    dst.merge_into(src.changes(1, v_mid).drop("_change_version"), batch_id=0)
+    assert ("b", 1, "b1") in _state(dst)  # mid-stream state includes b
+    dst.merge_into(src.changes(v_mid + 1).drop("_change_version"), batch_id=1)
+    assert _state(dst) == _state(src)
+
+
+def test_mor_change_feed_is_free(spark, tmp_path):
+    """MoR delta files double as the change set: every change entry
+    must point at a data file the manifest already owns (no extra
+    write), and changes() must carry the tombstones."""
+    src = _mk(spark, tmp_path, "src_free", write_mode="mor", change_feed=True)
+    src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1), ("D", "a", None, None, 0, 9)]), batch_id=0)
+    meta = src._load_meta()
+    data_paths = {e["path"] for lst in meta.buckets.values() for e in lst}
+    ch_paths = {e["path"] for lst in meta.change_log.values() for e in lst}
+    assert ch_paths and ch_paths <= data_paths
+    ops = {r.op for r in src.changes().collect()}
+    assert ops == {"D"}  # LWW already resolved within the batch
+
+
+def test_changes_project_to_current_schema(spark, tmp_path):
+    """Changes written BEFORE a DDL read back in today's shape (field-id
+    projection) — a consumer that falls behind across a schema change
+    still merges cleanly."""
+    src = _mk(spark, tmp_path, "src_ddl", change_feed=True)
+    src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
+    assert src.apply_ddl(
+        {"action": "add_column", "column": "rating", "new_type": "int",
+         "file_seq": 0, "pos": 5, "suffix": 0}
+    )
+    got = src.changes()
+    assert "rating" in got.columns
+    row = got.collect()[0]
+    assert row.k == "a" and row.rating is None
+
+
+def test_prune_changes_and_vacuum(spark, tmp_path):
+    """Retention: prune_changes drops the window below the cut; live
+    change files survive vacuum(), pruned CoW dirs are removed."""
+    src = _mk(spark, tmp_path, "src_prune", change_feed=True)
+    src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
+    v1 = src._head_version()
+    src.merge_into(_ev(spark, [("I", "b", 2, "b2", 1, 1)]), batch_id=1)
+    src.vacuum()
+    assert {r.k for r in src.changes().collect()} == {"a", "b"}  # vacuum kept live changes
+    src.prune_changes(v1 + 1)
+    src.vacuum()
+    assert {r.k for r in src.changes().collect()} == {"b"}
+    assert all(int(v) > v1 for v in src._load_meta().change_log)
+
+
+def test_changes_requires_flag(spark, tmp_path):
+    src = _mk(spark, tmp_path, "src_off")
+    src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
+    with pytest.raises(ValueError, match="change feed not enabled"):
+        src.changes()
+    assert src._load_meta().change_log == {}  # no hidden cost when off
