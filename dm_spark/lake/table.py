@@ -466,6 +466,31 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def changes_stream(self) -> DataFrame:
+        """The change feed as a Structured Streaming source: a file
+        stream over the `_changes/` dirs, so a downstream lake tails
+        this one continuously (lake-to-lake replication — see
+        :func:`dm_spark.streaming.replicate_lake`). CoW change-feed
+        tables only (MoR change entries live inside data commit dirs,
+        which a file glob cannot scope; MoR consumers poll the batch
+        :meth:`changes` API instead). Schema is fixed at stream start —
+        after a DDL, restart the stream to pick up the new shape (the
+        standard file-source contract)."""
+        meta = self._load_meta()
+        if not meta.change_feed:
+            raise ValueError("change feed not enabled on this table (create(change_feed=True))")
+        if meta.write_mode != "cow":
+            raise ValueError("changes_stream needs write_mode='cow'; poll changes() for MoR")
+        ddl = ", ".join(f"{f['name']} {f['type']}" for f in meta.fields())
+        ddl += ", op string, _cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint"
+        ch_root = os.path.join(self.path, "_changes")
+        os.makedirs(ch_root, exist_ok=True)
+        return (
+            self.spark.readStream.schema(ddl)
+            .option("recursiveFileLookup", "true")
+            .parquet(ch_root)
+        )
+
     def prune_changes(self, before_version: int) -> int:
         """Drop change-log entries for versions < before_version (the
         CDF retention window); CoW change dirs are deleted, MoR delta

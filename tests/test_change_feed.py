@@ -117,6 +117,40 @@ def test_prune_changes_and_vacuum(spark, tmp_path):
     assert all(int(v) > v1 for v in src._load_meta().change_log)
 
 
+def test_replicate_lake_stream_chain(spark, tmp_path):
+    """Streaming lake-to-lake replication: dst tails src's change feed
+    via changes_stream + replicate_lake (AvailableNow), converging to
+    src's state; a second catch-up run with the SAME checkpoint picks
+    up only the new changes (no double-apply — batch-id gate + LWW)."""
+    from dm_spark.streaming import replicate_lake
+
+    src = _mk(spark, tmp_path, "src_stream", change_feed=True)
+    dst = _mk(spark, tmp_path, "dst_stream")
+    cp = str(tmp_path / "cp_repl")
+
+    src.merge_into(_ev(spark, [
+        ("I", "a", 1, "a1", 0, 1), ("I", "b", 1, "b1", 0, 2),
+    ]), batch_id=0)
+    stats1 = replicate_lake(spark, src, dst, cp, timeout_sec=120)
+    assert _state(dst) == _state(src)
+
+    src.merge_into(_ev(spark, [
+        ("U", "a", 2, "a2", 1, 1), ("D", "b", None, None, 1, 2),
+    ]), batch_id=1)
+    stats2 = replicate_lake(spark, src, dst, cp, timeout_sec=120)
+    assert _state(dst) == _state(src)
+    assert ("b", 1, "b1") not in _state(dst)
+    # the second run consumed only the delta, not the whole feed
+    applied2 = sum(s["n_incoming"] or 0 for s in stats2 if not s["skipped"])
+    assert applied2 == 2, (stats1, stats2)
+
+
+def test_changes_stream_rejects_mor(spark, tmp_path):
+    src = _mk(spark, tmp_path, "src_mor_stream", write_mode="mor", change_feed=True)
+    with pytest.raises(ValueError, match="cow"):
+        src.changes_stream()
+
+
 def test_changes_requires_flag(spark, tmp_path):
     src = _mk(spark, tmp_path, "src_off")
     src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
