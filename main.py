@@ -72,6 +72,17 @@ def main(argv: list[str]) -> int:
         snapshot = spark.read.parquet(spec["snapshot_path"])
         stats = task.run_all(snapshot, tuple(spec["snapshot_location"]))
         print(json.dumps({"mode": mode, "batches": stats}))
+    elif mode == "replicate":
+        # lake-to-lake: tail another LakeTable's change feed (CDC-out)
+        from dm_spark.streaming import replicate_lake
+
+        src = LakeTable(spark, spec["paths"]["src_lake"])
+        stats = replicate_lake(
+            spark, src, lake, paths["checkpoint"],
+            timeout_sec=spec.get("timeout_sec", 600),
+            trigger_sec=spec.get("trigger_sec"),  # None = catch-up + stop
+        )
+        print(json.dumps({"mode": mode, "batches": stats}))
     elif mode == "tail":
         # live production shape: tail forever (or until timeout_sec)
         stats = task.run_tail(
