@@ -145,6 +145,24 @@ def test_replicate_lake_stream_chain(spark, tmp_path):
     assert applied2 == 2, (stats1, stats2)
 
 
+def test_replicate_two_hop_chain(spark, tmp_path):
+    """Chains compose: A -> B -> C where B itself has change_feed on —
+    B's replication merges emit B's own change feed, and C tailing B
+    converges to A's state (the multi-stage derived-table pipeline)."""
+    from dm_spark.streaming import replicate_lake
+
+    a = _mk(spark, tmp_path, "hop_a", change_feed=True)
+    b = _mk(spark, tmp_path, "hop_b", change_feed=True)
+    c = _mk(spark, tmp_path, "hop_c")
+    a.merge_into(_ev(spark, [
+        ("I", "a", 1, "a1", 0, 1), ("I", "b", 1, "b1", 0, 2),
+        ("D", "a", None, None, 0, 3),
+    ]), batch_id=0)
+    replicate_lake(spark, a, b, str(tmp_path / "cp_ab"), timeout_sec=120)
+    replicate_lake(spark, b, c, str(tmp_path / "cp_bc"), timeout_sec=120)
+    assert _state(c) == _state(b) == _state(a) == {("b", 1, "b1")}
+
+
 def test_changes_stream_rejects_mor(spark, tmp_path):
     src = _mk(spark, tmp_path, "src_mor_stream", write_mode="mor", change_feed=True)
     with pytest.raises(ValueError, match="cow"):
