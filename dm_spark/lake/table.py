@@ -1144,6 +1144,11 @@ class LakeTable:
     def applied_ddl_log(self) -> list[dict]:
         return self._load_meta().applied_ddl
 
+    def ddl_high_water(self) -> tuple[int, int, int]:
+        """Max (file_seq, pos, suffix) of any applied schema action —
+        the obsolete-DDL gate's watermark."""
+        return tuple(self._load_meta().ddl_high_water)
+
     def totals(self) -> dict:
         return self._load_meta().totals
 

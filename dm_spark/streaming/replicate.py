@@ -24,6 +24,33 @@ from pyspark.sql import SparkSession
 from dm_spark.lake import LakeTable
 
 
+def sync_replica_schema(src: LakeTable, dst: LakeTable) -> list[dict]:
+    """Bring a replica's schema up to its upstream's: name-diff the two
+    field lists and apply the LOSSLESS direction (add missing columns,
+    widen diverged types) through dst.apply_ddl, stamped at src's DDL
+    high-water location so a re-run is gated as obsolete. Renames and
+    drops are NOT derivable from a name diff (a rename looks like
+    drop+add) — those need an explicit operator action on the replica,
+    the same stance the reference takes on untrackable DDL. Returns the
+    actions applied."""
+    dfields = {f["name"]: f["type"] for f in dst.schema_fields()}
+    hw = src.ddl_high_water()
+    applied = []
+    i = 0
+    for f in src.schema_fields():
+        if f["name"] not in dfields:
+            act = {"action": "add_column", "column": f["name"], "new_type": f["type"]}
+        elif dfields[f["name"]] != f["type"]:
+            act = {"action": "widen_type", "column": f["name"], "new_type": f["type"]}
+        else:
+            continue
+        act.update({"file_seq": hw[0], "pos": hw[1], "suffix": hw[2] + i + 1})
+        i += 1
+        if dst.apply_ddl(act):
+            applied.append(act)
+    return applied
+
+
 def replicate_lake(
     spark: SparkSession,
     src: LakeTable,
@@ -33,6 +60,7 @@ def replicate_lake(
     trigger_sec: float | None = None,
     stop_when=None,
     poll_sec: float = 0.25,
+    sync_schema: bool = True,
 ) -> list[dict]:
     """Replicate `src`'s change feed into `dst`.
 
@@ -41,9 +69,19 @@ def replicate_lake(
     until `timeout_sec` or `stop_when(stats) -> bool`. Resume is free:
     the same checkpoint_dir picks up at the first unread change file,
     and a replayed batch is skipped by the destination's batch-id gate.
-    Returns per-batch merge stats."""
+    Returns per-batch merge stats.
+
+    `sync_schema=True` first applies upstream add/widen schema changes
+    to the replica (see :func:`sync_replica_schema`) so columns added
+    at the source land here instead of being silently dropped by the
+    merge's schema tolerance; the stream's read schema is fixed after
+    that point, so a mid-run upstream DDL needs a restart of this call
+    (the standard file-source contract — catch-up mode re-syncs on
+    every invocation)."""
     stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:16]
     stats: list[dict] = []
+    if sync_schema:
+        sync_replica_schema(src, dst)
 
     def _apply(batch_df, batch_id: int) -> None:
         st = dst.merge_into(batch_df, batch_id=batch_id, stream_id=stream_id)

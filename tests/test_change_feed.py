@@ -163,6 +163,33 @@ def test_replicate_two_hop_chain(spark, tmp_path):
     assert _state(c) == _state(b) == _state(a) == {("b", 1, "b1")}
 
 
+def test_replicate_syncs_upstream_schema(spark, tmp_path):
+    """An upstream DDL (add_column) lands on the replica before the
+    merge — without sync the new column would be silently dropped by
+    the destination's schema tolerance. Pre-DDL change rows read back
+    null-filled; a re-run applies nothing (gated at the DDL high
+    water)."""
+    from dm_spark.streaming import replicate_lake, sync_replica_schema
+
+    src = _mk(spark, tmp_path, "src_sync", change_feed=True)
+    dst = _mk(spark, tmp_path, "dst_sync")
+    src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
+    assert src.apply_ddl(
+        {"action": "add_column", "column": "rating", "new_type": "int",
+         "file_seq": 0, "pos": 5, "suffix": 0}
+    )
+    b2 = spark.createDataFrame(
+        [("I", "b", 2, "b2", 9, 1, 2)],
+        "op string, k string, v int, txt string, rating int, _cdc_file_seq long, _cdc_pos long",
+    ).withColumn("_cdc_ts", F.timestamp_seconds(F.lit(1700000100)))
+    src.merge_into(b2, batch_id=1)
+
+    replicate_lake(spark, src, dst, str(tmp_path / "cp_sync"), timeout_sec=120)
+    got = {(r.k, r.rating) for r in dst.read().select("k", "rating").collect()}
+    assert got == {("a", None), ("b", 9)}
+    assert sync_replica_schema(src, dst) == []  # re-run: gated, no-op
+
+
 def test_changes_stream_rejects_mor(spark, tmp_path):
     src = _mk(spark, tmp_path, "src_mor_stream", write_mode="mor", change_feed=True)
     with pytest.raises(ValueError, match="cow"):
