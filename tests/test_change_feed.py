@@ -190,6 +190,25 @@ def test_replicate_syncs_upstream_schema(spark, tmp_path):
     assert sync_replica_schema(src, dst) == []  # re-run: gated, no-op
 
 
+def test_replica_validates_against_source(spark, tmp_path):
+    """The ops loop a production replica runs: after catch-up, the
+    sync_diff-style validator must report zero diff between source and
+    replica (bucketed checksums, then row-level on mismatch)."""
+    from dm_spark.streaming import replicate_lake
+    from dm_spark.validator import table_checksum, table_diff
+
+    src = _mk(spark, tmp_path, "src_val", change_feed=True)
+    dst = _mk(spark, tmp_path, "dst_val")
+    src.merge_into(_ev(spark, [
+        ("I", "a", 1, "a1", 0, 1), ("I", "b", 2, "b2", 0, 2),
+        ("U", "a", 3, "a3", 0, 3), ("D", "b", None, None, 0, 4),
+    ]), batch_id=0)
+    replicate_lake(spark, src, dst, str(tmp_path / "cp_val"), timeout_sec=120)
+    assert table_checksum(src.read()) == table_checksum(dst.read())
+    d = table_diff(src.read(), dst.read(), key=["k"])
+    assert (d["mismatched"], d["missing_left"], d["missing_right"]) == (0, 0, 0), d
+
+
 def test_changes_stream_rejects_mor(spark, tmp_path):
     src = _mk(spark, tmp_path, "src_mor_stream", write_mode="mor", change_feed=True)
     with pytest.raises(ValueError, match="cow"):
