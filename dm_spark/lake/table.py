@@ -1149,6 +1149,16 @@ class LakeTable:
         the obsolete-DDL gate's watermark."""
         return tuple(self._load_meta().ddl_high_water)
 
+    def stream_position(self, stream_id: str) -> int:
+        """The last batch_id merged under `stream_id`, or -1 — the
+        batch gate read back as a consumer cursor. Because the gate
+        commits atomically WITH each merge, a poller that uses a
+        monotone upstream position as its batch_id (see
+        replicate_lake_poll) gets a crash-safe resume point for free:
+        no side-channel cursor file can disagree with applied state."""
+        meta = self._load_meta()
+        return meta.last_batch_id if meta.stream_id == stream_id else -1
+
     def totals(self) -> dict:
         return self._load_meta().totals
 

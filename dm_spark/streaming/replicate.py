@@ -116,3 +116,63 @@ def replicate_lake(
         q.stop()
         q.awaitTermination(60)
     return stats
+
+
+def replicate_lake_poll(
+    spark: SparkSession,
+    src: LakeTable,
+    dst: LakeTable,
+    stream_name: str = "replica",
+    timeout_sec: int = 600,
+    poll_sec: float | None = None,
+    stop_when=None,
+    sync_schema: bool = True,
+) -> list[dict]:
+    """Version-cursor replication over the BATCH changes() API — works
+    for MoR sources too (whose change entries live inside data commit
+    dirs, out of reach of the file-stream path), and for object stores
+    with no file-notification semantics: discovery is the change log in
+    the manifest, not a directory listing.
+
+    Exactly-once with ZERO side-channel state: each poll merges the
+    window (cursor, head] with `batch_id = head` (the source's snapshot
+    version — monotone) under a fixed stream id, and the cursor IS the
+    destination's batch gate (`dst.stream_position`), which commits
+    atomically with the merge. A crash between merge and any bookkeeping
+    cannot desync — there is no bookkeeping; the re-merge after restart
+    is skipped by the gate (or degenerates to an LWW no-op).
+
+    `poll_sec=None` runs one catch-up pass and returns; a float polls
+    until `timeout_sec` or `stop_when(stats)`."""
+    stream_id = hashlib.sha256(f"poll:{stream_name}".encode()).hexdigest()[:16]
+    stats: list[dict] = []
+
+    def _pass() -> None:
+        if sync_schema:
+            sync_replica_schema(src, dst)
+        cursor = dst.stream_position(stream_id)
+        head = src._head_version()  # noqa: SLF001 — snapshot HEAD read
+        if head <= cursor:
+            return
+        window = src.changes(cursor + 1, head).drop("_change_version")
+        st = dst.merge_into(window, batch_id=head, stream_id=stream_id)
+        stats.append(
+            {
+                "batch_id": head,
+                "from_version": cursor + 1,
+                "skipped": st.skipped,
+                "n_incoming": st.n_incoming,
+                "rows_written": st.rows_written,
+            }
+        )
+
+    if poll_sec is None:
+        _pass()
+        return stats
+    t0 = time.time()
+    while time.time() - t0 < timeout_sec:
+        _pass()
+        if stop_when is not None and stop_when(stats):
+            break
+        time.sleep(poll_sec)
+    return stats

@@ -209,6 +209,56 @@ def test_replica_validates_against_source(spark, tmp_path):
     assert (d["mismatched"], d["missing_left"], d["missing_right"]) == (0, 0, 0), d
 
 
+def test_replicate_poll_mor_source(spark, tmp_path):
+    """Version-cursor replication works where the file stream can't: a
+    MoR source (change entries inside data commit dirs). The cursor is
+    the destination's batch gate — no checkpoint dir, no cursor file —
+    and a repeated poll with no new source versions applies nothing."""
+    from dm_spark.streaming import replicate_lake_poll
+
+    src = _mk(spark, tmp_path, "src_poll", write_mode="mor", change_feed=True)
+    dst = _mk(spark, tmp_path, "dst_poll")
+    src.merge_into(_ev(spark, [
+        ("I", "a", 1, "a1", 0, 1), ("I", "b", 1, "b1", 0, 2),
+    ]), batch_id=0)
+    s1 = replicate_lake_poll(spark, src, dst, "r1")
+    assert _state(dst) == _state(src) and len(s1) == 1
+
+    src.merge_into(_ev(spark, [
+        ("U", "a", 2, "a2", 1, 1), ("D", "b", None, None, 1, 2),
+    ]), batch_id=1)
+    s2 = replicate_lake_poll(spark, src, dst, "r1")
+    assert _state(dst) == _state(src) == {("a", 2, "a2")}
+    assert s2[0]["n_incoming"] == 2  # only the delta window was read
+
+    assert replicate_lake_poll(spark, src, dst, "r1") == []  # idle: no-op
+
+
+def test_replicate_poll_advances_past_ddl_versions(spark, tmp_path):
+    """A DDL-only source version must not wedge the cursor: the poll
+    merges an empty window, the gate advances, and the NEXT data window
+    flows (plus the schema sync carries the DDL to the replica)."""
+    from dm_spark.streaming import replicate_lake_poll
+
+    src = _mk(spark, tmp_path, "src_pddl", change_feed=True)
+    dst = _mk(spark, tmp_path, "dst_pddl")
+    src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
+    replicate_lake_poll(spark, src, dst, "r2")
+    assert src.apply_ddl(
+        {"action": "add_column", "column": "rating", "new_type": "int",
+         "file_seq": 0, "pos": 5, "suffix": 0}
+    )
+    replicate_lake_poll(spark, src, dst, "r2")
+    b2 = spark.createDataFrame(
+        [("I", "b", 2, "b2", 7, 1, 1)],
+        "op string, k string, v int, txt string, rating int, _cdc_file_seq long, _cdc_pos long",
+    ).withColumn("_cdc_ts", F.timestamp_seconds(F.lit(1700000100)))
+    src.merge_into(b2, batch_id=1)
+    replicate_lake_poll(spark, src, dst, "r2")
+    got = {(r.k, r.rating) for r in dst.read().select("k", "rating").collect()}
+    assert got == {("a", None), ("b", 7)}
+
+
 def test_changes_stream_rejects_mor(spark, tmp_path):
     src = _mk(spark, tmp_path, "src_mor_stream", write_mode="mor", change_feed=True)
     with pytest.raises(ValueError, match="cow"):
