@@ -475,7 +475,16 @@ class LakeTable:
         which a file glob cannot scope; MoR consumers poll the batch
         :meth:`changes` API instead). Schema is fixed at stream start —
         after a DDL, restart the stream to pick up the new shape (the
-        standard file-source contract)."""
+        standard file-source contract).
+
+        Admission model, disclosed: this path admits files by DIRECTORY
+        LISTING, and change files are written immediately before the
+        manifest commit — so a writer that crashes in that gap (and is
+        never retried) can expose rows the table never committed. The
+        streaming driver's retry makes the same batch commit later and
+        LWW converges; for strict commit-gated admission (the Delta CDF
+        log model) use :func:`dm_spark.streaming.replicate_lake_poll`,
+        which reads the change log out of the committed manifest."""
         meta = self._load_meta()
         if not meta.change_feed:
             raise ValueError("change feed not enabled on this table (create(change_feed=True))")
