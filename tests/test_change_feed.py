@@ -265,6 +265,44 @@ def test_changes_stream_rejects_mor(spark, tmp_path):
         src.changes_stream()
 
 
+def test_capstone_ingest_then_replicate_matches_oracle(spark, sf_dir, tmp_path):
+    """The full switched-user pipeline in one test: relay feed ->
+    streaming driver -> MoR primary lake with change_feed on ->
+    version-cursor replication -> replica matches the independent
+    DuckDB window-replay oracle AND the primary's checksums. The change
+    feed costs the MoR primary nothing (delta files double as the
+    change set), so this is the default production topology."""
+    from dm_spark.config import RouteRule, TaskConfig
+    from dm_spark.operators import ApplyPipeline
+    from dm_spark.sources.relay import write_feed_chunks
+    from dm_spark.streaming import CdcStreamDriver, replicate_lake_poll
+    from dm_spark.validator import table_checksum
+    from dm_spark import feed as feedmod
+    from tests.test_pipeline_e2e import (
+        SCHEMA as T_SCHEMA, KEY as T_KEY, assert_tables_equal, duck_replay, spark_final,
+    )
+
+    primary = LakeTable.create(
+        spark, str(tmp_path / "primary"), T_SCHEMA, T_KEY, n_buckets=8,
+        write_mode="mor", change_feed=True,
+    )
+    replica = LakeTable.create(
+        spark, str(tmp_path / "replica"), T_SCHEMA, T_KEY, n_buckets=8
+    )
+    feed_dir = str(tmp_path / "feed")
+    write_feed_chunks(feedmod.change_feed(spark, sf_dir), feed_dir, n_chunks=4)
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    drv = CdcStreamDriver(
+        spark, feed_dir, str(tmp_path / "cp"), ApplyPipeline(cfg),
+        {"transcripts": primary}, max_files_per_trigger=2,
+    )
+    drv.run_available_now()
+    replicate_lake_poll(spark, primary, replica, "capstone")
+
+    assert_tables_equal(spark_final(replica), duck_replay(sf_dir))
+    assert table_checksum(primary.read()) == table_checksum(replica.read())
+
+
 def test_changes_requires_flag(spark, tmp_path):
     src = _mk(spark, tmp_path, "src_off")
     src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
