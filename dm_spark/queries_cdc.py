@@ -260,6 +260,24 @@ def q_change_feed_chain(spark, sf_dir):
     return _final_us(lake2)
 
 
+def q_change_feed_chain_mor(spark, sf_dir):
+    """Same chain through the MoR primary + version-cursor poll
+    replication (replicate_lake_poll): the MoR change feed is FREE
+    (delta files double as the change set) and the poll path admits by
+    the committed manifest — the production topology. Shares the
+    _REPLAY oracle: the replica's state must equal the direct replay."""
+    from dm_spark.streaming import replicate_lake_poll
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    lake1 = _replay_through_lake(spark, batch, write_mode="mor", change_feed=True)
+    lake2 = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="dm_q_"), SCHEMA, KEY, n_buckets=16
+    )
+    replicate_lake_poll(spark, lake1, lake2, "q_chain_mor")
+    return _final_us(lake2)
+
+
 def q_replay_merge_salted(spark, sf_dir):
     """Same replay with the salted pre-reduction on (Compactor + skew
     salting: each key contributes one winner per batch to the merge
@@ -545,6 +563,7 @@ QUERIES = {
     "cdc_dedup_lww_salted": q_dedup_lww_salted,
     "cdc_replay_merge": q_replay_merge,
     "cdc_change_feed_chain": q_change_feed_chain,
+    "cdc_change_feed_chain_mor": q_change_feed_chain_mor,
     "cdc_replay_merge_salted": q_replay_merge_salted,
     "cdc_replay_merge_mor": q_replay_merge_mor,
     "cdc_replay_filtered": q_replay_filtered,
@@ -627,6 +646,7 @@ ORACLES = {
     ),
     "cdc_replay_merge": _with_feed(_REPLAY),
     "cdc_change_feed_chain": _with_feed(_REPLAY),
+    "cdc_change_feed_chain_mor": _with_feed(_REPLAY),
     "cdc_replay_merge_salted": _with_feed(_REPLAY),
     "cdc_replay_merge_mor": _with_feed(_REPLAY),
     "cdc_replay_filtered": _with_feed(_REPLAY, _FILTER_MATRIX_WHERE),
