@@ -128,6 +128,10 @@ class _Meta:
     # retention window, exactly like Delta CDF.
     change_feed: bool = False
     change_log: dict = field(default_factory=dict)
+    # retention floor: versions < this have had their change entries
+    # pruned — a consumer asking for them must fail loudly, not
+    # silently skip a window (the Delta CDF out-of-retention error)
+    changes_pruned_below: int = 1
 
     def fields(self) -> list[dict]:
         return self.schema_history[str(self.schema_version)]
@@ -448,6 +452,12 @@ class LakeTable:
         meta = self._load_meta()
         if not meta.change_feed:
             raise ValueError("change feed not enabled on this table (create(change_feed=True))")
+        if max(1, from_version) < meta.changes_pruned_below:
+            raise ValueError(
+                f"change feed pruned below v{meta.changes_pruned_below}: cannot read "
+                f"from v{from_version} — the consumer fell out of the retention "
+                "window; re-bootstrap it from a table snapshot"
+            )
         to_v = meta.version if to_version is None else to_version
         parts = []
         for v in range(max(1, from_version), to_v + 1):
@@ -512,6 +522,7 @@ class LakeTable:
                     if os.path.exists(e["path"]):
                         os.remove(e["path"])
                         removed += 1
+        meta.changes_pruned_below = max(meta.changes_pruned_below, before_version)
         meta.version += 1
         self._commit(meta, dirty=set())
         return removed

@@ -113,7 +113,11 @@ def test_prune_changes_and_vacuum(spark, tmp_path):
     assert {r.k for r in src.changes().collect()} == {"a", "b"}  # vacuum kept live changes
     src.prune_changes(v1 + 1)
     src.vacuum()
-    assert {r.k for r in src.changes().collect()} == {"b"}
+    # a consumer behind the retention floor fails LOUDLY (silently
+    # skipping a pruned window would diverge the replica)
+    with pytest.raises(ValueError, match="pruned below"):
+        src.changes()
+    assert {r.k for r in src.changes(v1 + 1).collect()} == {"b"}
     assert all(int(v) > v1 for v in src._load_meta().change_log)
 
 
