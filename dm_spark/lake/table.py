@@ -304,6 +304,10 @@ class LakeTable:
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.meta_dir, "HEAD"))
 
+    @property
+    def write_mode(self) -> str:
+        return self._load_meta().write_mode
+
     # ------------------------------------------------------------ create
     @classmethod
     def create(

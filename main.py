@@ -73,15 +73,25 @@ def main(argv: list[str]) -> int:
         stats = task.run_all(snapshot, tuple(spec["snapshot_location"]))
         print(json.dumps({"mode": mode, "batches": stats}))
     elif mode == "replicate":
-        # lake-to-lake: tail another LakeTable's change feed (CDC-out)
-        from dm_spark.streaming import replicate_lake
+        # lake-to-lake: tail another LakeTable's change feed (CDC-out).
+        # CoW sources stream their _changes dirs; MoR sources (change
+        # set = delta files inside data commits) use the version-cursor
+        # poll path, which admits by the committed manifest.
+        from dm_spark.streaming import replicate_lake, replicate_lake_poll
 
         src = LakeTable(spark, spec["paths"]["src_lake"])
-        stats = replicate_lake(
-            spark, src, lake, paths["checkpoint"],
-            timeout_sec=spec.get("timeout_sec", 600),
-            trigger_sec=spec.get("trigger_sec"),  # None = catch-up + stop
-        )
+        if src.write_mode == "mor":
+            stats = replicate_lake_poll(
+                spark, src, lake, spec.get("name", "replica"),
+                timeout_sec=spec.get("timeout_sec", 600),
+                poll_sec=spec.get("trigger_sec"),  # None = catch-up + stop
+            )
+        else:
+            stats = replicate_lake(
+                spark, src, lake, paths["checkpoint"],
+                timeout_sec=spec.get("timeout_sec", 600),
+                trigger_sec=spec.get("trigger_sec"),  # None = catch-up + stop
+            )
         print(json.dumps({"mode": mode, "batches": stats}))
     elif mode == "tail":
         # live production shape: tail forever (or until timeout_sec)
