@@ -437,6 +437,35 @@ class LakeTable:
     def schema_fields(self) -> list[dict]:
         return self._load_meta().fields()
 
+    def snapshot_changes(self) -> DataFrame:
+        """The CURRENT table state re-expressed as an insert-only change
+        batch carrying each row's ORIGINAL lineage (_cdc_ts/file_seq/
+        pos) — the consumer re-bootstrap payload for a replica that
+        fell out of the change-feed retention window. Keeping the
+        original lineage matters: a bootstrap with fresh/null lineage
+        would lose LWW to any later redelivered old event and silently
+        regress the replica. CoW base files store lineage as written;
+        MoR resolves base+delta LWW first (tombstones dropped)."""
+        meta = self._load_meta()
+        entries = [e for lst in meta.buckets.values() for e in lst]
+        payload = [f["name"] for f in meta.fields()]
+        df = self._read_files(meta, entries, with_lineage=True, with_op=True)
+        if df is None:
+            ddl = ", ".join(f"{f['name']} {f['type']}" for f in meta.fields())
+            ddl += ", op string, _cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint"
+            return self.spark.createDataFrame([], ddl)
+        has_delta = any(e.get("delta") for e in entries)
+        if has_delta:
+            w = Window.partitionBy(*_merge_key_exprs(meta)).orderBy(
+                *[F.col(c).desc() for c in LINEAGE_COLS]
+            )
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .where((F.col("__rn") == 1) & (F.col("op") != "D"))
+                .drop("__rn")
+            )
+        return df.select(*payload, F.lit("I").alias("op"), *LINEAGE_COLS)
+
     def changes(self, from_version: int = 1, to_version: int | None = None) -> DataFrame:
         """Incremental change rows applied between versions (inclusive
         bounds) — the lake re-emitting CDC, the Delta CDF analog. Rows:

@@ -1,5 +1,6 @@
 from dm_spark.streaming.driver import CdcStreamDriver
 from dm_spark.streaming.replicate import (
+    bootstrap_replica,
     replicate_lake,
     replicate_lake_poll,
     sync_replica_schema,
@@ -8,6 +9,7 @@ from dm_spark.streaming.windows import windowed_op_counts
 
 __all__ = [
     "CdcStreamDriver",
+    "bootstrap_replica",
     "replicate_lake",
     "replicate_lake_poll",
     "sync_replica_schema",

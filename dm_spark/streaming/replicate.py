@@ -118,6 +118,30 @@ def replicate_lake(
     return stats
 
 
+def bootstrap_replica(
+    spark: SparkSession,
+    src: LakeTable,
+    dst: LakeTable,
+    stream_name: str = "replica",
+    sync_schema: bool = True,
+):
+    """Seed (or re-seed) a poll replica from a source snapshot — the
+    remedy when the consumer fell out of the change-feed retention
+    window (changes() raises "pruned below"). ONE merge call carries
+    both the data and the resume point: the source state becomes an
+    insert-only batch with ORIGINAL lineage (snapshot_changes — fresh
+    lineage would lose LWW to redelivered old events), merged with
+    batch_id = the source's snapshot version under the poll stream id,
+    so the cursor advances atomically with the data and a crash mid-
+    bootstrap just re-runs idempotently (same batch id -> gate skip).
+    Subsequent replicate_lake_poll calls resume past the snapshot."""
+    if sync_schema:
+        sync_replica_schema(src, dst)
+    stream_id = hashlib.sha256(f"poll:{stream_name}".encode()).hexdigest()[:16]
+    head = src._head_version()  # noqa: SLF001 — snapshot HEAD read
+    return dst.merge_into(src.snapshot_changes(), batch_id=head, stream_id=stream_id)
+
+
 def replicate_lake_poll(
     spark: SparkSession,
     src: LakeTable,

@@ -263,6 +263,40 @@ def test_replicate_poll_advances_past_ddl_versions(spark, tmp_path):
     assert got == {("a", None), ("b", 7)}
 
 
+def test_bootstrap_replica_after_retention_loss(spark, tmp_path):
+    """A replica that fell out of retention re-seeds from a snapshot:
+    poll raises "pruned below", bootstrap_replica plants data + cursor
+    in ONE atomic merge (original lineage preserved — a redelivered old
+    event must still lose LWW), and subsequent polls resume with only
+    the post-snapshot delta."""
+    import pytest as _pytest
+
+    from dm_spark.streaming import bootstrap_replica, replicate_lake_poll
+
+    src = _mk(spark, tmp_path, "src_boot", change_feed=True)
+    dst = _mk(spark, tmp_path, "dst_boot")
+    src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
+    src.merge_into(_ev(spark, [("U", "a", 2, "a2", 1, 1), ("I", "b", 1, "b1", 1, 2)]), batch_id=1)
+    src.prune_changes(src._head_version() + 1)  # retention window gone
+
+    with _pytest.raises(ValueError, match="pruned below"):
+        replicate_lake_poll(spark, src, dst, "boot")
+
+    st = bootstrap_replica(spark, src, dst, "boot")
+    assert not st.skipped and _state(dst) == _state(src)
+    assert bootstrap_replica(spark, src, dst, "boot").skipped  # idempotent re-run
+
+    # a redelivered OLD event (pre-snapshot lineage) must lose LWW
+    dst.merge_into(_ev(spark, [("U", "a", 9, "stale", 0, 0)]))
+    assert ("a", 2, "a2") in _state(dst) and ("a", 9, "stale") not in _state(dst)
+
+    # resume: only the post-snapshot delta flows
+    src.merge_into(_ev(spark, [("I", "c", 3, "c3", 2, 1)]), batch_id=2)
+    s = replicate_lake_poll(spark, src, dst, "boot")
+    assert s and s[0]["n_incoming"] == 1
+    assert _state(dst) == _state(src)
+
+
 def test_changes_stream_rejects_mor(spark, tmp_path):
     src = _mk(spark, tmp_path, "src_mor_stream", write_mode="mor", change_feed=True)
     with pytest.raises(ValueError, match="cow"):
