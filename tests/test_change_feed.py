@@ -341,6 +341,44 @@ def test_capstone_ingest_then_replicate_matches_oracle(spark, sf_dir, tmp_path):
     assert table_checksum(primary.read()) == table_checksum(replica.read())
 
 
+def test_chain_through_mid_stream_ddl(spark, tmp_path):
+    """Combined axis: a ReplayRunner feed with a mid-stream shard ADD
+    COLUMN (flush-before-DDL + barrier) runs against a change-feed
+    source lake; the poll replica then syncs the evolved schema and
+    drains the pre- and post-DDL change windows — replica equals
+    source, schema included."""
+    from dm_spark.config import RouteRule, TaskConfig
+    from dm_spark.operators import ApplyPipeline
+    from dm_spark.plans import DdlEvent, ReplayRunner
+    from dm_spark.streaming import replicate_lake_poll
+    from tests.test_replay_runner import SCHEMA as R_SCHEMA, KEY as R_KEY, ev
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    src = LakeTable.create(
+        spark, str(tmp_path / "src_mid_ddl"), R_SCHEMA, R_KEY,
+        n_buckets=4, change_feed=True,
+    )
+    dst = LakeTable.create(spark, str(tmp_path / "dst_mid_ddl"), R_SCHEMA, R_KEY, n_buckets=4)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=src)
+    feed = ev(spark, [
+        ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+        ("U", "a", 1, "v2", "shard_0.t", 0, 5),
+        ("I", "b", 1, "v1", "shard_0.t", 0, 6),
+    ])
+    runner.replay(feed, [
+        DdlEvent("add_column", "shard_0.t", 0, 3, column="rating", new_type="int"),
+    ])
+    assert "rating" in src.read().columns
+
+    replicate_lake_poll(spark, src, dst, "mid_ddl")
+    assert "rating" in dst.read().columns
+    pick = lambda lk: {  # noqa: E731
+        (r.conv_id, r.turn_idx, r.text, r.rating)
+        for r in lk.read().select("conv_id", "turn_idx", "text", "rating").collect()
+    }
+    assert pick(dst) == pick(src) == {("a", 1, "v2", None), ("b", 1, "v1", None)}
+
+
 def test_changes_requires_flag(spark, tmp_path):
     src = _mk(spark, tmp_path, "src_off")
     src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
