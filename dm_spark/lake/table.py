@@ -466,7 +466,12 @@ class LakeTable:
             )
         return df.select(*payload, F.lit("I").alias("op"), *LINEAGE_COLS)
 
-    def changes(self, from_version: int = 1, to_version: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_version: int = 1,
+        to_version: int | None = None,
+        tag_versions: bool = True,
+    ) -> DataFrame:
         """Incremental change rows applied between versions (inclusive
         bounds) — the lake re-emitting CDC, the Delta CDF analog. Rows:
         current payload + `op` ('I'|'U'|'D') + lineage
@@ -476,12 +481,16 @@ class LakeTable:
         "_change_version"))` and converges to the same state (LWW on
         the same lineage ordering; pinned in tests/test_change_feed).
 
-        Scale shape: one bounded parquet scan per consumed version (a
-        consumer reads from its last-consumed version, a bounded
-        window), files projected to the current schema by field id —
-        changes written before a DDL read back in today's shape.
-        Versions without DML (DDL/compact/rescale commits) simply have
-        no rows."""
+        Scale shape: with `tag_versions=True` the plan has one parquet
+        scan per consumed version — fine for bounded windows, wrong for
+        a replica catching up over thousands of versions. Pass
+        `tag_versions=False` (what replicate_lake_poll does) to drop
+        the `_change_version` column and coalesce ALL files in the
+        window into one scan per schema group — the plan stays O(1) in
+        window size. Files are projected to the current schema by field
+        id either way — changes written before a DDL read back in
+        today's shape. Versions without DML (DDL/compact/rescale
+        commits) simply have no rows."""
         meta = self._load_meta()
         if not meta.change_feed:
             raise ValueError("change feed not enabled on this table (create(change_feed=True))")
@@ -492,18 +501,29 @@ class LakeTable:
                 "window; re-bootstrap it from a table snapshot"
             )
         to_v = meta.version if to_version is None else to_version
-        parts = []
-        for v in range(max(1, from_version), to_v + 1):
-            ents = meta.change_log.get(str(v))
-            if not ents:
-                continue
+        versions = [
+            v for v in range(max(1, from_version), to_v + 1)
+            if meta.change_log.get(str(v))
+        ]
+
+        def _empty(with_tag: bool) -> DataFrame:
+            ddl = ", ".join(f"{f['name']} {f['type']}" for f in meta.fields())
+            ddl += ", op string, _cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint"
+            if with_tag:
+                ddl += ", _change_version int"
+            return self.spark.createDataFrame([], ddl)
+
+        if not tag_versions:
+            ents = [e for v in versions for e in meta.change_log[str(v)]]
             df = self._read_files(meta, ents, with_lineage=True, with_op=True)
+            return df if df is not None else _empty(False)
+        parts = []
+        for v in versions:
+            df = self._read_files(meta, meta.change_log[str(v)], with_lineage=True, with_op=True)
             if df is not None:
                 parts.append(df.withColumn("_change_version", F.lit(v)))
         if not parts:
-            ddl = ", ".join(f"{f['name']} {f['type']}" for f in self._load_meta().fields())
-            ddl += ", op string, _cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint, _change_version int"
-            return self.spark.createDataFrame([], ddl)
+            return _empty(True)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

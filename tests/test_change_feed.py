@@ -379,6 +379,26 @@ def test_chain_through_mid_stream_ddl(spark, tmp_path):
     assert pick(dst) == pick(src) == {("a", 1, "v2", None), ("b", 1, "v1", None)}
 
 
+def test_untagged_changes_single_scan(spark, tmp_path):
+    """The catch-up plan shape: tag_versions=False must coalesce the
+    whole window into ONE parquet scan (per schema group) instead of
+    one per version — the difference between O(1) and O(versions) plans
+    when a replica is far behind — while returning the same rows."""
+    src = _mk(spark, tmp_path, "src_scan", change_feed=True)
+    for i in range(4):
+        src.merge_into(_ev(spark, [("I", f"k{i}", i, f"t{i}", 0, i + 1)]), batch_id=i)
+
+    tagged = src.changes()
+    untagged = src.changes(tag_versions=False)
+    want = {(r.k, r.v) for r in tagged.select("k", "v").collect()}
+    assert {(r.k, r.v) for r in untagged.select("k", "v").collect()} == want
+    assert len(want) == 4
+    n_scans = untagged._jdf.queryExecution().executedPlan().toString().count("FileScan")
+    assert n_scans == 1, n_scans
+    n_scans_tagged = tagged._jdf.queryExecution().executedPlan().toString().count("FileScan")
+    assert n_scans_tagged == 4, n_scans_tagged
+
+
 def test_changes_requires_flag(spark, tmp_path):
     src = _mk(spark, tmp_path, "src_off")
     src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
