@@ -496,6 +496,41 @@ class ReplayRunner:
         self.spill.clear_dirs(old_dirs)
         return n
 
+    # ------------------------------------------------------ crash state
+    def state_json(self) -> dict:
+        """Crash-durable coordination state — the reference persists
+        this as sharding meta + online-DDL meta in the checkpoint DB
+        (syncer/sharding-meta/shardmeta.go, online_ddl.go:382). Spilled
+        ROWS already survive on disk (PendingSpill lists its fixed
+        path); this captures WHO is blocked and WHY: barrier announces,
+        dropped sources, error operators, rename chains, tracked shard
+        schemas, buffered ghost DDLs. The streaming driver writes it
+        atomically after every runner batch and restores it on
+        construction, so a kill mid-barrier resumes instead of
+        forgetting the pending DDL and orphaning the spill."""
+        return {
+            "barrier": self.barrier.to_json() if self.barrier else None,
+            "dropped_tables": sorted(self.dropped_tables),
+            "error_ops": [[list(loc), ov] for loc, ov in sorted(self.error_ops.ops.items())],
+            "rename_map": dict(self.rename_map),
+            "schemas": {t: [list(c) for c in sch] for t, sch in self.registry.schemas.items()},
+            "online_ddl": self.online_ddl.to_json(),
+            "applied_ddl": self.applied_ddl[-200:],
+        }
+
+    def restore_state(self, d: dict) -> None:
+        """Inverse of state_json on a freshly-constructed runner (same
+        config: groups, spill path, lakes)."""
+        if d.get("barrier") is not None and self.barrier is not None:
+            self.barrier = ShardDdlBarrier.from_json(self.barrier.groups, d["barrier"])
+        self.dropped_tables = set(d.get("dropped_tables", []))
+        self.error_ops.ops = {tuple(loc): ov for loc, ov in d.get("error_ops", [])}
+        self.rename_map = dict(d.get("rename_map", {}))
+        for t, sch in d.get("schemas", {}).items():
+            self.registry.schemas[t] = [tuple(c) for c in sch]
+        self.online_ddl = OnlineDdlBuffer.from_json(d.get("online_ddl", {}))
+        self.applied_ddl = list(d.get("applied_ddl", []))
+
     # ------------------------------------------------------------ replay
     def replay(self, envelope: DataFrame, ddl_events: list[DdlEvent]) -> None:
         """Batch replay of a bounded feed with interleaved DDL:

@@ -19,7 +19,10 @@ from __future__ import annotations
 
 import datetime as _dt
 import hashlib
+import json
+import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +60,13 @@ class CdcStreamDriver:
         # on LWW + the applied-DDL location gate rather than batch ids.
         self.runner = runner
         self.ddl_events = sorted(ddl_events or [], key=lambda e: e.loc())
+        # runner-mode crash durability (sharding-meta analog): restore
+        # barrier/tracker/online-DDL state saved after the last batch —
+        # spilled rows are already on disk, this remembers WHY they wait
+        self._runner_state_path = os.path.join(checkpoint_dir, "runner_state.json")
+        if self.runner is not None and os.path.exists(self._runner_state_path):
+            with open(self._runner_state_path) as f:
+                self.runner.restore_state(json.load(f))
         # MoR maintenance: fold delta files back into base every N
         # batches (the rewrite_data_files scheduling a table service
         # would own on a real lakehouse)
@@ -84,6 +94,7 @@ class CdcStreamDriver:
                 ]
                 self.ddl_events = self.ddl_events[len(due):]
                 self.runner.replay(batch_df, due)
+                self._save_runner_state()
                 self.batch_stats.append({"batch_id": batch_id, "ddls": len(due)})
                 return
             flat = self.pipeline.transform(batch_df)
@@ -114,6 +125,17 @@ class CdcStreamDriver:
         finally:
             if multi_pass:
                 batch_df.unpersist()
+
+    def _save_runner_state(self) -> None:
+        """Atomic write-then-rename after each runner batch: the state
+        on disk is always the state as of SOME completed batch; a crash
+        mid-batch replays that batch from the stream checkpoint against
+        the matching coordination state (merges are LWW-idempotent)."""
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        tmp = f"{self._runner_state_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(self.runner.state_json(), f)
+        os.replace(tmp, self._runner_state_path)
 
     @staticmethod
     def _lag_sec(lake: LakeTable) -> float | None:

@@ -557,3 +557,79 @@ def test_drop_releases_pending_barrier_ddl(spark, runner):
     got = rows(runner.lake)
     assert ("a", 1, "v1") in got and ("a", 2, "post-ddl") in got  # drained
     assert runner.barrier.blocked_sources() == set()
+
+
+def test_state_roundtrip_resumes_mid_barrier(spark, tmp_path):
+    """Sharding-meta durability (syncer/sharding-meta/shardmeta.go): a
+    runner killed while shard_0's DDL waits on shard_1 must resume from
+    persisted state — the restored barrier remembers the announce, the
+    laggard's DDL releases it, and the spilled rows drain under the
+    evolved schema. Without restore, the pending DDL is forgotten and
+    the spill orphans."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=4)
+    spill_dir = str(tmp_path / "spill")
+
+    def make():
+        return ReplayRunner(
+            pipeline=ApplyPipeline(cfg), lake=lake,
+            barrier=ShardDdlBarrier(
+                groups={"transcripts": ["shard_0.t", "shard_1.t"]}
+            ),
+            spill=PendingSpill(spark, spill_dir),
+        )
+
+    r1 = make()
+    r1.replay(
+        ev(spark, [
+            ("I", "a", 1, "v1", "shard_0.t", 0, 1),
+            ("I", "a", 2, "post-ddl", "shard_0.t", 0, 5),  # spills
+        ]),
+        [DdlEvent("add_column", "shard_0.t", 0, 2, column="rating", new_type="int")],
+    )
+    assert r1.barrier.blocked_sources() == {"shard_0.t"}
+    state = r1.state_json()
+
+    # "crash": brand-new runner, same config + spill path, restored state
+    r2 = make()
+    r2.restore_state(state)
+    assert r2.barrier.blocked_sources() == {"shard_0.t"}
+    r2.replay(
+        ev(spark, [("I", "b", 1, "v1", "shard_1.t", 0, 7)]),
+        [DdlEvent("add_column", "shard_1.t", 0, 6, column="rating", new_type="int")],
+    )
+    got = rows(lake)
+    assert ("a", 2, "post-ddl") in got and ("b", 1, "v1") in got
+    assert "rating" in lake.read().columns
+    assert r2.barrier.blocked_sources() == set()
+
+
+def test_state_loses_spill_without_restore(spark, tmp_path):
+    """The negative control: the same crash WITHOUT restore forgets the
+    first shard's announce, so the laggard's DDL opens a NEW one-sided
+    barrier — the ALTER never applies and the laggard's own rows wedge
+    behind it — this is the hole state_json exists to close."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=4)
+    spill_dir = str(tmp_path / "spill")
+
+    def make():
+        return ReplayRunner(
+            pipeline=ApplyPipeline(cfg), lake=lake,
+            barrier=ShardDdlBarrier(groups={"transcripts": ["shard_0.t", "shard_1.t"]}),
+            spill=PendingSpill(spark, spill_dir),
+        )
+
+    r1 = make()
+    r1.replay(
+        ev(spark, [("I", "a", 2, "post-ddl", "shard_0.t", 0, 5)]),
+        [DdlEvent("add_column", "shard_0.t", 0, 2, column="rating", new_type="int")],
+    )
+    r2 = make()  # amnesiac restart
+    r2.replay(
+        ev(spark, [("I", "b", 1, "v1", "shard_1.t", 0, 7)]),
+        [DdlEvent("add_column", "shard_1.t", 0, 6, column="rating", new_type="int")],
+    )
+    assert "rating" not in lake.read().columns  # the ALTER never applied
+    assert ("b", 1, "v1") not in rows(lake)  # the laggard's row is wedged
+    assert r2.barrier.blocked_sources() == {"shard_1.t"}

@@ -103,3 +103,38 @@ def test_stream_optimistic_shard_ddl_mid_feed(spark, sf_dir, tmp_path):
     assert len(got) == len(want)
     assert (got["text"] == want["text"]).all()
     assert got["rating"].isna().all()  # sources never emitted it
+
+
+def test_runner_state_persists_across_driver_restart(spark, sf_dir, tmp_path):
+    """Sharding-meta durability under the streaming driver: after a
+    runner-mode run, runner_state.json sits in the checkpoint dir
+    (written atomically after each batch), and a NEW driver over the
+    same checkpoint restores the coordination state (rename chains,
+    applied-DDL log) into its fresh runner before any batch runs."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=8)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    feed = feedmod.change_feed(spark, sf_dir)
+    mm = feed.agg(F.min("pos"), F.max("pos")).collect()[0]
+    ddls = [
+        DdlEvent("rename_column", "shard_0.transcripts_0", 0, (mm[0] + mm[1]) // 2,
+                 column="tool", new_name="tool_name")
+    ]
+    drv = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), str(tmp_path / "cp"), runner.pipeline,
+        {"transcripts": lake}, max_files_per_trigger=3, runner=runner, ddl_events=ddls,
+    )
+    write_feed_chunks(feed, drv.feed_dir, n_chunks=6)
+    drv.run_available_now()
+    assert runner.rename_map  # the rename chain exists in live state
+
+    # restart: fresh runner, same checkpoint — state must come back
+    runner2 = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    drv2 = CdcStreamDriver(
+        spark, drv.feed_dir, str(tmp_path / "cp"), runner2.pipeline,
+        {"transcripts": lake}, max_files_per_trigger=3, runner=runner2, ddl_events=[],
+    )
+    assert runner2.rename_map == runner.rename_map
+    assert runner2.applied_ddl == runner.applied_ddl[-200:]
+    stats = drv2.run_available_now()  # nothing new to do; no crash
+    assert all(s.get("ddls", 0) == 0 for s in stats)
