@@ -72,6 +72,44 @@ class CdcStreamDriver:
         # would own on a real lakehouse)
         self.compact_every = compact_every
 
+    def _extract_inline_ddl(self, batch_df: DataFrame) -> list:
+        """In-band DDL: relay rows with op='Q' are query events whose
+        payload (the raw SQL statement — exactly the reference's
+        QueryEvent.Query, syncer/syncer.go:2253 handleQueryEvent) rides
+        `after.text`. They are parsed into DdlEvents here, at their
+        binlog location, so a user never has to side-channel schema
+        changes — ALTERs written into the feed just work. Bounded
+        collect: DDLs are rare by nature. An UnsupportedDdl statement
+        raises unless an error operator skips that location (the
+        handle-error escape hatch, syncer/handle_error.go)."""
+        from dm_spark.schema import UnsupportedDdl, parse_ddl
+
+        qrows = (
+            batch_df.where(F.col("op") == "Q")
+            .select(F.col("after.text").alias("sql"), "file_seq", "pos")
+            .collect()
+        )
+        out = []
+        for r in sorted(qrows, key=lambda r: (r["file_seq"], r["pos"])):
+            try:
+                out.extend(parse_ddl(r["sql"], r["file_seq"], r["pos"]))
+            except UnsupportedDdl:
+                ops = self.runner.error_ops.ops if self.runner is not None else {}
+                ov = ops.get((r["file_seq"], r["pos"]))
+                if ov is None:
+                    raise
+                if ov["kind"] == "replace":
+                    for i, rep in enumerate(ov["actions"]):
+                        from dm_spark.plans import DdlEvent
+
+                        out.append(DdlEvent(
+                            rep["action"], rep["source_table"], r["file_seq"], r["pos"],
+                            suffix=i + 1,
+                            **{k: v for k, v in rep.items()
+                               if k not in ("action", "source_table")},
+                        ))
+        return out
+
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         t_start = time.time()
         # persist ONLY when the batch is read more than once (runner
@@ -85,6 +123,7 @@ class CdcStreamDriver:
             batch_df.persist()
         try:
             if self.runner is not None:
+                inline = self._extract_inline_ddl(batch_df)
                 mx = batch_df.agg(
                     F.max(F.struct(F.col("file_seq"), F.col("pos")))
                 ).collect()[0][0]
@@ -93,11 +132,13 @@ class CdcStreamDriver:
                     if mx is not None and e.loc()[:2] <= (mx["file_seq"], mx["pos"])
                 ]
                 self.ddl_events = self.ddl_events[len(due):]
-                self.runner.replay(batch_df, due)
+                due = sorted([*due, *inline], key=lambda e: e.loc())
+                self.runner.replay(batch_df.where(F.col("op") != "Q"), due)
                 self._save_runner_state()
                 self.batch_stats.append({"batch_id": batch_id, "ddls": len(due)})
                 return
-            flat = self.pipeline.transform(batch_df)
+            # plain pipeline has no DDL surface: query events drop here
+            flat = self.pipeline.transform(batch_df.where(F.col("op") != "Q"))
             if multi_pass:
                 flat.persist()
             for target, lake in self.lakes.items():

@@ -138,3 +138,56 @@ def test_runner_state_persists_across_driver_restart(spark, sf_dir, tmp_path):
     assert runner2.applied_ddl == runner.applied_ddl[-200:]
     stats = drv2.run_available_now()  # nothing new to do; no crash
     assert all(s.get("ddls", 0) == 0 for s in stats)
+
+
+def test_inline_query_event_ddl(spark, sf_dir, tmp_path):
+    """In-band DDL: an `ALTER TABLE ... ADD COLUMN` written INTO the
+    relay feed as a query event (op='Q', SQL in after.text — the
+    QueryEvent.Query payload, syncer/syncer.go:2253) is parsed and
+    applied at its exact location by the runner-mode driver, no
+    side-channel ddl_events list. DML state still matches the oracle;
+    an unparseable statement at a skip-marked location is dropped."""
+    from tests.test_pipeline_e2e import assert_tables_equal
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=8)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    feed = feedmod.change_feed(spark, sf_dir)
+    mm = feed.agg(F.min("pos"), F.max("pos")).collect()[0]
+    mid = int((mm[0] + mm[1]) // 2)
+
+    img = "named_struct('conv_id', 'q', 'turn_idx', 0, 'role', 'q', 'text', {}, 'tool', CAST(NULL AS STRING), 'ts', TIMESTAMP'2024-01-01')"
+    q_rows = spark.sql(f"""
+      SELECT 'Q' AS op,
+             CAST(NULL AS STRUCT<conv_id:string,turn_idx:int,role:string,text:string,tool:string,ts:timestamp>) AS before,
+             {img.format("'ALTER TABLE shard_0.transcripts_0 ADD COLUMN rating INT'")} AS after,
+             'shard_0.transcripts_0' AS source_table,
+             CAST(0 AS BIGINT) AS file_seq, CAST({mid} AS BIGINT) AS pos,
+             TIMESTAMP'2024-01-15' AS ts, CAST({mid // 10} AS BIGINT) AS txn_id
+      UNION ALL
+      SELECT 'Q', NULL,
+             {img.format("'OPTIMIZE TABLE whatever'")},
+             'shard_0.transcripts_0', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             TIMESTAMP'2024-01-15', CAST(200 AS BIGINT)
+    """)
+    # the unparseable statement sits at an UNOCCUPIED location (1,0):
+    # skip ops are location-surgical, and real binlog offsets are unique
+    runner.error_ops.set_skip(1, 0)
+
+    drv = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), str(tmp_path / "cp"), runner.pipeline,
+        {"transcripts": lake}, max_files_per_trigger=3, runner=runner,
+    )
+    write_feed_chunks(feed.unionByName(q_rows), drv.feed_dir, n_chunks=6)
+    stats = drv.run_available_now()
+    assert sum(s.get("ddls", 0) for s in stats) == 1  # parsed ALTER only
+
+    assert "rating" in lake.read().columns
+    got = (
+        lake.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert_tables_equal(got, duck_replay(sf_dir))
