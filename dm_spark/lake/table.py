@@ -437,6 +437,17 @@ class LakeTable:
     def schema_fields(self) -> list[dict]:
         return self._load_meta().fields()
 
+    @staticmethod
+    def _changes_ddl(meta: _Meta, with_tag: bool = False) -> str:
+        """The change-row schema string: payload + op + lineage
+        (+ _change_version) — single source for the three surfaces that
+        must agree (snapshot_changes, changes, changes_stream)."""
+        ddl = ", ".join(f"{f['name']} {f['type']}" for f in meta.fields())
+        ddl += ", op string, _cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint"
+        if with_tag:
+            ddl += ", _change_version int"
+        return ddl
+
     def snapshot_changes(self) -> DataFrame:
         """The CURRENT table state re-expressed as an insert-only change
         batch carrying each row's ORIGINAL lineage (_cdc_ts/file_seq/
@@ -451,9 +462,7 @@ class LakeTable:
         payload = [f["name"] for f in meta.fields()]
         df = self._read_files(meta, entries, with_lineage=True, with_op=True)
         if df is None:
-            ddl = ", ".join(f"{f['name']} {f['type']}" for f in meta.fields())
-            ddl += ", op string, _cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint"
-            return self.spark.createDataFrame([], ddl)
+            return self.spark.createDataFrame([], self._changes_ddl(meta))
         has_delta = any(e.get("delta") for e in entries)
         if has_delta:
             w = Window.partitionBy(*_merge_key_exprs(meta)).orderBy(
@@ -507,11 +516,7 @@ class LakeTable:
         ]
 
         def _empty(with_tag: bool) -> DataFrame:
-            ddl = ", ".join(f"{f['name']} {f['type']}" for f in meta.fields())
-            ddl += ", op string, _cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint"
-            if with_tag:
-                ddl += ", _change_version int"
-            return self.spark.createDataFrame([], ddl)
+            return self.spark.createDataFrame([], self._changes_ddl(meta, with_tag))
 
         if not tag_versions:
             ents = [e for v in versions for e in meta.change_log[str(v)]]
@@ -547,18 +552,37 @@ class LakeTable:
         streaming driver's retry makes the same batch commit later and
         LWW converges; for strict commit-gated admission (the Delta CDF
         log model) use :func:`dm_spark.streaming.replicate_lake_poll`,
-        which reads the change log out of the committed manifest."""
+        which reads the change log out of the committed manifest.
+
+        Two more consequences of listing-based admission, disclosed:
+        (a) retention — prune_changes deletes files a lagging stream
+        has not listed yet, with NO error (the poll path raises
+        "pruned below"); keep retention longer than your slowest
+        stream consumer, or use the poll path. (b) renames/drops — a
+        file source reads every file with ONE name-based schema, so
+        retained change files written before a column rename would
+        read back null; this method REFUSES to start in that state
+        (the batch API projects by field id and handles it)."""
         meta = self._load_meta()
         if not meta.change_feed:
             raise ValueError("change feed not enabled on this table (create(change_feed=True))")
         if meta.write_mode != "cow":
             raise ValueError("changes_stream needs write_mode='cow'; poll changes() for MoR")
-        ddl = ", ".join(f"{f['name']} {f['type']}" for f in meta.fields())
-        ddl += ", op string, _cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint"
+        cur_names = {f["id"]: f["name"] for f in meta.fields()}
+        retained_svs = {e["schema_version"] for lst in meta.change_log.values() for e in lst}
+        for sv in retained_svs:
+            for f in meta.schema_history[str(sv)]:
+                if f["id"] in cur_names and cur_names[f["id"]] != f["name"]:
+                    raise ValueError(
+                        f"retained change files (schema v{sv}) predate a column "
+                        f"rename ({f['name']} -> {cur_names[f['id']]}): a file-stream "
+                        "read would null-fill them. Use changes()/replicate_lake_poll "
+                        "(field-id projection), or prune_changes past the rename first"
+                    )
         ch_root = os.path.join(self.path, "_changes")
         os.makedirs(ch_root, exist_ok=True)
         return (
-            self.spark.readStream.schema(ddl)
+            self.spark.readStream.schema(self._changes_ddl(meta))
             .option("recursiveFileLookup", "true")
             .parquet(ch_root)
         )
@@ -566,7 +590,13 @@ class LakeTable:
     def prune_changes(self, before_version: int) -> int:
         """Drop change-log entries for versions < before_version (the
         CDF retention window); CoW change dirs are deleted, MoR delta
-        files are freed by the next vacuum() once unreferenced."""
+        files are freed by the next vacuum() once unreferenced.
+
+        Consumer contract: poll consumers behind the new floor fail
+        loudly on their next read ("pruned below") and re-bootstrap;
+        a changes_stream consumer is admission-by-listing and gets NO
+        such signal — prune only behind your slowest stream consumer
+        (the same operational rule as Delta CDF retention vs streams)."""
         meta = self._load_meta()
         removed = 0
         for v in [v for v in meta.change_log if int(v) < before_version]:

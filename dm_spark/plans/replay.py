@@ -510,6 +510,11 @@ class ReplayRunner:
         forgetting the pending DDL and orphaning the spill."""
         return {
             "barrier": self.barrier.to_json() if self.barrier else None,
+            # groups are NOT static config: DROP TABLE shrinks them
+            # (LeaveGroup); restoring the constructor's full groups
+            # would make the next shard DDL wait forever on a member
+            # that can never announce again
+            "barrier_groups": dict(self.barrier.groups) if self.barrier else None,
             "dropped_tables": sorted(self.dropped_tables),
             "error_ops": [[list(loc), ov] for loc, ov in sorted(self.error_ops.ops.items())],
             "rename_map": dict(self.rename_map),
@@ -522,7 +527,8 @@ class ReplayRunner:
         """Inverse of state_json on a freshly-constructed runner (same
         config: groups, spill path, lakes)."""
         if d.get("barrier") is not None and self.barrier is not None:
-            self.barrier = ShardDdlBarrier.from_json(self.barrier.groups, d["barrier"])
+            groups = d.get("barrier_groups") or self.barrier.groups
+            self.barrier = ShardDdlBarrier.from_json(dict(groups), d["barrier"])
         self.dropped_tables = set(d.get("dropped_tables", []))
         self.error_ops.ops = {tuple(loc): ov for loc, ov in d.get("error_ops", [])}
         self.rename_map = dict(d.get("rename_map", {}))

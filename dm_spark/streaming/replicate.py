@@ -33,6 +33,8 @@ def sync_replica_schema(src: LakeTable, dst: LakeTable) -> list[dict]:
     drop+add) — those need an explicit operator action on the replica,
     the same stance the reference takes on untrackable DDL. Returns the
     actions applied."""
+    from dm_spark.schema.registry import widest
+
     dfields = {f["name"]: f["type"] for f in dst.schema_fields()}
     hw = src.ddl_high_water()
     applied = []
@@ -40,7 +42,14 @@ def sync_replica_schema(src: LakeTable, dst: LakeTable) -> list[dict]:
     for f in src.schema_fields():
         if f["name"] not in dfields:
             act = {"action": "add_column", "column": f["name"], "new_type": f["type"]}
-        elif dfields[f["name"]] != f["type"]:
+        elif dfields[f["name"]].lower() != f["type"].lower():
+            # lossless means WIDEN ONLY: if the replica's type is
+            # already the wider of the two (an operator pre-widened it),
+            # narrowing it to src's type would silently truncate stored
+            # values on every read — skip; the merge casts up instead.
+            # Genuinely incompatible types raise inside widest().
+            if widest(dfields[f["name"]], f["type"]) == dfields[f["name"]].lower():
+                continue
             act = {"action": "widen_type", "column": f["name"], "new_type": f["type"]}
         else:
             continue

@@ -405,3 +405,39 @@ def test_changes_requires_flag(spark, tmp_path):
     with pytest.raises(ValueError, match="change feed not enabled"):
         src.changes()
     assert src._load_meta().change_log == {}  # no hidden cost when off
+
+
+def test_sync_schema_never_narrows_a_wider_replica(spark, tmp_path):
+    """Lossless means WIDEN ONLY: a replica column an operator already
+    widened past the source must NOT be narrowed back (silent
+    truncation on read); the sync skips it and the merge casts up."""
+    from dm_spark.streaming import sync_replica_schema
+
+    src = _mk(spark, tmp_path, "src_narrow", change_feed=True)
+    dst = _mk(spark, tmp_path, "dst_narrow")
+    assert dst.apply_ddl(
+        {"action": "widen_type", "column": "v", "new_type": "bigint",
+         "file_seq": 9, "pos": 9, "suffix": 0}
+    )
+    assert sync_replica_schema(src, dst) == []  # src's int must not win
+    assert dict((f["name"], f["type"]) for f in dst.schema_fields())["v"] == "bigint"
+
+
+def test_changes_stream_refuses_pre_rename_files(spark, tmp_path):
+    """A file stream reads every retained change file with ONE
+    name-based schema; files written before a column rename would read
+    back null-filled — the stream must refuse to start in that state
+    (the batch API projects by field id and stays correct)."""
+    src = _mk(spark, tmp_path, "src_ren", change_feed=True)
+    src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
+    assert src.apply_ddl(
+        {"action": "rename_column", "column": "txt", "new_name": "body",
+         "file_seq": 0, "pos": 5, "suffix": 0}
+    )
+    with pytest.raises(ValueError, match="rename"):
+        src.changes_stream()
+    # the batch path projects by field id: old files carry the value
+    assert {r.body for r in src.changes().collect()} == {"a1"}
+    # pruning past the rename clears the stream
+    src.prune_changes(src._head_version() + 1)
+    src.changes_stream()  # no raise

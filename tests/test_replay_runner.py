@@ -633,3 +633,40 @@ def test_state_loses_spill_without_restore(spark, tmp_path):
     assert "rating" not in lake.read().columns  # the ALTER never applied
     assert ("b", 1, "v1") not in rows(lake)  # the laggard's row is wedged
     assert r2.barrier.blocked_sources() == {"shard_1.t"}
+
+
+def test_restored_barrier_remembers_dropped_member(spark, tmp_path):
+    """Groups are not static config: DROP TABLE shrinks them. A restore
+    that rebuilt the barrier from the constructor's FULL groups would
+    make the next shard DDL wait forever on the departed member; the
+    persisted groups must win."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=4)
+    spill_dir = str(tmp_path / "spill")
+
+    def make():
+        return ReplayRunner(
+            pipeline=ApplyPipeline(cfg), lake=lake,
+            barrier=ShardDdlBarrier(groups={"transcripts": ["shard_0.t", "shard_1.t"]}),
+            spill=PendingSpill(spark, spill_dir),
+        )
+
+    r1 = make()
+    r1.replay(
+        ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)]),
+        [DdlEvent("drop_table", "shard_1.t", 0, 3)],  # member leaves
+    )
+    state = r1.state_json()
+
+    r2 = make()  # constructor has the FULL group again
+    r2.restore_state(state)
+    assert r2.barrier.groups["transcripts"] == ["shard_0.t"]
+    # a single-member announce must now apply immediately, not wait on
+    # the resurrected ghost member
+    r2.replay(
+        ev(spark, [("I", "a", 2, "post", "shard_0.t", 0, 5)]),
+        [DdlEvent("add_column", "shard_0.t", 0, 4, column="rating", new_type="int")],
+    )
+    assert "rating" in lake.read().columns
+    assert ("a", 2, "post") in rows(lake)
+    assert r2.barrier.blocked_sources() == set()
