@@ -276,6 +276,59 @@ def embedding_near_dup_pairs(
     )
 
 
+def kmeans_refine_distributed(
+    df: DataFrame,
+    cents: "np.ndarray",
+    iters: int = 1,
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """One or more DISTRIBUTED spherical-kmeans Lloyd iterations over
+    the FULL table: broadcast the centroids (n_lists x dim doubles —
+    small even at 10^5 lists), assign every vector to its nearest
+    centroid in a vectorized Arrow pass, and recompute centroids as
+    normalized per-list means with `Summarizer.mean` — true map-side
+    partial aggregation over ml vectors, so a hot list with millions of
+    members combines per-partition instead of gathering its rows into
+    one group.
+
+    This is the 100-TB quantizer trainer: the driver-side sample path
+    (cosine_topk_ivf's default) needs ~40 samples/list held in driver
+    memory, which stops fitting around 10^5 lists; here the driver
+    only ever holds the centroid matrix itself, and each iteration is
+    one shuffle of n_lists x dim partial sums."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
+    for _ in range(iters):
+        cents_b = [c.tolist() for c in cents]
+
+        def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = np.array(cents_b)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                yield pd.DataFrame(
+                    {"list_id": np.argmax(V @ C.T, axis=1),
+                     "vec": [v.tolist() for v in V]}
+                )
+
+        assigned = df.mapInPandas(assign, schema="list_id long, vec array<double>")
+        means = (
+            assigned.select("list_id", array_to_vector("vec").alias("v"))
+            .groupBy("list_id")
+            .agg(Summarizer.mean(F.col("v")).alias("m"))
+            .collect()
+        )
+        for r in means:
+            m = r["m"].toArray()
+            nrm = np.linalg.norm(m)
+            if nrm > 1e-12:
+                cents[int(r["list_id"])] = m / nrm
+    return cents
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     k: int = 3,
@@ -287,6 +340,7 @@ def cosine_topk_ivf(
     seed: int = 42,
     sample_size: int = 2048,
     n_rows: int | None = None,
+    distributed_refine: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer (trained on a small
     driver-side sample — centroids are tiny and broadcast), vectors
@@ -300,7 +354,13 @@ def cosine_topk_ivf(
     partitions scanned, so on sorted/clustered lake layouts the
     quantizer would see one region of the space and probe recall would
     degrade silently at scale). `n_rows` skips the sizing count when
-    the caller already knows it."""
+    the caller already knows it.
+
+    `distributed_refine=N` runs N full-table Lloyd iterations on top of
+    the sample-trained centroids (:func:`kmeans_refine_distributed`) —
+    the required path once n_lists grows past what ~40 samples/list can
+    cover in driver memory (~10^5 lists): the sample seeds, the cluster
+    refines."""
 
     n = n_rows if n_rows is not None else df.count()
     # oversample 3x so the post-sample limit still fills sample_size
@@ -317,6 +377,10 @@ def cosine_topk_ivf(
             if len(m):
                 c = m.mean(axis=0)
                 cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    if distributed_refine:
+        cents = kmeans_refine_distributed(
+            df, cents, iters=distributed_refine, vec_col=vec_col
+        )
     cents_b = [c.tolist() for c in cents]
 
     def assign_lists(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

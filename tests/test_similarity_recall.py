@@ -119,3 +119,36 @@ def test_ivf_sample_unbiased_on_sorted_input(spark, sf_dir):
     r_sorted = recall(sorted_df)
     # sorted-layout recall must not collapse relative to the plain run
     assert r_sorted >= r_plain - 0.1, (r_plain, r_sorted)
+
+
+def test_distributed_refine_rescues_bad_init(spark):
+    """The 100-TB quantizer path: a deliberately starved driver-side
+    sample (64 vectors for 32 lists — ~2 samples/list, the regime a
+    10^5-list table forces) gives a poor quantizer; two DISTRIBUTED
+    Lloyd iterations over the full table (broadcast-assign +
+    Summarizer.mean partial aggregation) must recover recall to the
+    well-sampled level on the clustered fixture."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n_clusters, per, dim = 32, 64, 64
+    cents = rng.standard_normal((n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    V = np.repeat(cents, per, axis=0) + 0.14 * rng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(8)
+    df.persist()
+    n = df.count()
+    exact = _pairs(cosine_topk_bruteforce(df, k=3))
+
+    def recall(**kw):
+        got = _pairs(cosine_topk_ivf(df, k=3, n_rows=n, n_lists=32, n_probe=4, **kw))
+        return len(exact & got) / len(exact)
+
+    starved = recall(sample_size=64)
+    refined = recall(sample_size=64, distributed_refine=2)
+    df.unpersist()
+    assert refined >= 0.95, (starved, refined)
+    assert refined >= starved  # the full-table pass can only help here
