@@ -30,6 +30,8 @@ Two constructors:
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -111,6 +113,38 @@ def change_feed(spark: SparkSession, sf_dir: str, km_every: int | None = 9) -> D
     # session TZ is pinned UTC so this cast is value-preserving
     ts = F.col("ts").cast("timestamp")
     return ev.select(*_envelope(eid, uid, F.col("event_type"), ts, km_every=km_every))
+
+
+def query_events(
+    spark: SparkSession,
+    events: list[tuple[str, str, int, int]],
+) -> DataFrame:
+    """Author in-band DDL rows for the relay feed: each (sql,
+    source_table, file_seq, pos) becomes an op='Q' envelope row whose
+    image payload carries the raw SQL statement in `text` — the
+    QueryEvent.Query analog the streaming driver parses per batch
+    (streaming/driver._extract_inline_ddl). Union the result onto a
+    change feed before write_feed_chunks.
+
+    Locations must be UNOCCUPIED: error-operator skips and the
+    obsolete-DDL gate are location-surgical, so a Q row sharing a
+    (file_seq, pos) with a real DML would entangle their fates (real
+    binlog offsets are unique by construction; a synthetic feed's may
+    not be)."""
+    rows = [
+        (
+            "Q",
+            None,
+            ("q", 0, "query", sql, None, _dt.datetime(2024, 1, 1)),
+            source_table,
+            file_seq,
+            pos,
+            _dt.datetime(2024, 1, 1),
+            pos // 10,
+        )
+        for sql, source_table, file_seq, pos in events
+    ]
+    return spark.createDataFrame(rows, ENVELOPE_DDL)
 
 
 def feed_sql(km_every: int | None = 9) -> str:

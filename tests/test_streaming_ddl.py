@@ -156,22 +156,14 @@ def test_inline_query_event_ddl(spark, sf_dir, tmp_path):
     mm = feed.agg(F.min("pos"), F.max("pos")).collect()[0]
     mid = int((mm[0] + mm[1]) // 2)
 
-    img = "named_struct('conv_id', 'q', 'turn_idx', 0, 'role', 'q', 'text', {}, 'tool', CAST(NULL AS STRING), 'ts', TIMESTAMP'2024-01-01')"
-    q_rows = spark.sql(f"""
-      SELECT 'Q' AS op,
-             CAST(NULL AS STRUCT<conv_id:string,turn_idx:int,role:string,text:string,tool:string,ts:timestamp>) AS before,
-             {img.format("'ALTER TABLE shard_0.transcripts_0 ADD COLUMN rating INT'")} AS after,
-             'shard_0.transcripts_0' AS source_table,
-             CAST(0 AS BIGINT) AS file_seq, CAST({mid} AS BIGINT) AS pos,
-             TIMESTAMP'2024-01-15' AS ts, CAST({mid // 10} AS BIGINT) AS txn_id
-      UNION ALL
-      SELECT 'Q', NULL,
-             {img.format("'OPTIMIZE TABLE whatever'")},
-             'shard_0.transcripts_0', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
-             TIMESTAMP'2024-01-15', CAST(200 AS BIGINT)
-    """)
-    # the unparseable statement sits at an UNOCCUPIED location (1,0):
-    # skip ops are location-surgical, and real binlog offsets are unique
+    # the ALTER shares (0, mid) with a DML — harmless WITHOUT an error
+    # op there (entanglement only bites location-surgical operators);
+    # the unparseable statement sits at the unoccupied (1, 0)
+    q_rows = feedmod.query_events(spark, [
+        ("ALTER TABLE shard_0.transcripts_0 ADD COLUMN rating INT",
+         "shard_0.transcripts_0", 0, mid),
+        ("OPTIMIZE TABLE whatever", "shard_0.transcripts_0", 1, 0),
+    ])
     runner.error_ops.set_skip(1, 0)
 
     drv = CdcStreamDriver(
