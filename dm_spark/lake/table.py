@@ -598,16 +598,25 @@ class LakeTable:
         such signal — prune only behind your slowest stream consumer
         (the same operational rule as Delta CDF retention vs streams)."""
         meta = self._load_meta()
-        removed = 0
+        doomed: list[str] = []
         for v in [v for v in meta.change_log if int(v) < before_version]:
             for e in meta.change_log.pop(v):
                 if e["path"].startswith(os.path.join(self.path, "_changes")):
-                    if os.path.exists(e["path"]):
-                        os.remove(e["path"])
-                        removed += 1
+                    doomed.append(e["path"])
         meta.changes_pruned_below = max(meta.changes_pruned_below, before_version)
         meta.version += 1
+        # metadata-first, like every other commit: the manifest stops
+        # referencing the files BEFORE they vanish. A crash (or a lost
+        # optimistic-concurrency race) after the commit leaves orphan
+        # files that vacuum() collects; deleting first would leave HEAD
+        # pointing at missing files and consumers would hit
+        # file-not-found instead of the designed "pruned below" error.
         self._commit(meta, dirty=set())
+        removed = 0
+        for p in doomed:
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
         return removed
 
     # ------------------------------------------------------------- merge
@@ -634,6 +643,17 @@ class LakeTable:
         `prune=False` (bulk replay / backfill): every bucket is assumed
         touched; stats are collected as observed metrics on the single
         merge-write job — one Spark job per batch, no extra pass.
+
+        Tombstone semantics, disclosed: the CoW write drops delete
+        winners at commit (no stored tombstone), so a redelivered
+        pre-delete event CAN transiently resurrect a deleted row; the
+        final state still converges because redelivery is always a
+        contiguous location range replayed to the end (fresh-checkpoint
+        and crash replays alike), which re-delivers the delete too —
+        pinned in test_fresh_checkpoint_redelivery_converges. A source
+        that can redeliver an isolated historical range mid-history
+        (not a suffix) needs `write_mode="mor"`, which retains
+        tombstones until compact().
 
         `pre_reduce=N` (pathological hot keys): the incoming batch is
         first collapsed to one winner per key via salted two-phase LWW
@@ -975,19 +995,7 @@ class LakeTable:
             merged = merged.withColumn(n, c)
         obs = Observation()
         rep = merged.repartition(meta.n_buckets, *[F.col(n) for n in nkeys])
-        if meta.lww_strategy == "sort":
-            w = Window.partitionBy(*nkeys).orderBy(
-                *[F.col(c).desc() for c in LINEAGE_COLS]
-            )
-            resolved = (
-                rep.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-            )
-        else:
-            winner = F.max_by(
-                F.struct(*payload, "op", *LINEAGE_COLS), F.struct(*LINEAGE_COLS)
-            ).alias("__w")
-            resolved = rep.groupBy(*nkeys).agg(winner).select("__w.*")
+        resolved = self._resolve_lww(rep, meta, payload, nkeys)
         out = (
             resolved.where(F.col("op") != "D")
             .select(*payload, *LINEAGE_COLS)
@@ -1061,6 +1069,7 @@ class LakeTable:
                 "n_deletes_in": stats.n_deletes_in,
                 "buckets_touched": len(touched),
                 "rows_written": stats.rows_written,
+                "mode": "cow",
             }
         )
         meta.lineage = meta.lineage[-200:]
@@ -1092,6 +1101,7 @@ class LakeTable:
                 {"path": os.path.join(commit_dir, fn), "schema_version": meta.schema_version}
             )
         meta.version += 1
+        self._invalidate_change_consumers(meta)
         self._commit(meta)
         return meta.version
 
@@ -1104,8 +1114,20 @@ class LakeTable:
         meta.version += 1
         meta.lineage.append({"version": meta.version, "truncated": True})
         meta.lineage = meta.lineage[-200:]
+        self._invalidate_change_consumers(meta)
         self._commit(meta)  # every chunk rewrites (all buckets changed)
         return meta.version
+
+    @staticmethod
+    def _invalidate_change_consumers(meta: _Meta) -> None:
+        """A non-DML state reset (TRUNCATE / full-snapshot overwrite)
+        cannot be expressed as change rows — raise the retention floor
+        past it so every change-feed consumer fails loudly ("pruned
+        below") and re-bootstraps from the new state, instead of
+        polling past the reset and silently keeping pre-reset rows
+        forever."""
+        if meta.change_feed:
+            meta.changes_pruned_below = meta.version + 1
 
     # --------------------------------------------------------------- ddl
     def apply_ddl(self, action: dict) -> bool:

@@ -113,6 +113,9 @@ class ReplayRunner:
     # filtered — the reference deletes the table's checkpoint and the
     # shard member leaves its group (syncer/syncer.go:2306-2317)
     dropped_tables: set = field(default_factory=set)
+    # schemas dropped whole (DROP DATABASE): gates tables of the schema
+    # the runner never tracked (known only through a route pattern)
+    dropped_schemas: set = field(default_factory=set)
     applied_ddl: list[dict] = field(default_factory=list)
     # upstream column name -> current downstream name, built from applied
     # renames (the schema-tracker name mapping: upstream images keep the
@@ -128,6 +131,12 @@ class ReplayRunner:
             self.lake = self.lakes.get(
                 self.pipeline.config.target_table, next(iter(self.lakes.values()))
             )
+        if self.barrier is not None and self.spill is None:
+            # a barrier with nowhere to defer would silently MERGE the
+            # blocked tables' rows (apply_dml_batch only splits when
+            # both exist) — pre-DDL rows carrying post-DDL values would
+            # lose those values irrecoverably
+            raise ValueError("a ShardDdlBarrier needs a PendingSpill to defer blocked DMLs")
 
     def _lake_for(self, source_table: str) -> LakeTable:
         return self.lakes.get(self.pipeline.config.route_of(source_table), self.lake)
@@ -169,6 +178,11 @@ class ReplayRunner:
                     applied += self.handle_ddl(
                         DdlEvent("drop_table", t, ev.file_seq, ev.pos, suffix=ev.suffix)
                     )
+            # tables of the schema known ONLY through a route pattern
+            # (never tracked/grouped) still need gating: a redelivered
+            # pre-drop DML for them must not resurrect rows, same as an
+            # explicit DROP TABLE would guarantee
+            self.dropped_schemas.add(ev.source_table)
             return applied
         if ev.action in ("create_table", "drop_table", "truncate_table"):
             if self._ddl_filtered(ev.source_table, ev.to_action()):
@@ -335,10 +349,14 @@ class ReplayRunner:
                     self.rename_map[old] = new
                 if source_table in self.registry.schemas:
                     self.registry.apply(source_table, act)
-                if self.barrier is not None:
-                    tgt = self.barrier.group_of(source_table)
-                    if tgt:
-                        self.barrier.release(tgt, act)
+            if self.barrier is not None:
+                # release on OBSOLETE too (apply_ddl gated a duplicate
+                # delivery): a fully-announced entry left behind would
+                # later be re-reported "done" by shrink() and re-applied
+                # — crashing on e.g. an already-renamed column
+                tgt = self.barrier.group_of(source_table)
+                if tgt:
+                    self.barrier.release(tgt, act)
         return applied
 
     def _gate_env(self, env: DataFrame) -> DataFrame:
@@ -360,6 +378,8 @@ class ReplayRunner:
             env = env.where(
                 ~F.col("source_table").isin(sorted(self.dropped_tables))
             )
+        for schema in sorted(self.dropped_schemas):
+            env = env.where(~F.col("source_table").startswith(f"{schema}."))
         skips = sorted(
             loc for loc, ov in self.error_ops.ops.items() if ov["kind"] == "skip"
         )
@@ -404,29 +424,38 @@ class ReplayRunner:
             self.spill.spill(defer_env)
         # points advance only for rows actually merged (spilled tables'
         # points hold until their rows drain)
-        pts_by_target = self._advance_points(env)
+        new_pts, pts_by_target = self._candidate_points(env)
         self._merge_targets(self.pipeline.transform(env), batch_id, pts_by_target)
+        self._record_points(new_pts)
 
-    def _advance_points(self, env: DataFrame) -> dict | None:
-        """Record the batch's per-source max applied locations (one
-        bounded agg) into the in-memory point map; returns the
-        per-target subsets the merges commit atomically."""
+    def _candidate_points(self, env: DataFrame) -> tuple[dict | None, dict | None]:
+        """The batch's per-source max applied locations (one bounded
+        agg) — PURE: the shared in-memory point map is only updated by
+        :meth:`_record_points` AFTER the merges commit. Mutating it
+        first would make a failed-then-retried merge filter its own
+        rows as already-applied (the gate would claim locations no lake
+        ever recorded) — fatal on the drain path, where the retry is
+        the only copy of the spilled rows."""
         if not self.track_table_points:
-            return None
+            return None, None
         new_pts = {
             r["source_table"]: (int(r["loc"]["file_seq"]), int(r["loc"]["pos"]))
             for r in env.groupBy("source_table")
             .agg(F.max(F.struct(F.col("file_seq"), F.col("pos"))).alias("loc"))
             .collect()
         }
+        pts_by_target: dict[str, dict] = {}
+        for t, cand in new_pts.items():
+            pts_by_target.setdefault(self.pipeline.config.route_of(t), {})[t] = cand
+        return new_pts, pts_by_target
+
+    def _record_points(self, new_pts: dict | None) -> None:
+        if not new_pts:
+            return
         pts = self._table_points()
         for t, cand in new_pts.items():
             if pts.get(t) is None or pts[t] < cand:
                 pts[t] = cand
-        pts_by_target: dict[str, dict] = {}
-        for t, cand in new_pts.items():
-            pts_by_target.setdefault(self.pipeline.config.route_of(t), {})[t] = cand
-        return pts_by_target
 
     def _table_points(self) -> dict:
         """Union of every target lake's stored per-table checkpoints
@@ -451,11 +480,13 @@ class ReplayRunner:
         if many:
             flat = flat.persist()
         try:
+            pre = 16 if self.pipeline.config.salt_hot_keys else None
             for target, lake in self.lakes.items():
                 lake.merge_into(
                     self._to_target_shape(flat, target),
                     batch_id=batch_id,
                     table_points=(pts_by_target or {}).get(target),
+                    pre_reduce=pre,
                 )
         finally:
             if many:
@@ -485,10 +516,11 @@ class ReplayRunner:
         ok_env = self._gate_env(ok_env)
         n = ok_env.count()
         if n:
+            new_pts, pts_by_target = self._candidate_points(ok_env)
             self._merge_targets(
-                self.pipeline.transform(ok_env),
-                pts_by_target=self._advance_points(ok_env),
+                self.pipeline.transform(ok_env), pts_by_target=pts_by_target
             )
+            self._record_points(new_pts)
         # re-spill still-blocked rows into a NEW dir while the old files
         # are intact (lazy plans read them), then drop the old dirs
         if self.barrier and still.count() > 0:
@@ -516,6 +548,7 @@ class ReplayRunner:
             # that can never announce again
             "barrier_groups": dict(self.barrier.groups) if self.barrier else None,
             "dropped_tables": sorted(self.dropped_tables),
+            "dropped_schemas": sorted(self.dropped_schemas),
             "error_ops": [[list(loc), ov] for loc, ov in sorted(self.error_ops.ops.items())],
             "rename_map": dict(self.rename_map),
             "schemas": {t: [list(c) for c in sch] for t, sch in self.registry.schemas.items()},
@@ -530,6 +563,7 @@ class ReplayRunner:
             groups = d.get("barrier_groups") or self.barrier.groups
             self.barrier = ShardDdlBarrier.from_json(dict(groups), d["barrier"])
         self.dropped_tables = set(d.get("dropped_tables", []))
+        self.dropped_schemas = set(d.get("dropped_schemas", []))
         self.error_ops.ops = {tuple(loc): ov for loc, ov in d.get("error_ops", [])}
         self.rename_map = dict(d.get("rename_map", {}))
         for t, sch in d.get("schemas", {}).items():

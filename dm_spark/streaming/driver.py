@@ -141,9 +141,12 @@ class CdcStreamDriver:
             flat = self.pipeline.transform(batch_df.where(F.col("op") != "Q"))
             if multi_pass:
                 flat.persist()
+            pre = 16 if self.pipeline.config.salt_hot_keys else None
             for target, lake in self.lakes.items():
                 part = flat.where(F.col("target_table") == target).drop("target_table")
-                stats = lake.merge_into(part, batch_id=batch_id, stream_id=self.stream_id)
+                stats = lake.merge_into(
+                    part, batch_id=batch_id, stream_id=self.stream_id, pre_reduce=pre
+                )
                 if (
                     self.compact_every
                     and not stats.skipped
@@ -204,6 +207,18 @@ class CdcStreamDriver:
         q.awaitTermination(timeout_sec)
         if q.isActive:
             q.stop()
+        if self.runner is not None and self.ddl_events:
+            # side-channel DDLs located past the feed's last event: the
+            # per-batch due-filter (loc <= batch max) never reaches
+            # them, and silently discarding a scheduled ALTER at drain
+            # would leave the schema wrong with no signal — the drained
+            # stream IS their flush point
+            trailing, self.ddl_events = self.ddl_events, []
+            for ev in trailing:
+                self.runner.handle_ddl(ev)
+            self.runner.drain_pending()
+            self._save_runner_state()
+            self.batch_stats.append({"batch_id": None, "ddls": len(trailing), "trailing": True})
         return self.batch_stats
 
     def run_continuous(

@@ -441,3 +441,30 @@ def test_changes_stream_refuses_pre_rename_files(spark, tmp_path):
     # pruning past the rename clears the stream
     src.prune_changes(src._head_version() + 1)
     src.changes_stream()  # no raise
+
+
+def test_truncate_invalidates_change_consumers(spark, tmp_path):
+    """A non-DML state reset (TRUNCATE) cannot be expressed as change
+    rows: the retention floor rises past it so a poll replica fails
+    loudly and re-bootstraps, instead of polling past the reset and
+    keeping pre-reset rows forever."""
+    from dm_spark.streaming import bootstrap_replica, replicate_lake_poll
+
+    src = _mk(spark, tmp_path, "src_trunc", change_feed=True)
+    dst = _mk(spark, tmp_path, "dst_trunc")
+    src.merge_into(_ev(spark, [("I", "a", 1, "a1", 0, 1)]), batch_id=0)
+    replicate_lake_poll(spark, src, dst, "t")
+    src.truncate()
+    with pytest.raises(ValueError, match="pruned below"):
+        replicate_lake_poll(spark, src, dst, "t")
+    bootstrap_replica(spark, src, dst, "t")
+    # the bootstrap carries the truncated state... but LWW: dst's old
+    # row has real lineage and the empty snapshot has nothing to beat
+    # it — a truncate re-bootstrap must start from an EMPTY replica
+    # (documented: state resets reset downstream too)
+    dst2 = _mk(spark, tmp_path, "dst_trunc2")
+    bootstrap_replica(spark, src, dst2, "t2")
+    assert _state(dst2) == _state(src) == set()
+    src.merge_into(_ev(spark, [("I", "c", 3, "c3", 2, 1)]), batch_id=1)
+    replicate_lake_poll(spark, src, dst2, "t2")
+    assert _state(dst2) == {("c", 3, "c3")}

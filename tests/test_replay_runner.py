@@ -670,3 +670,48 @@ def test_restored_barrier_remembers_dropped_member(spark, tmp_path):
     assert "rating" in lake.read().columns
     assert ("a", 2, "post") in rows(lake)
     assert r2.barrier.blocked_sources() == set()
+
+
+def test_duplicate_ddl_releases_barrier_then_drop_is_clean(spark, runner):
+    """A shard DDL delivered twice (replay) gates as obsolete on the
+    second pass — the barrier entry must release anyway; otherwise a
+    later member DROP would re-report it 'done' via shrink() and
+    re-apply a completed action (KeyError on an already-renamed
+    column)."""
+    ddl = DdlEvent("rename_column", "shard_0.t", 0, 2, column="tool", new_name="tool2")
+    ddl_b = DdlEvent("rename_column", "shard_1.t", 0, 3, column="tool", new_name="tool2")
+    feed = ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)])
+    runner.replay(feed, [ddl, ddl_b])          # applies once
+    runner.replay(feed.limit(0), [ddl, ddl_b])  # duplicate delivery: obsolete
+    assert runner.barrier.announced.get("transcripts", {}) == {}
+    # the member drop must not resurrect the completed rename
+    runner.replay(feed.limit(0), [DdlEvent("drop_table", "shard_1.t", 0, 9)])
+    assert "tool2" in runner.lake.read().columns
+
+
+def test_drop_database_gates_route_only_tables(spark, tmp_path):
+    """DROP DATABASE must gate tables of the schema the runner never
+    tracked (known only through a route pattern): a redelivered
+    pre-drop DML for such a table must not apply afterwards."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="mydb.*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    runner.replay(ev(spark, [("I", "a", 1, "v1", "mydb.t1", 0, 1)]), [])
+    runner.replay(ev(spark, []), [DdlEvent("drop_database", "mydb", 0, 5)])
+    # redelivery of the old DML after the schema drop
+    runner.replay(ev(spark, [("I", "b", 1, "late", "mydb.t1", 0, 2)]), [])
+    assert ("b", 1, "late") not in rows(lake)
+    # persisted + restored state keeps the gate
+    r2 = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    r2.restore_state(runner.state_json())
+    assert r2.dropped_schemas == {"mydb"}
+
+
+def test_barrier_requires_spill(spark, tmp_path):
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=4)
+    with pytest.raises(ValueError, match="PendingSpill"):
+        ReplayRunner(
+            pipeline=ApplyPipeline(cfg), lake=lake,
+            barrier=ShardDdlBarrier(groups={"transcripts": ["shard_0.t"]}),
+        )

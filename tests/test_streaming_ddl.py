@@ -183,3 +183,28 @@ def test_inline_query_event_ddl(spark, sf_dir, tmp_path):
         .reset_index(drop=True)
     )
     assert_tables_equal(got, duck_replay(sf_dir))
+
+
+def test_trailing_side_channel_ddl_applies_at_drain(spark, sf_dir, tmp_path):
+    """A scheduled DDL located past the feed's last event must not be
+    silently discarded by the per-batch due-filter: AvailableNow drain
+    is its flush point."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=8)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    feed = feedmod.change_feed(spark, sf_dir)
+    mx = feed.selectExpr("max(struct(file_seq, pos)) AS m").collect()[0][0]
+    trailing = DdlEvent(
+        "add_column", "shard_0.transcripts_0", mx["file_seq"] + 1, 0,
+        column="rating", new_type="int",
+    )
+    drv = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), str(tmp_path / "cp"), runner.pipeline,
+        {"transcripts": lake}, max_files_per_trigger=3, runner=runner,
+        ddl_events=[trailing],
+    )
+    write_feed_chunks(feed, drv.feed_dir, n_chunks=4)
+    stats = drv.run_available_now()
+    assert "rating" in lake.read().columns
+    assert any(s.get("trailing") for s in stats)
+    assert drv.ddl_events == []
