@@ -61,7 +61,7 @@ def test_live_tail_with_concurrent_writer_and_resume(spark, sf_dir, tmp_path):
     )
     t = threading.Thread(target=_feeder, args=(half, feed_dir))
     t.start()
-    stats1 = drv.run_continuous(trigger_sec=0.5, timeout_sec=120, stop_when=applied_files)
+    stats1 = drv.run_continuous(trigger_sec=0.5, timeout_sec=300, stop_when=applied_files)
     t.join()
     assert any(not s["skipped"] for s in stats1)
     assert any(s.get("lag_sec") is not None for s in stats1)
@@ -82,7 +82,7 @@ def test_live_tail_with_concurrent_writer_and_resume(spark, sf_dir, tmp_path):
     final_loc = (mx["file_seq"], mx["pos"])
     t2 = threading.Thread(target=_feeder, args=(rest, feed_dir))
     t2.start()
-    drv2.run_continuous(trigger_sec=0.5, timeout_sec=180, stop_when=all_applied)
+    drv2.run_continuous(trigger_sec=0.5, timeout_sec=300, stop_when=all_applied)
     t2.join()
 
     assert_tables_equal(spark_final(lake), duck_replay(sf_dir))
@@ -136,7 +136,7 @@ def test_live_mor_optimistic_ddl_kill_resume(spark, sf_dir, tmp_path):
             len(d.batch_stats) >= 2
 
     t.start()
-    drv1.run_continuous(trigger_sec=0.4, timeout_sec=120, stop_when=half_done)
+    drv1.run_continuous(trigger_sec=0.4, timeout_sec=300, stop_when=half_done)
     t.join()
 
     # phase 2: resume from checkpoint; remaining DDLs carry over
@@ -149,7 +149,7 @@ def test_live_mor_optimistic_ddl_kill_resume(spark, sf_dir, tmp_path):
 
     t2 = threading.Thread(target=_feeder, args=(rest, feed_dir))
     t2.start()
-    drv2.run_continuous(trigger_sec=0.4, timeout_sec=180, stop_when=all_done)
+    drv2.run_continuous(trigger_sec=0.4, timeout_sec=300, stop_when=all_done)
     t2.join()
     lake.compact()
 
