@@ -24,8 +24,10 @@ def precheck_feed(feed: DataFrame, key_fields: list[str]) -> dict:
     row = feed.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("file_seq", "pos").alias("n_loc"),
-        F.sum((~F.col("op").isin("I", "U", "D")).cast("int")).alias("bad_op"),
-        F.sum((~key_ok).cast("int")).alias("null_key"),
+        # 'Q' = in-band DDL query event (feed.query_events) — a valid
+        # op whose images are intentionally not keyed
+        F.sum((~F.col("op").isin("I", "U", "D", "Q")).cast("int")).alias("bad_op"),
+        F.sum((~key_ok & F.col("op").isin("I", "U", "D")).cast("int")).alias("null_key"),
     ).collect()[0]
     return {
         "events": row["n"],
@@ -60,9 +62,12 @@ def precheck_identity(
         return cond
 
     pk_ok = usable(key) if key else F.lit(False)
-    uk_oks = [usable(uk) for uk in unique_keys]
+    # skip empty rungs — vacuously "usable" (lit(True)) would report
+    # every event resolved there while the real merge identity falls
+    # through to full_row (same guard as ladder_identity_expr)
+    uk_oks = [(i, usable(uk)) for i, uk in enumerate(unique_keys) if uk]
     rung = F.when(pk_ok, F.lit("pk"))
-    for i, ok in enumerate(uk_oks):
+    for i, ok in uk_oks:
         rung = rung.when(ok, F.lit(f"uk{i}"))
     rung = rung.otherwise(F.lit("full_row"))
     aggs = [

@@ -78,7 +78,10 @@ def frame_sample(media_df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
             ids, idxs, offs, lens = [], [], [], []
             for doc_id, m in zip(pdf["doc_id"], pdf["media"]):
                 n = len(m)
-                k = n // stride + 1
+                # ceil(n/stride): the n//stride+1 form emitted a
+                # phantom zero-length frame past the end whenever n is
+                # an exact multiple of stride
+                k = max(1, (n + stride - 1) // stride)
                 for i in range(k):
                     ids.append(doc_id)
                     idxs.append(i)

@@ -240,16 +240,21 @@ def embedding_near_dup_pairs_lsh(
     members = base.join(sig.where("is_home").drop("is_home"), "id")
     left = base.join(sig.drop("is_home"), "id") if multiprobe else members
     a, b = left.alias("a"), members.alias("b")
+    # candidate join is a.id != b.id (NOT a.id < b.id): multiprobe rows
+    # live only on the probe side, so an ordered join would miss every
+    # pair reachable only via the HIGHER id's probe landing in the
+    # lower id's home bucket — roughly half the multiprobe-only
+    # candidates. Pairs normalize to (least, greatest) afterwards.
     return (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") != F.col("b.id")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
             (_dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))).alias("cos"),
         )
         .where(F.col("cos") >= min_cos)

@@ -162,7 +162,16 @@ class ApplyPipeline:
         salting) inside each merge."""
         pre = 16 if self.config.salt_hot_keys else None
         stats = {}
-        for target, lake in lakes.items():
-            part = batch.where(F.col("target_table") == target).drop("target_table")
-            stats[target] = lake.merge_into(part, batch_id=batch_id, pre_reduce=pre)
+        many = len(lakes) > 1
+        if many:
+            # each target's merge scans the batch: persist so a multi-
+            # target apply doesn't recompute the upstream per lake
+            batch = batch.persist()
+        try:
+            for target, lake in lakes.items():
+                part = batch.where(F.col("target_table") == target).drop("target_table")
+                stats[target] = lake.merge_into(part, batch_id=batch_id, pre_reduce=pre)
+        finally:
+            if many:
+                batch.unpersist()
         return stats

@@ -80,5 +80,9 @@ def expression_filter(
             drop = drop | u
         if r.delete_expr:
             drop = drop | ((F.col("op") == "D") & F.expr(r.delete_expr))
-        df = df.filter(~(tbl & drop))
+        # skip ONLY when the expression is TRUE (syncer/expr_filter_
+        # group.go): a NULL-evaluating expression (e.g. a nullable
+        # column in a comparison) must KEEP the row — plain ~(cond)
+        # is NULL for NULL cond and filter() would silently drop it
+        df = df.filter(~(tbl & drop).eqNullSafe(F.lit(True)))
     return df

@@ -49,9 +49,12 @@ def identity_key(
             parts.append(F.concat(F.lit(f"{c}="), img.getField(c).cast("string")))
         return F.concat_ws("\x1f", *parts)
 
-    kind = F.when(usable(pk), F.lit("pk"))
-    key = F.when(usable(pk), keystr("pk", pk))
+    pk_ok = usable(pk) if pk else F.lit(False)  # PK-less: skip the rung
+    kind = F.when(pk_ok, F.lit("pk"))
+    key = F.when(pk_ok, keystr("pk", pk))
     for i, uk in enumerate(unique_keys or []):
+        if not uk:  # empty rung: vacuously usable, constant identity
+            continue
         kind = kind.when(usable(uk), F.lit(f"uk{i}"))
         key = key.when(usable(uk), keystr(f"uk{i}", uk))
     kind = kind.otherwise(F.lit("full_row"))

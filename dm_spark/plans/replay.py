@@ -197,7 +197,11 @@ class ReplayRunner:
                 # buffered ghost DDLs replay AT the swap location with a
                 # suffix ordinal (Location.Suffix analog) — never by
                 # inflating pos, which would obsolete later genuine DDLs
-                act = {**act, "file_seq": ev.file_seq, "pos": ev.pos, "suffix": i + 1}
+                # offset by the rename event's own suffix: a multi-pair
+                # RENAME statement yields pair events at suffix 0..k and
+                # their replayed actions must order after their pair
+                act = {**act, "file_seq": ev.file_seq, "pos": ev.pos,
+                       "suffix": ev.suffix + i + 1}
                 # DDL filter rules apply to swap-replayed actions too: a
                 # rule ignoring e.g. drop_column on the real table must
                 # also suppress it arriving via gh-ost/pt-osc (ADVICE r02)

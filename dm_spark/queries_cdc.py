@@ -610,8 +610,9 @@ ORACLES = {
     ),
     "cdc_expr_filter": (
         f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT} "
-        "WHERE NOT (op = 'I' AND role = 'tool' AND tool = 'tool_0') "
-        "AND NOT (op = 'D' AND turn_idx < 5)"
+        # skip-only-when-TRUE (NULL keeps the row), matching the engine
+        "WHERE (op = 'I' AND role = 'tool' AND tool = 'tool_0') IS NOT TRUE "
+        "AND (op = 'D' AND turn_idx < 5) IS NOT TRUE"
     ),
     "cdc_table_router": (
         f"WITH feed AS ({FEED_SQL}) "

@@ -417,7 +417,7 @@ ORACLES = {
       SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
              CAST(i * 64 AS INTEGER) AS frame_off,
              CAST(least(64, n - i * 64) AS INTEGER) AS frame_len
-      FROM m, unnest(range(0, n // 64 + 1)) AS u(i)
+      FROM m, unnest(range(0, greatest(1, (n + 63) // 64))) AS u(i)
     """,
     "multimodal_decode": """
       SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

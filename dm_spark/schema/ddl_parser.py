@@ -157,11 +157,27 @@ def parse_ddl(sql: str, file_seq: int, pos: int) -> list["DdlEvent"]:
 
     s = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
 
-    m = re.match(rf"(?i)^RENAME TABLE {_TABLE} TO {_TABLE}$", s)
-    if m:
-        src = _table_name(m.group(1), m.group(2))
-        dst = _table_name(m.group(3), m.group(4))
-        return [DdlEvent("rename_table", src, file_seq, pos, target_table=dst)]
+    if re.match(r"(?i)^RENAME TABLE ", s):
+        # supports the multi-rename form — gh-ost's real atomic
+        # cut-over is a single statement:
+        #   RENAME TABLE t TO _t_del, _t_gho TO t
+        # each pair becomes its own rename_table event at a suffix
+        # ordinal, replayed in statement order (online_ddl.go:446-508
+        # resolves the ghost->real swap from the second pair)
+        out = []
+        for i, pair in enumerate(s[len("RENAME TABLE "):].split(",")):
+            m = re.fullmatch(rf"(?i)\s*{_TABLE} TO {_TABLE}\s*", pair)
+            if not m:
+                raise UnsupportedDdl(sql)
+            src = _table_name(m.group(1), m.group(2))
+            dst = _table_name(m.group(3), m.group(4))
+            out.append(
+                DdlEvent(
+                    "rename_table", src, file_seq, pos,
+                    target_table=dst, suffix=i,
+                )
+            )
+        return out
 
     # table lifecycle (shard-mode pre-filter surface,
     # syncer/syncer.go:2299-2337): CREATE / DROP / TRUNCATE TABLE

@@ -21,11 +21,19 @@ Spark-native re-expression:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 # widening lattice (MySQL-ish numeric tower mapped to Spark types)
 _WIDEN_ORDER = ["boolean", "tinyint", "smallint", "int", "bigint", "float", "double"]
 _STRINGY = {"string", "varchar", "char"}
+
+
+def _decimal_ps(t: str) -> tuple[int, int] | None:
+    m = re.fullmatch(r"decimal(?:\((\d+)\s*,\s*(\d+)\))?", t)
+    if not m:
+        return None
+    return (int(m.group(1) or 10), int(m.group(2) or 0))
 
 
 def widest(a: str, b: str) -> str:
@@ -36,8 +44,22 @@ def widest(a: str, b: str) -> str:
         return "string"
     if a in _WIDEN_ORDER and b in _WIDEN_ORDER:
         return _WIDEN_ORDER[max(_WIDEN_ORDER.index(a), _WIDEN_ORDER.index(b))]
-    if {a, b} == {"decimal", "double"}:
-        return "double"
+    da, db = _decimal_ps(a), _decimal_ps(b)
+    if da or db:
+        # parametrized decimals — what ddl_parser emits for DECIMAL(p,s)
+        # and BIGINT UNSIGNED (decimal(20,0)); join pairwise with ints
+        # (exact superset by precision) and floats (-> double)
+        other = b if da else a
+        if da and db:
+            s = max(da[1], db[1])
+            return f"decimal({max(da[0] - da[1], db[0] - db[1]) + s},{s})"
+        d = da or db
+        if other in _WIDEN_ORDER:
+            if other in ("float", "double"):
+                return "double"
+            # bigint needs 20 integer digits to hold unsigned ranges
+            p = max(d[0] - d[1], 20) + d[1]
+            return f"decimal({p},{d[1]})"
     if {a, b} <= {"timestamp", "timestamp_ntz", "date"}:
         return "timestamp"
     # incompatible (e.g. array vs int): surface as conflict

@@ -53,7 +53,14 @@ def write_feed_chunks(
 
     written = []
     idx = start_index
-    base = time.time()
+    # floor at the newest existing relay mtime: a rapid successive call
+    # stamping from time.time() alone could land INSIDE the previous
+    # call's stamped range (base + 1ms*n_chunks reaches seconds at
+    # production chunk counts) and the file stream admits by mtime —
+    # older-stamped new files would scramble batch order
+    existing = glob.glob(os.path.join(feed_dir, "relay-*.parquet"))
+    floor = max((os.path.getmtime(p) for p in existing), default=0.0)
+    base = max(time.time(), floor + 0.002)
     for part in sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))):
         if pq.ParquetFile(part).metadata.num_rows == 0:
             continue  # range sampler may leave empty slots

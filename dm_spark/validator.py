@@ -79,8 +79,15 @@ def table_diff(left: DataFrame, right: DataFrame, key: list[str]) -> dict:
     a small sample of offending keys."""
     cols = sorted(set(left.columns) & set(right.columns))
     val_cols = [c for c in cols if c not in key]
-    lh = F.xxhash64(*_canon(left, val_cols)).alias("__lh")
-    rh = F.xxhash64(*_canon(right, val_cols)).alias("__rh")
+    if val_cols:
+        lh = F.xxhash64(*_canon(left, val_cols)).alias("__lh")
+        rh = F.xxhash64(*_canon(right, val_cols)).alias("__rh")
+    else:
+        # key-only tables (pure link/mapping tables): nothing to value-
+        # compare — presence/absence is the whole diff (zero-arg
+        # xxhash64 is an AnalysisException)
+        lh = F.lit(0).cast("bigint").alias("__lh")
+        rh = F.lit(0).cast("bigint").alias("__rh")
     l2 = left.select(*key, lh)
     r2 = right.select(*key, rh)
     j = l2.join(r2, key, "full_outer")

@@ -186,3 +186,93 @@ def test_identity_key_fallback_ladder(spark):
         .count()
     )
     assert n == 4
+
+
+def test_expression_filter_null_keeps_row(spark):
+    """Skip ONLY when the expression is TRUE (syncer/expr_filter_
+    group.go): a NULL-evaluating expression (nullable column in a
+    comparison) must KEEP the row — three-valued ~(NULL) used to drop
+    it silently."""
+    from dm_spark.config import ExprFilterRule
+    from dm_spark.operators.filters import expression_filter
+
+    df = spark.createDataFrame(
+        [("I", "c1", "tool", None), ("I", "c2", "tool", "debug"), ("I", "c3", "user", None)],
+        "op string, conv_id string, role string, tool string",
+    ).selectExpr("op", "named_struct('conv_id', conv_id, 'role', role, 'tool', tool) AS after",
+                 "'s.t' AS source_table")
+    out = expression_filter(
+        df, [ExprFilterRule(pattern="s.t", insert_expr="after.role = 'tool' AND after.tool = 'debug'")]
+    )
+    got = {r["after"]["conv_id"] for r in out.collect()}
+    assert got == {"c1", "c3"}  # c2 skipped (TRUE); c1 kept (NULL), c3 kept (FALSE)
+
+
+def test_identity_empty_rung_not_vacuously_usable(spark):
+    """unique_keys=[[]] (config plumbing artifact) must not collapse
+    every row onto one constant identity — empty rungs are skipped and
+    the ladder falls through to full_row."""
+    from dm_spark.operators.identity import identity_key
+
+    df = spark.createDataFrame(
+        [("I", "a", 1), ("I", "b", 2)],
+        "op string, k string, v int",
+    ).selectExpr("op", "named_struct('k', k, 'v', v) AS after",
+                 "CAST(NULL AS STRUCT<k:string,v:int>) AS before")
+    out = identity_key(df, pk=[], unique_keys=[[]]).collect()
+    kinds = {r["identity_kind"] for r in out}
+    keys = {r["identity_key"] for r in out}
+    assert kinds == {"full_row"} and len(keys) == 2
+
+
+def test_widest_handles_parametrized_decimals(spark):
+    """BIGINT UNSIGNED maps to decimal(20,0); joining it with bigint
+    (a lagging shard) must widen, not crash optimistic reconciliation."""
+    from dm_spark.schema.registry import join_schemas, reconcile_actions, widest
+
+    assert widest("bigint", "decimal(20,0)") == "decimal(20,0)"
+    assert widest("decimal(10,2)", "decimal(20,0)") == "decimal(22,2)"
+    assert widest("decimal(20,0)", "double") == "double"
+    joined = join_schemas([[("c", "bigint")], [("c", "decimal(20,0)")]])
+    assert joined == [("c", "decimal(20,0)")]
+    acts = reconcile_actions([("c", "bigint")], joined)
+    assert acts == [{"action": "widen_type", "column": "c", "new_type": "decimal(20,0)"}]
+
+
+def test_table_diff_key_only_table(spark):
+    """A pure link table (every shared column is a key) must diff by
+    presence instead of crashing on a zero-arg hash."""
+    from dm_spark.validator import table_diff
+
+    l = spark.createDataFrame([("a",), ("b",)], "k string")
+    r = spark.createDataFrame([("a",), ("c",)], "k string")
+    d = table_diff(l, r, key=["k"])
+    assert d["missing_right"] == 1 and d["missing_left"] == 1 and d["mismatched"] == 0
+
+
+def test_multi_table_rename_parses_to_ordered_pairs(spark):
+    """gh-ost's real atomic cut-over is one statement; it must yield
+    two rename events in order, suffix-separated."""
+    from dm_spark.schema import parse_ddl
+
+    evs = parse_ddl("RENAME TABLE db.t TO db._t_del, db._t_gho TO db.t", 0, 7)
+    assert [(e.source_table, e.target_table, e.suffix) for e in evs] == [
+        ("db.t", "db._t_del", 0), ("db._t_gho", "db.t", 1),
+    ]
+
+
+def test_frame_sample_no_phantom_frame(spark):
+    """Media whose length is an exact stride multiple must not emit a
+    zero-length frame past the end (ceil, not n//stride+1)."""
+    from dm_spark.functions.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 128)), (2, bytearray(b"y" * 100))],
+        "doc_id long, media binary",
+    )
+    got = frame_sample(df, stride=64).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_off, r.frame_len))
+    assert sorted(by_doc[1]) == [(0, 0, 64), (1, 64, 64)]  # no (2,128,0)
+    assert sorted(by_doc[2]) == [(0, 0, 64), (1, 64, 36)]
