@@ -46,7 +46,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -57,6 +59,9 @@ from dm_spark.operators.identity import ladder_identity_expr
 
 LINEAGE_COLS = ["_cdc_ts", "_cdc_file_seq", "_cdc_pos"]
 HASH_SEED_COL = "__dm_bucket"
+# manifests above HEAD older than this are crashed-writer orphans,
+# reclaimable by the next commit / vacuum (ADVICE r03 #2)
+_ORPHAN_MANIFEST_GRACE_SEC = 10.0
 
 
 def _parquet_files_with_rows(commit_dir: str) -> list[tuple[str, int]]:
@@ -293,8 +298,35 @@ class LakeTable:
         # version — two writers racing past the HEAD check cannot both
         # write v{N+1}.json; the loser fails loudly instead of silently
         # clobbering the winner's manifest (ADVICE r02)
-        with open(mp, "x") as f:
-            json.dump(payload, f, indent=1)
+        try:
+            with open(mp, "x") as f:
+                json.dump(payload, f, indent=1)
+        except FileExistsError:
+            # ADVICE r03 #2: a crash between the manifest write and the
+            # HEAD swap leaves an orphan v{N+1}.json that would wedge
+            # every future commit. Distinguish the three cases by HEAD:
+            # HEAD >= N+1 -> we genuinely lost a race (another writer
+            # committed); HEAD < N+1 and the file is fresh -> a live
+            # writer may be mid-swap this instant (the narrow window the
+            # docstring discloses); HEAD < N+1 and the file is old -> a
+            # crashed writer's orphan: reclaim it and commit.
+            head = self._head_version() if self.exists else -1
+            if head >= meta.version:
+                raise RuntimeError(
+                    f"concurrent commit detected: v{meta.version} manifest "
+                    f"already committed (HEAD=v{head}); reload and retry"
+                ) from None
+            age = time.time() - os.path.getmtime(mp)
+            if age < _ORPHAN_MANIFEST_GRACE_SEC:
+                raise RuntimeError(
+                    f"manifest v{meta.version}.json exists above HEAD=v{head} "
+                    f"and is {age:.1f}s old — possible writer mid-commit; "
+                    "retry after the grace window (orphans are reclaimed "
+                    f"automatically after {_ORPHAN_MANIFEST_GRACE_SEC}s)"
+                ) from None
+            os.remove(mp)
+            with open(mp, "x") as f:
+                json.dump(payload, f, indent=1)
         tmp = os.path.join(self.meta_dir, f".HEAD.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(meta.version))
@@ -1225,6 +1257,17 @@ class LakeTable:
         # change-feed files stay live until prune_changes drops them
         live |= {e["path"] for lst in meta.change_log.values() for e in lst}
         removed = 0
+        # crashed-writer manifests above HEAD (written but never
+        # HEAD-swapped) would wedge the next commit's mode-'x' claim;
+        # collect them once they age past the mid-commit grace window
+        head = self._head_version()
+        for fn in os.listdir(self.meta_dir):
+            m = re.fullmatch(r"v(\d+)\.json", fn)
+            if m and int(m.group(1)) > head:
+                p = os.path.join(self.meta_dir, fn)
+                if time.time() - os.path.getmtime(p) >= _ORPHAN_MANIFEST_GRACE_SEC:
+                    os.remove(p)
+                    removed += 1
         chunk_dir = os.path.join(self.meta_dir, "chunks")
         if os.path.isdir(chunk_dir):
             live_chunks = {
@@ -1236,7 +1279,7 @@ class LakeTable:
                     os.remove(p)
                     removed += 1
         if not os.path.isdir(self.data_dir):
-            return 0
+            return removed
         for commit in os.listdir(self.data_dir):
             cdir = os.path.join(self.data_dir, commit)
             for root, _dirs, files in os.walk(cdir, topdown=False):

@@ -36,6 +36,20 @@ def _decimal_ps(t: str) -> tuple[int, int] | None:
     return (int(m.group(1) or 10), int(m.group(2) or 0))
 
 
+def _decimal_or_conflict(p: int, s: int, a: str, b: str) -> str:
+    """A joined decimal wider than Spark's max precision (38) cannot
+    hold both sides exactly — any clamp would silently truncate one
+    side's stored digits, so surface it as the same incompatible-type
+    conflict unrepresentable joins already raise (e.g. decimal(38,20)
+    vs decimal(38,0) needs decimal(58,20))."""
+    if p > 38:
+        raise ValueError(
+            f"incompatible types for join: {a} vs {b} "
+            f"(joined decimal({p},{s}) exceeds Spark's max precision 38)"
+        )
+    return f"decimal({p},{s})"
+
+
 def widest(a: str, b: str) -> str:
     a, b = a.lower(), b.lower()
     if a == b:
@@ -52,14 +66,14 @@ def widest(a: str, b: str) -> str:
         other = b if da else a
         if da and db:
             s = max(da[1], db[1])
-            return f"decimal({max(da[0] - da[1], db[0] - db[1]) + s},{s})"
+            return _decimal_or_conflict(max(da[0] - da[1], db[0] - db[1]) + s, s, a, b)
         d = da or db
         if other in _WIDEN_ORDER:
             if other in ("float", "double"):
                 return "double"
             # bigint needs 20 integer digits to hold unsigned ranges
             p = max(d[0] - d[1], 20) + d[1]
-            return f"decimal({p},{d[1]})"
+            return _decimal_or_conflict(p, d[1], a, b)
     if {a, b} <= {"timestamp", "timestamp_ntz", "date"}:
         return "timestamp"
     # incompatible (e.g. array vs int): surface as conflict

@@ -47,10 +47,15 @@ def sync_replica_schema(src: LakeTable, dst: LakeTable) -> list[dict]:
             # already the wider of the two (an operator pre-widened it),
             # narrowing it to src's type would silently truncate stored
             # values on every read — skip; the merge casts up instead.
-            # Genuinely incompatible types raise inside widest().
-            if widest(dfields[f["name"]], f["type"]) == dfields[f["name"]].lower():
+            # When NEITHER side is the widest (dst=bigint vs
+            # src=decimal(10,2) -> decimal(22,2)) the replica must move
+            # to the JOINED type, not src's — applying src's type would
+            # narrow the bigint. Genuinely incompatible types raise
+            # inside widest().
+            wide = widest(dfields[f["name"]], f["type"])
+            if wide == dfields[f["name"]].lower():
                 continue
-            act = {"action": "widen_type", "column": f["name"], "new_type": f["type"]}
+            act = {"action": "widen_type", "column": f["name"], "new_type": wide}
         else:
             continue
         act.update({"file_seq": hw[0], "pos": hw[1], "suffix": hw[2] + i + 1})

@@ -423,6 +423,31 @@ def test_sync_schema_never_narrows_a_wider_replica(spark, tmp_path):
     assert dict((f["name"], f["type"]) for f in dst.schema_fields())["v"] == "bigint"
 
 
+def test_sync_schema_diverged_types_join_to_widest(spark, tmp_path):
+    """When NEITHER side is the widest (dst=bigint vs src=decimal(10,2)
+    -> widest=decimal(22,2)) the replica must move to the JOINED type;
+    applying src's type verbatim would narrow the bigint and corrupt
+    stored values (ADVICE r03 #1)."""
+    from dm_spark.streaming import sync_replica_schema
+
+    src = _mk(spark, tmp_path, "src_div", change_feed=True)
+    dst = _mk(spark, tmp_path, "dst_div")
+    assert src.apply_ddl(
+        {"action": "widen_type", "column": "v", "new_type": "decimal(10,2)",
+         "file_seq": 9, "pos": 9, "suffix": 0}
+    )
+    assert dst.apply_ddl(
+        {"action": "widen_type", "column": "v", "new_type": "bigint",
+         "file_seq": 9, "pos": 9, "suffix": 0}
+    )
+    applied = sync_replica_schema(src, dst)
+    assert [a["new_type"] for a in applied] == ["decimal(22,2)"]
+    assert (
+        dict((f["name"], f["type"]) for f in dst.schema_fields())["v"]
+        == "decimal(22,2)"
+    )
+
+
 def test_changes_stream_refuses_pre_rename_files(spark, tmp_path):
     """A file stream reads every retained change file with ONE
     name-based schema; files written before a column rename would read

@@ -315,8 +315,68 @@ def test_concurrent_manifest_write_fails_loudly(spark, tmp_path):
     lake._commit(a, dirty=set())
     b.version += 1
     b._loaded_from = a.version  # simulate B passing the HEAD check in the window
-    with pytest.raises(FileExistsError):
+    with pytest.raises(RuntimeError, match="concurrent commit"):
         lake._commit(b, dirty=set())
+
+
+def _plant_orphan_manifest(lake, aged: bool) -> str:
+    """Simulate a writer that crashed between writing v{N+1}.json and
+    the HEAD rename-swap."""
+    import os
+
+    head = lake._head_version()
+    mp = os.path.join(lake.meta_dir, f"v{head + 1}.json")
+    with open(mp, "x") as f:
+        f.write("{}")
+    if aged:
+        os.utime(mp, (1, 1))  # past the mid-commit grace window
+    return mp
+
+
+def test_orphan_manifest_reclaimed_by_next_commit(spark, tmp_path):
+    """Crash between manifest write and HEAD swap: HEAD still points at
+    N, so the next commit recomputes N+1 and hits the mode-'x' claim.
+    An AGED orphan above HEAD is a crashed writer, not a live one — the
+    commit must reclaim it instead of wedging forever (ADVICE r03 #2)."""
+    import os
+
+    lake = LakeTable.create(spark, str(tmp_path / "orph"), SCHEMA, KEY, n_buckets=4)
+    lake.merge_into(
+        spark.createDataFrame([ch("a", 1, "I", "v1", 0, 1, 1)], CHANGE_DDL), batch_id=0
+    )
+    mp = _plant_orphan_manifest(lake, aged=True)
+    s = lake.merge_into(
+        spark.createDataFrame([ch("b", 1, "I", "v1", 1, 1, 2)], CHANGE_DDL), batch_id=1
+    )
+    assert not s.skipped
+    assert rows(lake.read()) == [("a", 1, "v1"), ("b", 1, "v1")]
+    assert os.path.exists(mp)  # reclaimed: now the COMMITTED manifest
+    assert lake._head_version() == int(mp.rsplit("v", 1)[1].split(".")[0])
+
+
+def test_fresh_orphan_manifest_refused_not_clobbered(spark, tmp_path):
+    """A manifest above HEAD that is only seconds old may be a live
+    writer mid-swap — the commit must refuse loudly, not overwrite."""
+    lake = LakeTable.create(spark, str(tmp_path / "orphf"), SCHEMA, KEY, n_buckets=4)
+    _plant_orphan_manifest(lake, aged=False)
+    with pytest.raises(RuntimeError, match="mid-commit"):
+        lake.merge_into(
+            spark.createDataFrame([ch("a", 1, "I", "v1", 0, 1, 1)], CHANGE_DDL),
+            batch_id=0,
+        )
+
+
+def test_vacuum_collects_aged_orphan_manifests(spark, tmp_path):
+    """vacuum() provides the recovery path for orphan manifests too:
+    aged ones above HEAD are collected, fresh ones are left alone."""
+    import os
+
+    lake = LakeTable.create(spark, str(tmp_path / "orphv"), SCHEMA, KEY, n_buckets=4)
+    aged = _plant_orphan_manifest(lake, aged=True)
+    assert lake.vacuum() >= 1 and not os.path.exists(aged)
+    fresh = _plant_orphan_manifest(lake, aged=False)
+    lake.vacuum()
+    assert os.path.exists(fresh)
 
 
 def test_manifest_metadata_bounded_after_many_ddls(spark, tmp_path):

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -237,6 +238,21 @@ def test_widest_handles_parametrized_decimals(spark):
     assert joined == [("c", "decimal(20,0)")]
     acts = reconcile_actions([("c", "bigint")], joined)
     assert acts == [{"action": "widen_type", "column": "c", "new_type": "decimal(20,0)"}]
+
+
+def test_widest_decimal_over_max_precision_is_a_conflict(spark):
+    """A joined decimal past Spark's precision cap (38) cannot hold both
+    sides exactly — it must surface as the incompatible-type conflict,
+    not an invalid type string that crashes downstream (ADVICE r03 #5)."""
+    from dm_spark.schema.registry import widest
+
+    with pytest.raises(ValueError, match="max precision 38"):
+        widest("decimal(38,20)", "decimal(38,0)")  # needs decimal(58,20)
+    with pytest.raises(ValueError, match="max precision 38"):
+        widest("decimal(38,20)", "bigint")  # needs decimal(40,20)
+    # at the cap exactly is still fine
+    assert widest("decimal(38,18)", "bigint") == "decimal(38,18)"
+    assert widest("decimal(30,2)", "decimal(10,8)") == "decimal(36,8)"
 
 
 def test_table_diff_key_only_table(spark):
