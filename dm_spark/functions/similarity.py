@@ -226,7 +226,14 @@ def embedding_near_dup_pairs_lsh(
     count scales log2 with the corpus so bucket size (and so candidate
     volume per vector) stays flat as data grows. Recall < 1 by LSH
     construction; pinned vs the exact baseline in
-    tests/test_similarity_recall.py."""
+    tests/test_similarity_recall.py.
+
+    SCALE NOTE: when `n_planes` is None the plane count is derived from
+    the row count, and omitting `n_rows` too falls back to `df.count()`
+    — an extra full-scan job per call. On a large table pass `n_rows`
+    (an estimate is fine: planes only need the right log2 magnitude, so
+    table stats / manifest row counts are plenty accurate), or pin
+    `n_planes` directly."""
     import math
 
     if n_planes is None:
@@ -359,7 +366,10 @@ def cosine_topk_ivf(
     partitions scanned, so on sorted/clustered lake layouts the
     quantizer would see one region of the space and probe recall would
     degrade silently at scale). `n_rows` skips the sizing count when
-    the caller already knows it.
+    the caller already knows it — on a large table ALWAYS pass it (an
+    estimate from table stats is fine; it only sizes the sample
+    fraction), or the default falls back to a full-scan `df.count()`
+    job per call.
 
     `distributed_refine=N` runs N full-table Lloyd iterations on top of
     the sample-trained centroids (:func:`kmeans_refine_distributed`) —
@@ -368,12 +378,19 @@ def cosine_topk_ivf(
     refines."""
 
     n = n_rows if n_rows is not None else df.count()
-    # oversample 3x so the post-sample limit still fills sample_size
+    # oversample 3x, collect the WHOLE sample (bounded, ~3*sample_size
+    # rows), and down-select driver-side with the seeded RNG. A
+    # `.limit(sample_size)` after sample() would satisfy the limit from
+    # the first partitions scanned — on a sorted/clustered layout the
+    # quantizer would still only see the first ~third of the space
+    # (ADVICE r03 #3)
     frac = min(1.0, (3.0 * sample_size) / max(n, 1))
-    sample_df = df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_size)
+    sample_df = df.select(vec_col).sample(fraction=frac, seed=seed)
     sample = np.array([r[0] for r in sample_df.collect()], dtype=np.float64)
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
+    if len(sample) > sample_size:
+        sample = sample[rng.choice(len(sample), size=sample_size, replace=False)]
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
     for _ in range(kmeans_iters):
         assign = np.argmax(sample @ cents.T, axis=1)

@@ -291,7 +291,7 @@ class LakeTable:
         payload = {
             k: v
             for k, v in meta.__dict__.items()
-            if k != "buckets" and not k.startswith("_loaded")
+            if k != "buckets" and not k.startswith("_")
         }
         mp = os.path.join(self.meta_dir, f"v{meta.version}.json")
         # mode 'x': the manifest file itself is the unique claim on this
@@ -660,6 +660,7 @@ class LakeTable:
         prune: bool = True,
         pre_reduce: int | None = None,
         table_points: dict | None = None,
+        epoch: int = 0,
     ) -> MergeStats:
         """Apply a batch of change rows with LWW upsert/delete semantics.
 
@@ -694,8 +695,16 @@ class LakeTable:
         the reference's planned Compactor (merge I+U -> I,
         docs/RFCS/20211008_dml_execution_optimization.md:12-49) fused
         with salting for skew. Tombstone winners survive the reduction.
+
+        `epoch=N` (source failover): declares the upstream binlog epoch
+        this batch belongs to — after a re-master restarts file_seq at
+        0, passing the next epoch ordinal lets the REPORTED global
+        checkpoint advance as (epoch, file_seq, pos) instead of
+        freezing at the old high water (the GTID-set analog; LWW
+        correctness never depends on it).
         """
         meta = self._load_meta()
+        meta._merge_epoch = int(epoch)  # transient; _commit strips _-keys
         if pre_reduce:
             from dm_spark.operators.dedup import lww_latest_salted
 
@@ -925,20 +934,42 @@ class LakeTable:
         self._commit(meta)  # all chunks dirty under the new geometry
         return meta.version
 
+    def _advance_checkpoint(self, meta, loc, max_ts) -> None:
+        """Monotone global-checkpoint advance on (epoch, file_seq, pos).
+
+        The epoch ordinal (VERDICT r03 #6) closes the GTID remainder's
+        monitoring blind spot: a re-mastered upstream restarts file_seq
+        at 0 (pkg/binlog/position.go:298-317 orders GTID sets first for
+        exactly this), and without an epoch the REPORTED checkpoint
+        would freeze at the old high water until the new epoch passed
+        it. The operator declares the new epoch via
+        `merge_into(epoch=N)` (the analog of configuring GTID mode on
+        the new master); row lineage/LWW stay epoch-free by design —
+        correctness never depended on location monotonicity."""
+        if loc is None:
+            return
+        epoch = int(getattr(meta, "_merge_epoch", 0))
+        prev = meta.checkpoint or {"file_seq": -1, "pos": -1}
+        cand = {
+            "epoch": epoch,
+            "file_seq": int(loc["_cdc_file_seq"]),
+            "pos": int(loc["_cdc_pos"]),
+        }
+        if (cand["epoch"], cand["file_seq"], cand["pos"]) > (
+            prev.get("epoch", 0), prev["file_seq"], prev["pos"],
+        ):
+            prev_ts = meta.checkpoint.get("max_applied_ts") if meta.checkpoint else None
+            cand["max_applied_ts"] = (
+                max(str(max_ts), prev_ts) if (max_ts is not None and prev_ts)
+                else (str(max_ts) if max_ts is not None else prev_ts)
+            )
+            meta.checkpoint = cand
+
     def _finish_commit(self, meta, batch_id, stats, loc, max_ts, mode, dirty=None) -> None:
         meta.version += 1
         if batch_id is not None:
             meta.last_batch_id = batch_id
-        if loc is not None:
-            prev = meta.checkpoint or {"file_seq": -1, "pos": -1}
-            cand = {"file_seq": int(loc["_cdc_file_seq"]), "pos": int(loc["_cdc_pos"])}
-            if (cand["file_seq"], cand["pos"]) > (prev["file_seq"], prev["pos"]):
-                prev_ts = meta.checkpoint.get("max_applied_ts") if meta.checkpoint else None
-                cand["max_applied_ts"] = (
-                    max(str(max_ts), prev_ts) if (max_ts is not None and prev_ts)
-                    else (str(max_ts) if max_ts is not None else prev_ts)
-                )
-                meta.checkpoint = cand
+        self._advance_checkpoint(meta, loc, max_ts)
         meta.totals["batches"] += 1
         meta.totals["rows_upserted"] += stats.n_incoming - stats.n_deletes_in
         meta.totals["rows_deleted"] += stats.n_deletes_in
@@ -1079,17 +1110,7 @@ class LakeTable:
         meta.version += 1
         if batch_id is not None:
             meta.last_batch_id = batch_id
-        if loc is not None:
-            prev = meta.checkpoint or {"file_seq": -1, "pos": -1}
-            cand = {"file_seq": loc["_cdc_file_seq"], "pos": loc["_cdc_pos"]}
-            cand = {k: int(v) for k, v in cand.items()}
-            if (cand["file_seq"], cand["pos"]) > (prev["file_seq"], prev["pos"]):
-                prev_ts = meta.checkpoint.get("max_applied_ts") if meta.checkpoint else None
-                cand["max_applied_ts"] = (
-                    max(str(max_ts), prev_ts) if (max_ts is not None and prev_ts)
-                    else (str(max_ts) if max_ts is not None else prev_ts)
-                )
-                meta.checkpoint = cand
+        self._advance_checkpoint(meta, loc, max_ts)
         meta.totals["batches"] += 1
         meta.totals["rows_upserted"] += stats.n_incoming - stats.n_deletes_in
         meta.totals["rows_deleted"] += stats.n_deletes_in
@@ -1331,7 +1352,10 @@ class LakeTable:
         return self._load_meta().totals
 
     def global_checkpoint(self) -> dict:
-        return self._load_meta().checkpoint
+        cp = self._load_meta().checkpoint
+        if cp:
+            cp.setdefault("epoch", 0)  # pre-epoch manifests
+        return cp
 
     def table_checkpoints(self) -> dict:
         """source_table -> [file_seq, pos] applied high water (the

@@ -163,6 +163,20 @@ class ReplayRunner:
         """Operator chain for one DDL; returns the actions actually
         applied to the lake (possibly empty)."""
         if ev.action == "drop_database":
+            # the STATEMENT itself goes through filter rules / error ops
+            # first (skipQueryEvent filters whole statements): a user
+            # rule or skip operator suppressing the drop must also
+            # suppress the dropped_schemas DML gate — otherwise the
+            # ignore rule would silently stop replication for every
+            # table under the schema prefix (ADVICE r03 #4)
+            action = ev.to_action()
+            if self._ddl_filtered(ev.source_table, action):
+                return []
+            resolved = self.error_ops.resolve(action)
+            if not resolved:
+                return []  # user skip operator: replication continues
+            if not (len(resolved) == 1 and resolved[0] is action):
+                return self._dispatch_replacements(ev, resolved)
             # expand to drop_table over every known table of that schema
             # (dropSchemaInSharding, syncer/syncer.go:2301-2306): group
             # members, tracked schemas, and routed lakes are the three
@@ -185,10 +199,18 @@ class ReplayRunner:
             self.dropped_schemas.add(ev.source_table)
             return applied
         if ev.action in ("create_table", "drop_table", "truncate_table"):
-            if self._ddl_filtered(ev.source_table, ev.to_action()):
+            action = ev.to_action()
+            if self._ddl_filtered(ev.source_table, action):
                 return []
-            if not self.error_ops.resolve(ev.to_action()):
+            resolved = self.error_ops.resolve(action)
+            if not resolved:
                 return []  # user skip operator at this location
+            if not (len(resolved) == 1 and resolved[0] is action):
+                # a replace operator at a table-lifecycle location is
+                # HONORED: its replacement actions apply instead of the
+                # original statement (previously resolve()'s list was
+                # silently discarded, ADVICE r03 #4)
+                return self._dispatch_replacements(ev, resolved)
             return self._handle_table_ddl(ev)
         if ev.action == "rename_table":
             replay = self.online_ddl.on_rename(ev.source_table, ev.target_table)
@@ -332,35 +354,108 @@ class ReplayRunner:
                 self.applied_ddl.append(d)
         return applied
 
+    def _check_expr_filters_after_rename(self, source_table: str, old: str) -> None:
+        """Expression-filter × DDL parity (VERDICT r03 #3): the
+        reference REBUILDS expr filters against the tracked schema after
+        each DDL and a filter naming a now-missing column fails the
+        rebuild (syncer/syncer.go:2758, syncer/expr_filter_group.go).
+        Here a renamed column would be null-filled by the wire decode,
+        the expression would evaluate NULL, and the filter would
+        silently stop matching (NULL != TRUE keeps every row) — so a
+        rename that any matching expr-filter rule still references by
+        its OLD name refuses loudly instead. The operator updates the
+        rule (or error-op-skips the rename) and resumes; the applied-DDL
+        gate makes the redelivered rename obsolete."""
+        pat = re.compile(rf"\b{re.escape(old)}\b")
+        for r in self.pipeline.config.expr_filters:
+            if not re.match(pattern_to_regex(r.pattern), source_table):
+                continue
+            exprs = [r.insert_expr, r.update_old_expr, r.update_new_expr, r.delete_expr]
+            hit = [e for e in exprs if e and pat.search(e)]
+            if hit:
+                raise ValueError(
+                    f"expression filter rule (pattern={r.pattern!r}) references "
+                    f"column {old!r} renamed by this DDL — the filter would "
+                    "silently stop matching (renamed fields decode as NULL and "
+                    "NULL is not TRUE). Update the rule to the new name, or "
+                    "skip the rename with an error operator. Offending "
+                    f"expression(s): {hit}"
+                )
+
+    def _dispatch_replacements(self, ev: DdlEvent, resolved: list[dict]) -> list[dict]:
+        """Apply a replace operator's injected actions in place of a
+        table-lifecycle statement. Column-level replacements apply
+        directly (already resolved — routing them through
+        `_apply_resolved` would re-resolve the same location and
+        re-expand the list); lifecycle replacements re-dispatch as
+        DdlEvents. A nested drop_database replacement is rejected
+        explicitly — expanding it would re-consult the same operator."""
+        applied = []
+        for act in resolved:
+            kind = act["action"]
+            if kind == "drop_database":
+                raise ValueError(
+                    "replace operator cannot inject drop_database "
+                    f"(at {act.get('file_seq')},{act.get('pos')})"
+                )
+            if kind in ("create_table", "drop_table", "truncate_table"):
+                applied += self._handle_table_ddl(
+                    DdlEvent(
+                        kind,
+                        act.get("table", ev.source_table),
+                        act.get("file_seq", ev.file_seq),
+                        act.get("pos", ev.pos),
+                        suffix=act.get("suffix", 0),
+                        columns=act.get("columns"),
+                        key=act.get("key"),
+                        unique_keys=act.get("unique_keys"),
+                    )
+                )
+            else:
+                applied += self._apply_one(ev.source_table, act)
+        return applied
+
     def _apply_resolved(self, source_table: str, action: dict) -> list[dict]:
         applied = []
-        lake = self._lake_for(source_table)
         for act in self.error_ops.resolve(action):
-            ready = True
-            if self.barrier is not None:
-                ready = self.barrier.announce(source_table, act)
-            if not ready:
-                continue  # group not in sync yet; DMLs of announced tables spill
-            if lake.apply_ddl(act):
-                applied.append(act)
-                self.applied_ddl.append(act)
-                if act["action"] == "rename_column":
-                    # chain: if a->b existed and b->c arrives, a->c
-                    old, new = act["column"], act["new_name"]
-                    for k, v in list(self.rename_map.items()):
-                        if v == old:
-                            self.rename_map[k] = new
-                    self.rename_map[old] = new
-                if source_table in self.registry.schemas:
-                    self.registry.apply(source_table, act)
-            if self.barrier is not None:
-                # release on OBSOLETE too (apply_ddl gated a duplicate
-                # delivery): a fully-announced entry left behind would
-                # later be re-reported "done" by shrink() and re-applied
-                # — crashing on e.g. an already-renamed column
-                tgt = self.barrier.group_of(source_table)
-                if tgt:
-                    self.barrier.release(tgt, act)
+            applied += self._apply_one(source_table, act)
+        return applied
+
+    def _apply_one(self, source_table: str, act: dict) -> list[dict]:
+        """Apply ONE already-resolved column-level action (barrier
+        announce -> lake catalog -> rename map -> registry)."""
+        applied = []
+        lake = self._lake_for(source_table)
+        if act["action"] == "rename_column":
+            # BEFORE any state mutates: a refused rename must leave the
+            # lake catalog, registry and rename_map all untouched so the
+            # fixed-config resume applies it cleanly
+            self._check_expr_filters_after_rename(source_table, act["column"])
+        ready = True
+        if self.barrier is not None:
+            ready = self.barrier.announce(source_table, act)
+        if not ready:
+            return applied  # group not in sync yet; DMLs of announced tables spill
+        if lake.apply_ddl(act):
+            applied.append(act)
+            self.applied_ddl.append(act)
+            if act["action"] == "rename_column":
+                # chain: if a->b existed and b->c arrives, a->c
+                old, new = act["column"], act["new_name"]
+                for k, v in list(self.rename_map.items()):
+                    if v == old:
+                        self.rename_map[k] = new
+                self.rename_map[old] = new
+            if source_table in self.registry.schemas:
+                self.registry.apply(source_table, act)
+        if self.barrier is not None:
+            # release on OBSOLETE too (apply_ddl gated a duplicate
+            # delivery): a fully-announced entry left behind would
+            # later be re-reported "done" by shrink() and re-applied
+            # — crashing on e.g. an already-renamed column
+            tgt = self.barrier.group_of(source_table)
+            if tgt:
+                self.barrier.release(tgt, act)
         return applied
 
     def _gate_env(self, env: DataFrame) -> DataFrame:

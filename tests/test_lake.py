@@ -448,3 +448,42 @@ def test_failover_restarted_file_seq_converges(spark, tmp_path):
     # the reported checkpoint is epoch-scoped: it does not regress to the
     # new epoch's smaller locations (disclosed behavior, not silent)
     assert lake.global_checkpoint()["file_seq"] == 900
+    assert lake.global_checkpoint()["epoch"] == 0
+
+
+def test_failover_epoch_ordinal_advances_checkpoint(spark, tmp_path):
+    """VERDICT r03 #6: declaring the new binlog epoch after a re-master
+    (merge_into(epoch=1)) lets the REPORTED global checkpoint advance
+    as (epoch, file_seq, pos) instead of freezing at the old epoch's
+    high water until the restarted file_seq passes it — the GTID-set
+    monitoring semantics (pkg/binlog/position.go:298-317 orders GTID
+    first) without location-keyed correctness."""
+    lake = LakeTable.create(spark, str(tmp_path / "foe"), SCHEMA, KEY, n_buckets=4)
+    lake.merge_into(
+        spark.createDataFrame([ch("c1", 1, "I", "v1", 900, 5, 10)], CHANGE_DDL),
+        batch_id=0,
+    )
+    lake.merge_into(
+        spark.createDataFrame(
+            [ch("c1", 1, "U", "v2-post-failover", 0, 1, 20)], CHANGE_DDL
+        ),
+        batch_id=1,
+        epoch=1,
+    )
+    cp = lake.global_checkpoint()
+    assert (cp["epoch"], cp["file_seq"], cp["pos"]) == (1, 0, 1)
+    # a late batch still tagged with the OLD epoch cannot regress it
+    lake.merge_into(
+        spark.createDataFrame([ch("c9", 1, "I", "late", 901, 1, 12)], CHANGE_DDL),
+        batch_id=2,
+        epoch=0,
+    )
+    cp = lake.global_checkpoint()
+    assert (cp["epoch"], cp["file_seq"], cp["pos"]) == (1, 0, 1)
+    # and within the new epoch it advances normally
+    lake.merge_into(
+        spark.createDataFrame([ch("c3", 1, "I", "new", 0, 7, 21)], CHANGE_DDL),
+        batch_id=3,
+        epoch=1,
+    )
+    assert lake.global_checkpoint()["pos"] == 7

@@ -707,6 +707,99 @@ def test_drop_database_gates_route_only_tables(spark, tmp_path):
     assert r2.dropped_schemas == {"mydb"}
 
 
+def test_drop_database_suppressed_by_filter_keeps_replicating(spark, tmp_path):
+    """A DdlFilterRule ignoring the drop must suppress the
+    dropped_schemas DML gate too — otherwise the user's ignore rule
+    silently stops replication for the whole schema (ADVICE r03 #4)."""
+    from dm_spark.config import DdlFilterRule
+
+    cfg = TaskConfig(
+        routes=[RouteRule(pattern="mydb.*", target="transcripts")],
+        ddl_filters=[DdlFilterRule(pattern="mydb", ignore_kinds=["drop_database"])],
+    )
+    lake = LakeTable.create(spark, str(tmp_path / "lake_ddf"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    runner.replay(ev(spark, [("I", "a", 1, "v1", "mydb.t1", 0, 1)]), [])
+    runner.replay(ev(spark, []), [DdlEvent("drop_database", "mydb", 0, 5)])
+    assert runner.dropped_schemas == set()
+    runner.replay(ev(spark, [("I", "b", 1, "after", "mydb.t1", 1, 1)]), [])
+    assert ("b", 1, "after") in rows(lake)
+
+
+def test_drop_database_skip_operator_keeps_replicating(spark, tmp_path):
+    """A skip error-operator at the drop's location suppresses the gate
+    the same way (handle-error skip, syncer/handle_error.go:32-73)."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="mydb.*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_dds"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    runner.error_ops.set_skip(0, 5)
+    runner.replay(ev(spark, [("I", "a", 1, "v1", "mydb.t1", 0, 1)]), [])
+    runner.replay(ev(spark, []), [DdlEvent("drop_database", "mydb", 0, 5)])
+    assert runner.dropped_schemas == set()
+    runner.replay(ev(spark, [("I", "b", 1, "after", "mydb.t1", 1, 1)]), [])
+    assert ("b", 1, "after") in rows(lake)
+
+
+def test_expr_filter_refuses_rename_of_referenced_column(spark, tmp_path):
+    """Expression-filter × DDL parity (VERDICT r03 #3): the reference
+    recompiles expr filters after each DDL and fails on a now-missing
+    column (syncer/syncer.go:2758). Here a mid-stream rename of a column
+    an expr filter references must refuse LOUDLY — silently the renamed
+    field decodes as NULL and the filter stops matching forever."""
+    from dm_spark.config import ExprFilterRule
+
+    cfg = TaskConfig(
+        routes=[RouteRule(pattern="shard_*.t", target="transcripts")],
+        expr_filters=[
+            ExprFilterRule(pattern="shard_*.t", insert_expr="after.tool = 'debug'")
+        ],
+    )
+    lake = LakeTable.create(spark, str(tmp_path / "lake_xf"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    with pytest.raises(ValueError, match="expression filter.*tool.*renamed"):
+        runner.handle_ddl(
+            DdlEvent("rename_column", "shard_0.t", 0, 3, column="tool",
+                     new_name="tool_name")
+        )
+    # a rename the filter does NOT reference applies normally
+    applied = runner.handle_ddl(
+        DdlEvent("rename_column", "shard_0.t", 0, 4, column="role",
+                 new_name="speaker")
+    )
+    assert [a["action"] for a in applied] == ["rename_column"]
+    # and a filter on an unrelated table pattern does not block either
+    cfg2 = TaskConfig(
+        routes=[RouteRule(pattern="shard_*.t", target="transcripts")],
+        expr_filters=[
+            ExprFilterRule(pattern="other_db.*", insert_expr="after.tool = 'x'")
+        ],
+    )
+    lake2 = LakeTable.create(spark, str(tmp_path / "lake_xf2"), SCHEMA, KEY, n_buckets=4)
+    runner2 = ReplayRunner(pipeline=ApplyPipeline(cfg2), lake=lake2)
+    applied = runner2.handle_ddl(
+        DdlEvent("rename_column", "shard_0.t", 0, 3, column="tool",
+                 new_name="tool_name")
+    )
+    assert [a["action"] for a in applied] == ["rename_column"]
+
+
+def test_replace_operator_honored_on_lifecycle_ddl(spark, tmp_path):
+    """A replace operator at a table-lifecycle location must apply its
+    replacement actions INSTEAD of the original statement (previously
+    the replacement list was discarded and the truncate ran anyway)."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="mydb.*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_rep"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    runner.replay(ev(spark, [("I", "a", 1, "v1", "mydb.t1", 0, 1)]), [])
+    runner.error_ops.set_replace(
+        0, 5, [{"action": "add_column", "column": "extra", "new_type": "int"}]
+    )
+    applied = runner.handle_ddl(DdlEvent("truncate_table", "mydb.t1", 0, 5))
+    assert [a["action"] for a in applied] == ["add_column"]
+    assert ("a", 1, "v1") in rows(lake)  # NOT truncated
+    assert "extra" in lake.read().columns
+
+
 def test_barrier_requires_spill(spark, tmp_path):
     cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
     lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=4)
