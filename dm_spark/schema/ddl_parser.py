@@ -115,28 +115,40 @@ def _split_clauses(body: str) -> list[str]:
 
 def _parse_create_body(body: str) -> tuple[list, list, list]:
     """CREATE TABLE body -> (columns, primary key, unique keys).
-    Secondary KEY/INDEX entries are ignored (no physical index here);
-    FOREIGN KEY constraints are unsupported (reference drops them from
-    shard-merge targets anyway)."""
+    Secondary KEY/INDEX entries are ignored (no physical index on a
+    bucketed lake table); FOREIGN KEY constraints are unsupported
+    (reference drops them from shard-merge targets anyway)."""
     cols: list[tuple[str, str]] = []
     pk: list[str] = []
     uks: list[list[str]] = []
 
     def names(arglist: str) -> list[str]:
-        return [re.sub(r"[`\s]|\(\d+\)", "", a) for a in arglist.split(",")]
+        # strip backticks, lengths `name(10)`, and ASC/DESC ordering
+        return [
+            re.sub(r"(?i)[`\s]|\(\d+\)|\b(asc|desc)\b", "", a)
+            for a in arglist.split(",")
+        ]
 
     for clause in _split_clauses(body):
         c = clause.strip()
-        if cm := re.match(r"(?i)^PRIMARY KEY \(([^)]*)\)$", c):
+        if cm := re.match(r"(?i)^PRIMARY KEY ?\(([^)]*)\)", c):
             pk = names(cm.group(1))
-        elif cm := re.match(rf"(?i)^UNIQUE (?:KEY |INDEX )?(?:{_IDENT} )?\(([^)]*)\)$", c):
-            uks.append(names(cm.group(2)))
-        elif re.match(rf"(?i)^(?:KEY|INDEX) {_IDENT} \(", c):
+        elif cm := re.match(
+            rf"(?i)^(?:CONSTRAINT {_IDENT} )?UNIQUE(?: KEY| INDEX)? ?(?:{_IDENT} ?)?\(([^)]*)\)",
+            c,
+        ):
+            uks.append(names(cm.group(3)))
+        elif re.match(rf"(?i)^(?:FULLTEXT |SPATIAL )?(?:KEY|INDEX) ?(?:{_IDENT} ?)?\(", c):
             continue  # secondary index: no-op on a lake table
-        elif re.match(r"(?i)^(?:CONSTRAINT|FOREIGN KEY)", c):
+        elif re.match(r"(?i)^(?:CONSTRAINT|FOREIGN KEY|CHECK)", c):
             raise UnsupportedDdl(clause)
         elif cm := re.match(rf"(?i)^{_IDENT} (.+)$", c):
             name, rest = cm.group(1), cm.group(2)
+            if _GENERATED_RE.search(rest):
+                raise UnsupportedDdl(
+                    f"generated column in CREATE TABLE: {clause} — list it in "
+                    "generated_columns config and declare the table explicitly"
+                )
             if re.search(r"(?i)\bPRIMARY KEY\b", rest):
                 pk = [name]
             if re.search(r"(?i)\bUNIQUE\b", rest) and not re.search(
@@ -149,13 +161,74 @@ def _parse_create_body(body: str) -> tuple[list, list, list]:
     return cols, pk, uks
 
 
-def parse_ddl(sql: str, file_seq: int, pos: int) -> list["DdlEvent"]:
-    """One DDL statement -> ordered atomic DdlEvents (suffix per clause)."""
+# generated columns are tracked upstream but never replicated by value
+# (the reference prunes them from DML, syncer/dml.go:358); silently
+# adding one as a plain column would store NULLs that look like data
+_GENERATED_RE = re.compile(r"(?i)\bGENERATED ALWAYS AS\b|\bAS \(.*\) ?(?:VIRTUAL|STORED)\b")
+
+# ALTER clauses with no physical analog on a bucketed lake table —
+# consumed as explicit no-ops (the reference executes them downstream;
+# here there is no index/engine/charset object to mutate, and strings
+# are always UTF-8): secondary index DDL, index visibility/rename,
+# storage/charset table options
+_NOOP_ALTER_RE = re.compile(
+    r"(?i)^("
+    r"ADD (?:UNIQUE |FULLTEXT |SPATIAL )?(?:INDEX|KEY)\b"
+    r"|ADD UNIQUE\b"  # bare `ADD UNIQUE (cols)`
+    r"|DROP (?:INDEX|KEY)\b"
+    r"|RENAME (?:INDEX|KEY) .+ TO .+"
+    r"|ALTER INDEX\b"
+    r"|(?:DEFAULT )?CHARACTER SET\b|(?:DEFAULT )?CHARSET\b"
+    r"|CONVERT TO CHARACTER SET\b|COLLATE\b"
+    r"|ENGINE ?=|AUTO_INCREMENT ?=|COMMENT ?=|ROW_FORMAT ?="
+    r")"
+)
+
+# clauses that change data or merge identity — never silent
+_REJECT_ALTER_RE = re.compile(
+    r"(?i)^("
+    r"ADD PRIMARY KEY\b|DROP PRIMARY KEY\b"  # merge identity is fixed at create
+    r"|ADD PARTITION\b|DROP PARTITION\b|TRUNCATE PARTITION\b"
+    r"|REORGANIZE PARTITION\b|COALESCE PARTITION\b|REMOVE PARTITIONING\b"
+    r"|PARTITION BY\b|EXCHANGE PARTITION\b"  # partition ops move/delete data
+    r"|ADD (?:CONSTRAINT|FOREIGN KEY|CHECK)\b|DROP (?:FOREIGN KEY|CHECK|CONSTRAINT)\b"
+    r")"
+)
+
+
+def parse_ddl(
+    sql: str, file_seq: int, pos: int, ansi_quotes: bool = False
+) -> list["DdlEvent"]:
+    """One DDL statement -> ordered atomic DdlEvents (suffix per clause).
+
+    `ansi_quotes=True` treats double-quoted tokens as identifiers
+    (MySQL sql_mode=ANSI_QUOTES, the reference's tests/sql_mode suite;
+    the TiDB parser receives the session sql_mode, syncer/ddl.go:33-47)
+    — they normalize to plain identifiers before parsing. Statements
+    with no schema effect on a lake table (CREATE/ALTER DATABASE,
+    SET-like options) return []; statements whose effect exists but is
+    out of surface raise UnsupportedDdl and route to the error-operator
+    escape hatch."""
     # deferred: plans.replay imports the schema package back (online-DDL
     # classify / registry), so a top-level import here is a cycle
     from dm_spark.plans.replay import DdlEvent
 
-    s = re.sub(r"\s+", " ", sql.strip().rstrip(";")).strip()
+    s = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)  # inline comments (gh-ost stamps them)
+    s = re.sub(r"(?m)--\s.*$", " ", s)
+    if ansi_quotes:
+        s = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"\1", s)
+    s = re.sub(r"\s+", " ", s.strip().rstrip(";")).strip()
+
+    # statements with NO schema effect here: database-level DDL (the
+    # lake has no per-database object — tables materialize on CREATE
+    # TABLE; DROP DATABASE below is the exception since it drops data)
+    if re.match(r"(?i)^(CREATE|ALTER) (DATABASE|SCHEMA)\b", s):
+        return []
+    # standalone index DDL: same no-op as the ALTER-clause forms
+    if re.match(r"(?i)^CREATE (?:UNIQUE |FULLTEXT |SPATIAL )?INDEX .+ ON ", s):
+        return []
+    if re.match(r"(?i)^DROP INDEX .+ ON ", s):
+        return []
 
     if re.match(r"(?i)^RENAME TABLE ", s):
         # supports the multi-rename form — gh-ost's real atomic
@@ -181,7 +254,7 @@ def parse_ddl(sql: str, file_seq: int, pos: int) -> list["DdlEvent"]:
 
     # table lifecycle (shard-mode pre-filter surface,
     # syncer/syncer.go:2299-2337): CREATE / DROP / TRUNCATE TABLE
-    m = re.match(rf"(?i)^CREATE TABLE (?:IF NOT EXISTS )?{_TABLE} \((.*)\)[^)]*$", s)
+    m = re.match(rf"(?i)^CREATE TABLE (?:IF NOT EXISTS )?{_TABLE} ?\((.*)\)[^)]*$", s)
     if m:
         table = _table_name(m.group(1), m.group(2))
         cols, pk, uks = _parse_create_body(m.group(3))
@@ -191,9 +264,21 @@ def parse_ddl(sql: str, file_seq: int, pos: int) -> list["DdlEvent"]:
                 columns=cols, key=pk, unique_keys=uks,
             )
         ]
-    m = re.match(rf"(?i)^DROP TABLE (?:IF EXISTS )?{_TABLE}$", s)
+    m = re.match(r"(?i)^DROP TABLE (?:IF EXISTS )?(.+)$", s)
     if m:
-        return [DdlEvent("drop_table", _table_name(m.group(1), m.group(2)), file_seq, pos)]
+        # MySQL allows a comma list: DROP TABLE t1, t2 — one event each
+        out = []
+        for i, t in enumerate(m.group(1).split(",")):
+            tm = re.fullmatch(rf"(?i)\s*{_TABLE}\s*", t)
+            if not tm:
+                raise UnsupportedDdl(sql)
+            out.append(
+                DdlEvent(
+                    "drop_table", _table_name(tm.group(1), tm.group(2)),
+                    file_seq, pos, suffix=i,
+                )
+            )
+        return out
     m = re.match(rf"(?i)^DROP (?:DATABASE|SCHEMA) (?:IF EXISTS )?{_IDENT}$", s)
     if m:
         # schema-level drop: the runner expands it to drop_table over
@@ -217,17 +302,40 @@ def parse_ddl(sql: str, file_seq: int, pos: int) -> list["DdlEvent"]:
             DdlEvent(action, table, file_seq, pos, suffix=len(events), **kw)
         )
 
+    # trailing column-definition attributes that carry no type info
+    _TAIL = r"(?: (?:NULL|NOT NULL|DEFAULT .*|COMMENT .*|FIRST|AFTER .*))?"
     for clause in _split_clauses(m.group(3)):
         c = clause.strip()
-        if cm := re.match(rf"(?i)^ADD (?:COLUMN )?{_IDENT} (.+?)(?: (?:NULL|NOT NULL|DEFAULT .*|FIRST|AFTER .*))?$", c):
+        if _REJECT_ALTER_RE.match(c):
+            # identity / partition / constraint changes move or delete
+            # data — never a silent no-op; the operator decides
+            raise UnsupportedDdl(clause)
+        if _NOOP_ALTER_RE.match(c):
+            continue  # index/charset/engine surface: no lake analog
+        if _GENERATED_RE.search(c):
+            raise UnsupportedDdl(
+                f"generated column DDL: {clause} — add it to "
+                "generated_columns config (values are never replicated)"
+            )
+        if cm := re.match(r"(?i)^ADD (?:COLUMN )?\((.*)\)$", c):
+            # paren group form: ADD COLUMN (a INT, b INT)
+            for col in _split_clauses(cm.group(1)):
+                nm = re.match(rf"(?i)^{_IDENT} (.+)$", col.strip())
+                if not nm:
+                    raise UnsupportedDdl(col)
+                emit("add_column", column=nm.group(1), new_type=map_type(nm.group(2)))
+        elif cm := re.match(rf"(?i)^ADD (?:COLUMN )?{_IDENT} (.+?){_TAIL}$", c):
             emit("add_column", column=cm.group(1), new_type=map_type(cm.group(2)))
         elif cm := re.match(rf"(?i)^DROP (?:COLUMN )?{_IDENT}$", c):
             emit("drop_column", column=cm.group(1))
         elif cm := re.match(rf"(?i)^RENAME (?:COLUMN )?{_IDENT} TO {_IDENT}$", c):
             emit("rename_column", column=cm.group(1), new_name=cm.group(2))
-        elif cm := re.match(rf"(?i)^MODIFY (?:COLUMN )?{_IDENT} (.+?)(?: (?:NULL|NOT NULL|DEFAULT .*))?$", c):
+        elif cm := re.match(rf"(?i)^RENAME (?:TO |AS )?{_TABLE}$", c):
+            # ALTER TABLE t RENAME [TO|AS] t2 — same event as RENAME TABLE
+            emit("rename_table", target_table=_table_name(cm.group(1), cm.group(2)))
+        elif cm := re.match(rf"(?i)^MODIFY (?:COLUMN )?{_IDENT} (.+?){_TAIL}$", c):
             emit("widen_type", column=cm.group(1), new_type=map_type(cm.group(2)))
-        elif cm := re.match(rf"(?i)^CHANGE (?:COLUMN )?{_IDENT} {_IDENT} (.+?)(?: (?:NULL|NOT NULL|DEFAULT .*))?$", c):
+        elif cm := re.match(rf"(?i)^CHANGE (?:COLUMN )?{_IDENT} {_IDENT} (.+?){_TAIL}$", c):
             # MySQL CHANGE = rename + retype: two atomic events. The
             # idiomatic retype form `CHANGE c c BIGINT` (old == new) is
             # a pure widen — emitting a self-rename would wrongly trip
