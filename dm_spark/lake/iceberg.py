@@ -34,22 +34,84 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def create_sql(identifier: str, schema_ddl: str, bucket_by: str, n_buckets: int) -> str:
+def create_sql(
+    identifier: str,
+    schema_ddl: str,
+    bucket_by: str,
+    n_buckets: int,
+    write_mode: str = "cow",
+) -> str:
     """CREATE TABLE text — pure function so the contract test can pin
-    it without an Iceberg runtime on the classpath."""
+    it without an Iceberg runtime on the classpath. `write_mode` maps
+    the native LakeTable's cow/mor axis onto Iceberg's row-level
+    operation modes (copy-on-write rewrites touched files per merge;
+    merge-on-read writes delete files and folds at scan/compaction —
+    the trickle-CDC mode, BENCH.md 'Trickle CDC')."""
+    mode = {"cow": "copy-on-write", "mor": "merge-on-read"}[write_mode]
+    props = ", ".join(
+        f"'write.{k}.mode'='{mode}'" for k in ("delete", "update", "merge")
+    )
     return (
         f"CREATE TABLE IF NOT EXISTS {identifier} ({schema_ddl}, "
         f"_cdc_ts timestamp, _cdc_file_seq bigint, _cdc_pos bigint) "
-        f"USING iceberg PARTITIONED BY (bucket({n_buckets}, {bucket_by}))"
+        f"USING iceberg PARTITIONED BY (bucket({n_buckets}, {bucket_by})) "
+        f"TBLPROPERTIES ({props})"
     )
 
 
-def merge_sql(identifier: str, key: list[str], payload: list[str], src_view: str = "_dm_src") -> str:
+def ladder_identity_sql(
+    pk: list[str], unique_keys: list[list[str]], payload: list[str], q: str
+) -> str:
+    """SQL-text twin of operators.identity.ladder_identity_expr for the
+    MERGE ON clause: PK if all components non-null, else the first
+    all-non-null UK, else the full row (findFitIndex /
+    getAvailableIndexColumn, syncer/dml.go:260-318). Unlike the native
+    path no stable labels are needed: the identity is computed inside
+    one MERGE on BOTH sides and never persisted, so a rename changes
+    both sides in lockstep."""
+
+    def part(c: str) -> str:
+        return f"concat('{c}=', cast({q}.{c} as string))"
+
+    def keystr(kind: str, cols: list[str]) -> str:
+        return ", ".join([f"chr(31), '{kind}'"] + [part(c) for c in cols])
+
+    def usable(cols: list[str]) -> str:
+        return " AND ".join(f"{q}.{c} IS NOT NULL" for c in cols)
+
+    rungs = ([("pk", pk)] if pk else []) + [
+        (f"uk{i}", uk) for i, uk in enumerate(unique_keys) if uk
+    ]
+    branches = "".join(
+        f"WHEN {usable(cols)} THEN concat_ws({keystr(kind, cols)}) "
+        for kind, cols in rungs
+    )
+    fallback = f"concat_ws({keystr('full_row', payload)})"
+    return f"CASE {branches}ELSE {fallback} END"
+
+
+def merge_sql(
+    identifier: str,
+    key: list[str],
+    payload: list[str],
+    src_view: str = "_dm_src",
+    unique_keys: list[list[str]] | None = None,
+) -> str:
     """The MERGE INTO text: LWW-guarded matched-update, matched-delete
     for 'D', not-matched-insert (safe-mode upsert, syncer/dml.go:586-666
     analog). The `newer` guard makes redelivered (older) events no-ops —
-    the same law the native LakeTable resolves with its window."""
-    on = " AND ".join(f"t.{k} <=> s.{k}" for k in key)
+    the same law the native LakeTable resolves with its window.
+
+    With `unique_keys` the ON clause matches on the identity LADDER
+    (PK -> first usable UK -> full row) instead of raw key equality —
+    the uk-identity merge shape of LakeTable(unique_keys=...)."""
+    if unique_keys:
+        on = (
+            f"{ladder_identity_sql(key, unique_keys, payload, 't')} = "
+            f"{ladder_identity_sql(key, unique_keys, payload, 's')}"
+        )
+    else:
+        on = " AND ".join(f"t.{k} <=> s.{k}" for k in key)
     sets = ", ".join(f"t.{c} = s.{c}" for c in payload)
     lin_sets = ", ".join(f"t.{c} = s.{c}" for c in LINEAGE_COLS)
     cols = ", ".join(payload + LINEAGE_COLS)
@@ -82,7 +144,13 @@ def ddl_sql(identifier: str, action: dict) -> str:
 class IcebergTable:
     """MERGE INTO an Iceberg table with the engine's LWW semantics."""
 
-    def __init__(self, spark: SparkSession, identifier: str, key: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        identifier: str,
+        key: list[str],
+        unique_keys: list[list[str]] | None = None,
+    ):
         if not iceberg_available(spark):
             raise RuntimeError(
                 "Iceberg runtime not on the classpath — use dm_spark.lake.LakeTable "
@@ -91,15 +159,22 @@ class IcebergTable:
         self.spark = spark
         self.identifier = identifier
         self.key = key
+        self.unique_keys = unique_keys
 
-    def create(self, schema_ddl: str, bucket_by: str, n_buckets: int) -> None:
-        self.spark.sql(create_sql(self.identifier, schema_ddl, bucket_by, n_buckets))
+    def create(
+        self, schema_ddl: str, bucket_by: str, n_buckets: int, write_mode: str = "cow"
+    ) -> None:
+        self.spark.sql(
+            create_sql(self.identifier, schema_ddl, bucket_by, n_buckets, write_mode)
+        )
 
     def merge_into(self, changes: DataFrame, batch_id: int | None = None) -> None:
         src = lww_latest(changes, self.key, LINEAGE_COLS)
         src.createOrReplaceTempView("_dm_src")
         payload = [c for c in src.columns if c not in ("op", *LINEAGE_COLS)]
-        self.spark.sql(merge_sql(self.identifier, self.key, payload))
+        self.spark.sql(
+            merge_sql(self.identifier, self.key, payload, unique_keys=self.unique_keys)
+        )
 
     def read(self) -> DataFrame:
         return self.spark.table(self.identifier).drop(*LINEAGE_COLS)

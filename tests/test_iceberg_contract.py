@@ -111,3 +111,66 @@ def test_iceberg_merge_end_to_end(spark, tmp_path):
     got_ice = sorted((r.conv_id, r.turn_idx, r.text) for r in ice.read().collect())
     got_nat = sorted((r.conv_id, r.turn_idx, r.text) for r in nat.read().collect())
     assert got_ice == got_nat == [("a", 1, "v2")]
+
+
+def test_golden_statement_suite():
+    """VERDICT r03 #5: every generated CREATE / MERGE / ALTER statement
+    golden-filed per write_mode x merge-shape x schema-evolution case,
+    so the jar-gated surface is fully specified even where it cannot
+    execute here. Regenerate on INTENDED change:
+    see tests/golden/iceberg/ (this test prints the diff)."""
+    import os
+
+    from dm_spark.lake.iceberg import create_sql, ddl_sql, merge_sql
+
+    G = os.path.join(os.path.dirname(__file__), "golden", "iceberg")
+    SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    PAYLOAD = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    KEY = ["conv_id", "turn_idx"]
+    UKS = [["conv_id", "ts"], ["role", "text"]]
+    t = "lake.db.transcripts"
+    cases = {
+        "create_cow": create_sql(t, SCHEMA, "conv_id", 32, "cow"),
+        "create_mor": create_sql(t, SCHEMA, "conv_id", 32, "mor"),
+        "merge_pk": merge_sql(t, KEY, PAYLOAD),
+        "merge_ladder": merge_sql(t, KEY, PAYLOAD, unique_keys=UKS),
+        "alter_add": ddl_sql(t, {"action": "add_column", "column": "rating", "new_type": "int"}),
+        "alter_rename": ddl_sql(t, {"action": "rename_column", "column": "tool", "new_name": "tool_name"}),
+        "alter_widen": ddl_sql(t, {"action": "widen_type", "column": "turn_idx", "new_type": "bigint"}),
+        "alter_drop": ddl_sql(t, {"action": "drop_column", "column": "junk"}),
+        "merge_pk_evolved": merge_sql(
+            t, KEY, ["conv_id", "turn_idx", "role", "text", "tool_name", "ts", "rating"]
+        ),
+        "merge_ladder_pkless": merge_sql("lake.db.links", [], ["a", "b", "ts"], unique_keys=[["a", "b"]]),
+    }
+    for name, sql in cases.items():
+        want = open(os.path.join(G, f"{name}.sql")).read().rstrip("\n")
+        assert sql == want, f"{name} drifted from golden:\nGOT:\n{sql}\nWANT:\n{want}"
+
+
+def test_ladder_identity_sql_matches_native_expr(spark):
+    """The SQL-text ladder (Iceberg MERGE ON) and the native Catalyst
+    ladder must compute the SAME identity string on every null layout —
+    the shared law that keeps the two sinks merge-compatible."""
+    from pyspark.sql import functions as F
+
+    from dm_spark.lake.iceberg import ladder_identity_sql
+    from dm_spark.operators.identity import ladder_identity_expr
+
+    pk, uks, payload = ["a", "b"], [["c"], ["d", "e"]], ["a", "b", "c", "d", "e"]
+    df = spark.createDataFrame(
+        [
+            (1, 2, 3, 4, 5),      # pk rung
+            (None, 2, 3, 4, 5),   # uk0
+            (None, 2, None, 4, 5),  # uk1
+            (None, None, None, None, 5),  # full row w/ nulls skipped
+            (None, None, None, None, None),  # all-null full row
+        ],
+        "a int, b int, c int, d int, e int",
+    )
+    native = df.withColumn(
+        "ident", ladder_identity_expr(pk, uks, payload)
+    ).select("ident").collect()
+    sql_expr = ladder_identity_sql(pk, uks, payload, "t")
+    via_sql = df.alias("t").selectExpr(f"{sql_expr} AS ident").collect()
+    assert [r.ident for r in native] == [r.ident for r in via_sql]
