@@ -72,10 +72,14 @@ def apply_throughput(
     assert not wstats.skipped and wstats.rows_written > 0
 
     per = n_events // n_batches
+    # map-side granularity knob (A/B-able under co-tenant noise)
+    import os as _os
+
+    map_parts = int(_os.environ.get("DM_BENCH_MAP_MULT", "1")) * shuffle_partitions
     t0 = time.time()
     for i in range(n_batches):
         feed = synthetic_feed(
-            spark, per, n_convs=n_convs, partitions=shuffle_partitions,
+            spark, per, n_convs=n_convs, partitions=map_parts,
             text_chars=text_chars,
         ).withColumn("file_seq", F.col("file_seq") + F.lit(i * 10_000))
         if decode:
