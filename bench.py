@@ -95,16 +95,23 @@ def _ann_recall(spark) -> dict:
 
 
 def run_headline() -> tuple[dict, float, dict]:
+    """Each query timed HEADLINE_REPS times, min per query (the same
+    min-wall noise-floor estimator the scaling legs use — co-tenant
+    steal on this VM inflates single shots up to 2x; rep 1 also absorbs
+    first-plan codegen, so min-of-2 reports the warmed steady state)."""
     import __spark_entry__ as entrymod
 
+    reps = int(os.environ.get("DM_BENCH_HEADLINE_REPS", "2"))
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     qs = entrymod.queries()
-    times = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        _ = df.count()
-        times[name] = round(time.time() - t0, 3)
+    times: dict[str, float] = {}
+    for _ in range(reps):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            _ = df.count()
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
     recall = _ann_recall(spark)
     spark.stop()
     return times, round(sum(times.values()), 3), recall
@@ -134,12 +141,21 @@ def main() -> None:
         **recall,
     }
     if os.environ.get("DM_BENCH_SKIP_SCALING") != "1":
-        peak = _kernel("apply", "local[32]", PEAK_EVENTS, 32, 4)
+        # peak + tail are best-of-2 (same min-wall estimator as the
+        # scaling legs): a single shot landing in a steal window
+        # under-reported the tail 6x vs a spot check minutes apart
+        peak = max(
+            (_kernel("apply", "local[32]", PEAK_EVENTS, 32, 4) for _ in range(2)),
+            key=lambda r: r["events_per_sec"],
+        )
         # 6M tail events: the timed window includes stream startup +
         # trigger cadence (~5s) — at 2M that overhead was ~30% of the
         # window and the official number badly undershot the kernel's
         # steady rate (r2/r3 drivers recorded 88k vs 178-205k clean)
-        tail = _kernel("tail", "local[32]", TAIL_EVENTS, 32, 1)
+        tail = max(
+            (_kernel("tail", "local[32]", TAIL_EVENTS, 32, 1) for _ in range(2)),
+            key=lambda r: r["events_per_sec"],
+        )
         result["tail_events_per_sec"] = tail["events_per_sec"]
         result["tail_events"] = tail["events"]
         # data-scale point: per-event cost FALLS with batch size (fixed

@@ -196,6 +196,75 @@ class CdcStreamDriver:
             if multi_pass:
                 batch_df.unpersist()
 
+    # ------------------------------------------------- live control file
+    # dmctl's runtime task surface (pause-task / resume-task /
+    # stop-task, dm/ctl/master/*.go; update-task's filter subset;
+    # exercised by tests/dmctl_basic) re-expressed without a control
+    # plane: a JSON file next to the checkpoint, polled by
+    # run_continuous between micro-batches.
+    #   {"pause": true}              pause consumption (query stopped;
+    #                                resumes from checkpoint on clear)
+    #   {"stop": true}               graceful stop (drain current batch)
+    #   {"config_patch": {...}}      swap the FILTER family of the task
+    #                                config at a batch boundary
+    def control_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "control.json")
+
+    def _read_control(self) -> dict:
+        try:
+            with open(self.control_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+        except json.JSONDecodeError as e:
+            # a malformed control file must not be treated as "no
+            # control" — the operator thinks the stream is paused
+            raise RuntimeError(f"malformed control file {self.control_path()}: {e}") from e
+
+    # the runtime-swappable subset: the filter family (the reference's
+    # update-task + handle-error surface). Routing/key/bucket changes
+    # alter merge semantics and need a restart — rejected loudly.
+    _PATCHABLE = ("allow_tables", "deny_tables", "event_filters",
+                  "expr_filters", "ddl_filters")
+
+    def _apply_config_patch(self, ctl: dict) -> None:
+        import copy
+
+        from dm_spark.config import (
+            DdlFilterRule,
+            EventFilterRule,
+            ExprFilterRule,
+        )
+        from dm_spark.operators import ApplyPipeline
+
+        patch = ctl.get("config_patch")
+        if not patch or patch == getattr(self, "_applied_patch", None):
+            return
+        bad = set(patch) - set(self._PATCHABLE)
+        if bad:
+            raise ValueError(
+                f"config_patch keys {sorted(bad)} are not runtime-swappable "
+                f"(allowed: {list(self._PATCHABLE)}); routing/key changes "
+                "need a task restart"
+            )
+        cfg = copy.deepcopy(self.pipeline.config)
+        if "allow_tables" in patch:
+            cfg.allow_tables = list(patch["allow_tables"])
+        if "deny_tables" in patch:
+            cfg.deny_tables = list(patch["deny_tables"])
+        if "event_filters" in patch:
+            cfg.event_filters = [EventFilterRule(**r) for r in patch["event_filters"]]
+        if "expr_filters" in patch:
+            cfg.expr_filters = [ExprFilterRule(**r) for r in patch["expr_filters"]]
+        if "ddl_filters" in patch:
+            cfg.ddl_filters = [DdlFilterRule(**r) for r in patch["ddl_filters"]]
+        # swapping the reference is atomic; the next micro-batch reads
+        # the new pipeline (foreachBatch reads self.pipeline once)
+        self.pipeline = ApplyPipeline(cfg)
+        if self.runner is not None:
+            self.runner.pipeline = self.pipeline
+        self._applied_patch = patch
+
     def _save_runner_state(self) -> None:
         """Atomic write-then-rename after each runner batch: the state
         on disk is always the state as of SOME completed batch; a crash
@@ -264,21 +333,52 @@ class CdcStreamDriver:
         syncer/syncer.go:1849-1857, only because its checkpoint lags its
         appliers). `stop_when(driver) -> bool` is polled driver-side for
         tests/ops; production omits it and tails until killed, resuming
-        from checkpoint."""
-        stream = read_feed_stream(self.spark, self.feed_dir, self.max_files_per_trigger)
-        q = (
-            stream.writeStream.foreachBatch(self._apply)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(processingTime=f"{max(trigger_sec, 0.1)} seconds")
-            .start()
-        )
+        from checkpoint.
+
+        The control file (see :meth:`control_path`) is polled at the
+        same cadence: `pause` stops the streaming query (checkpoint
+        intact) and idles until cleared, then restarts from the same
+        checkpoint — dmctl pause-task/resume-task without killing the
+        process; `stop` exits gracefully; `config_patch` swaps the
+        filter family of the task config at a batch boundary."""
         t0 = time.time()
-        try:
-            while q.isActive and time.time() - t0 < timeout_sec:
-                if stop_when is not None and stop_when(self):
-                    break
+        self.paused = False
+        done = False
+        while not done and time.time() - t0 < timeout_sec:
+            ctl = self._read_control()
+            if ctl.get("stop"):
+                break
+            if ctl.get("pause"):
+                self.paused = True
                 time.sleep(poll_sec)
-        finally:
-            q.stop()
-            q.awaitTermination(60)
+                continue
+            self.paused = False
+            self._apply_config_patch(ctl)
+            stream = read_feed_stream(
+                self.spark, self.feed_dir, self.max_files_per_trigger
+            )
+            q = (
+                stream.writeStream.foreachBatch(self._apply)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(processingTime=f"{max(trigger_sec, 0.1)} seconds")
+                .start()
+            )
+            try:
+                while q.isActive and time.time() - t0 < timeout_sec:
+                    if stop_when is not None and stop_when(self):
+                        done = True
+                        break
+                    ctl = self._read_control()
+                    if ctl.get("stop"):
+                        done = True
+                        break
+                    if ctl.get("pause"):
+                        break  # stop the query; outer loop idles until cleared
+                    self._apply_config_patch(ctl)
+                    time.sleep(poll_sec)
+                else:
+                    done = True  # query died or overall timeout
+            finally:
+                q.stop()
+                q.awaitTermination(60)
         return self.batch_stats

@@ -164,3 +164,91 @@ def test_live_mor_optimistic_ddl_kill_resume(spark, sf_dir, tmp_path):
     )
     want = duck_replay(sf_dir)
     assert_tables_equal(got, want)
+
+
+def test_control_file_pause_resume_stop(spark, sf_dir, tmp_path):
+    """dmctl pause-task / resume-task / stop-task analog (dm/ctl/master,
+    tests/dmctl_basic): the control file pauses consumption with the
+    checkpoint intact, resuming drains from the same checkpoint, and
+    stop exits the loop gracefully — all without killing the process.
+    A config_patch written while live swaps the filter family at a
+    batch boundary."""
+    import json
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_ctl"), SCHEMA, KEY, n_buckets=8)
+    feed_dir = str(tmp_path / "feed")
+    staged = _stage_chunks(spark, sf_dir, str(tmp_path / "stage"))
+    _feeder(staged, feed_dir, delay=0)  # all files present up front
+
+    drv = CdcStreamDriver(
+        spark, feed_dir, str(tmp_path / "cp"), ApplyPipeline(cfg),
+        {"transcripts": lake}, max_files_per_trigger=4,
+    )
+    os.makedirs(drv.checkpoint_dir, exist_ok=True)
+
+    def write_ctl(d):
+        with open(drv.control_path(), "w") as f:
+            json.dump(d, f)
+
+    write_ctl({"pause": True})  # born paused
+    th = threading.Thread(
+        target=lambda: drv.run_continuous(trigger_sec=0.2, timeout_sec=300, poll_sec=0.1)
+    )
+    th.start()
+    try:
+        deadline = time.time() + 60
+        while not getattr(drv, "paused", False) and time.time() < deadline:
+            time.sleep(0.1)
+        assert drv.paused
+        time.sleep(1.5)
+        assert drv.batch_stats == []  # nothing consumed while paused
+
+        # resume WITH a live filter patch: deny a table pattern
+        write_ctl({"config_patch": {"deny_tables": ["shard_3.*"]}})
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            done = {s["batch_id"] for s in drv.batch_stats if not s.get("skipped")}
+            if len(done) >= 2:  # 8 relay files / 4 per trigger
+                break
+            time.sleep(0.25)
+        assert len({s["batch_id"] for s in drv.batch_stats if not s.get("skipped")}) >= 2
+        assert drv.pipeline.config.deny_tables == ["shard_3.*"]  # patch applied
+
+        write_ctl({"stop": True})
+        th.join(90)
+        assert not th.is_alive()
+    finally:
+        write_ctl({"stop": True})
+        th.join(90)
+
+    # every batch ran under the patched config (born paused, patched
+    # before any consumption): the final state must EXACTLY match the
+    # oracle replay with shard_3's events excluded from the feed
+    assert_tables_equal(
+        spark_final(lake),
+        duck_replay(sf_dir, "source_table NOT LIKE 'shard_3.%'"),
+    )
+
+
+def test_config_patch_validation(spark, tmp_path):
+    """Only the filter family is runtime-swappable; routing/key changes
+    alter merge semantics and must be rejected loudly."""
+    import pytest
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_cp"), SCHEMA, KEY, n_buckets=4)
+    drv = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), str(tmp_path / "cp"), ApplyPipeline(cfg),
+        {"transcripts": lake},
+    )
+    drv._apply_config_patch(
+        {"config_patch": {"expr_filters": [
+            {"pattern": "shard_*.t", "insert_expr": "after.role = 'tool'"}
+        ]}}
+    )
+    assert drv.pipeline.config.expr_filters[0].insert_expr == "after.role = 'tool'"
+    with pytest.raises(ValueError, match="not runtime-swappable"):
+        drv._apply_config_patch({"config_patch": {"routes": []}})
+    with pytest.raises(ValueError, match="not runtime-swappable"):
+        drv._apply_config_patch({"config_patch": {"key": ["conv_id"]}})
