@@ -7,6 +7,11 @@ Task file (YAML or JSON): see `examples/task.yaml`. Modes:
 - full:        batch snapshot load (dump+load units)
 - incremental: tail the relay feed via Structured Streaming
 - all:         snapshot, then stream from the snapshot watermark
+
+Runtime control of a RUNNING task (dmctl analog, no restart):
+    python main.py ctl <checkpoint_dir> pause|resume|stop
+    python main.py ctl <checkpoint_dir> patch '{"deny_tables": [...]}'
+(applied patches persist across resume; see CdcStreamDriver docs)
 """
 
 from __future__ import annotations
@@ -30,10 +35,54 @@ def load_task_file(path: str) -> dict:
     return yaml.safe_load(text)
 
 
+def ctl(argv: list[str]) -> int:
+    """dmctl analog for a RUNNING tail/incremental task (no Spark, no
+    restart — the driver polls control.json between micro-batches):
+
+        python main.py ctl <checkpoint_dir> pause
+        python main.py ctl <checkpoint_dir> resume
+        python main.py ctl <checkpoint_dir> stop
+        python main.py ctl <checkpoint_dir> patch '{"deny_tables": ["db.*"]}'
+    """
+    import os
+
+    if len(argv) < 2:
+        print(ctl.__doc__)
+        return 2
+    cp_dir, cmd = argv[0], argv[1]
+    path = os.path.join(cp_dir, "control.json")
+    # read-modify-write so commands compose: patch-while-paused then
+    # resume keeps the patch for the driver to apply on restart
+    try:
+        with open(path) as f:
+            body = json.load(f)
+    except FileNotFoundError:
+        body = {}
+    if cmd == "pause":
+        body["pause"] = True
+    elif cmd == "resume":
+        body.pop("pause", None)
+    elif cmd == "stop":
+        body["stop"] = True
+    elif cmd == "patch":
+        body["config_patch"] = json.loads(argv[2])
+    else:
+        raise SystemExit(f"unknown ctl command {cmd}")
+    os.makedirs(cp_dir, exist_ok=True)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+    os.replace(tmp, path)
+    print(json.dumps({"control": body, "path": path}))
+    return 0
+
+
 def main(argv: list[str]) -> int:
     if len(argv) < 2:
         print(__doc__)
         return 2
+    if argv[1] == "ctl":
+        return ctl(argv[2:])
     spec = load_task_file(argv[1])
     cfg = TaskConfig.from_dict(spec.get("task", {}))
     mode = spec.get("mode", "incremental")

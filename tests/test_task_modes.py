@@ -48,3 +48,22 @@ def test_mode_all_snapshot_then_catchup(spark, sf_dir, tmp_path):
     assert_tables_equal(spark_final(lake), duck_replay(sf_dir))
     lag = replication_lag_sec(lake)
     assert lag is not None and lag > 0  # feed ts are in the past
+
+
+def test_ctl_commands_compose(tmp_path):
+    """`main.py ctl` (dmctl analog) read-modify-writes control.json so
+    patch-while-paused survives a resume; stop composes onto anything."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import main as mainmod
+
+    cp = str(tmp_path / "cp")
+    assert mainmod.ctl([cp, "pause"]) == 0
+    assert mainmod.ctl([cp, "patch", '{"deny_tables": ["db.*"]}']) == 0
+    assert mainmod.ctl([cp, "resume"]) == 0
+    body = json.load(open(f"{cp}/control.json"))
+    assert body == {"config_patch": {"deny_tables": ["db.*"]}}
+    assert mainmod.ctl([cp, "stop"]) == 0
+    assert json.load(open(f"{cp}/control.json"))["stop"] is True
