@@ -13,6 +13,9 @@ Checks (prints PASS/FAIL lines + the formatted plans):
    equi-join-shaped: no CartesianProduct / BroadcastNestedLoopJoin in
    ngram-Jaccard, MinHash-LSH, SimHash, LSH-ANN, IVF-ANN (only the
    fenced exact cosine baseline may be a nested-loop join).
+6. wire decode: exactly one Python node (the mapInPandas JSON
+   kernel); struct re-assembly and image-timestamp parsing stay
+   JVM-side and the decode introduces no exchange.
 """
 
 from __future__ import annotations
@@ -151,6 +154,23 @@ def main() -> int:
     print(f"{'PASS' if ok5 else 'FAIL'} equi-join-only candidate generation: cross-joins={bad}")
     if not ok5:
         failures.append("corpus-cross-join")
+
+    # 6. wire decode: EXACTLY ONE Python node (the mapInPandas json
+    # kernel) and everything around it JVM-side — struct re-assembly +
+    # image-ts to_timestamp fold into Project/codegen, no exchange is
+    # introduced by the decode itself (r4 flat-kernel rewrite)
+    from dm_spark.sources.decode import decode_wire, to_wire
+
+    p6 = plan_of(decode_wire(to_wire(feedmod.change_feed(spark, sf))), "simple")
+    n_py = len(re.findall(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p6))
+    ok6 = n_py == 1 and "Exchange" not in p6
+    print(
+        f"{'PASS' if ok6 else 'FAIL'} decode plan: one Python node, "
+        f"JVM restruct, no exchange (python_nodes={n_py})"
+    )
+    if not ok6:
+        failures.append("decode-plan")
+        print(p6)
 
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
