@@ -141,6 +141,27 @@ def ddl_sql(identifier: str, action: dict) -> str:
     raise ValueError(a)
 
 
+def lww_source(
+    changes: DataFrame, key: list[str], unique_keys: list[list[str]] | None = None
+) -> DataFrame:
+    """One LWW winner per merge identity for the MERGE source. With
+    `unique_keys` the dedup keys on the computed LADDER identity, not
+    the raw PK: a window partitioned by a nullable PK treats NULLs as
+    equal, so two NULL-PK rows with distinct UKs would collapse to one
+    survivor and the other would silently vanish — the same hazard the
+    native LakeTable pre-reduces on the computed identity for
+    (table.py merge_into pre_reduce branch)."""
+    if unique_keys:
+        from dm_spark.operators.identity import ladder_identity_expr
+
+        payload = [c for c in changes.columns if c not in ("op", *LINEAGE_COLS)]
+        ident = ladder_identity_expr(key, unique_keys, payload)
+        return lww_latest(
+            changes.withColumn("__dm_ident", ident), ["__dm_ident"], LINEAGE_COLS
+        ).drop("__dm_ident")
+    return lww_latest(changes, key, LINEAGE_COLS)
+
+
 class IcebergTable:
     """MERGE INTO an Iceberg table with the engine's LWW semantics."""
 
@@ -169,9 +190,9 @@ class IcebergTable:
         )
 
     def merge_into(self, changes: DataFrame, batch_id: int | None = None) -> None:
-        src = lww_latest(changes, self.key, LINEAGE_COLS)
+        payload = [c for c in changes.columns if c not in ("op", *LINEAGE_COLS)]
+        src = lww_source(changes, self.key, self.unique_keys)
         src.createOrReplaceTempView("_dm_src")
-        payload = [c for c in src.columns if c not in ("op", *LINEAGE_COLS)]
         self.spark.sql(
             merge_sql(self.identifier, self.key, payload, unique_keys=self.unique_keys)
         )

@@ -316,7 +316,15 @@ class LakeTable:
                     f"concurrent commit detected: v{meta.version} manifest "
                     f"already committed (HEAD=v{head}); reload and retry"
                 ) from None
-            age = time.time() - os.path.getmtime(mp)
+            try:
+                age = time.time() - os.path.getmtime(mp)
+            except OSError:
+                # the orphan vanished under us: another writer is
+                # mid-reclaim of this same version — we lost
+                raise RuntimeError(
+                    f"concurrent commit detected: v{meta.version} orphan "
+                    "reclaimed by another writer; reload and retry"
+                ) from None
             if age < _ORPHAN_MANIFEST_GRACE_SEC:
                 raise RuntimeError(
                     f"manifest v{meta.version}.json exists above HEAD=v{head} "
@@ -324,7 +332,16 @@ class LakeTable:
                     "retry after the grace window (orphans are reclaimed "
                     f"automatically after {_ORPHAN_MANIFEST_GRACE_SEC}s)"
                 ) from None
-            os.remove(mp)
+            # claim the reclaim by ATOMIC RENAME: exactly one concurrent
+            # reclaimer wins (a remove + re-create window would let the
+            # loser delete the winner's fresh manifest and both "commit")
+            try:
+                os.rename(mp, f"{mp}.orphan-{uuid.uuid4().hex[:8]}")
+            except OSError:
+                raise RuntimeError(
+                    f"concurrent commit detected: v{meta.version} orphan "
+                    "reclaimed by another writer; reload and retry"
+                ) from None
             with open(mp, "x") as f:
                 json.dump(payload, f, indent=1)
         tmp = os.path.join(self.meta_dir, f".HEAD.{uuid.uuid4().hex}")
@@ -1284,7 +1301,8 @@ class LakeTable:
         head = self._head_version()
         for fn in os.listdir(self.meta_dir):
             m = re.fullmatch(r"v(\d+)\.json", fn)
-            if m and int(m.group(1)) > head:
+            reclaim_trash = ".orphan-" in fn  # renamed-away claims
+            if (m and int(m.group(1)) > head) or reclaim_trash:
                 p = os.path.join(self.meta_dir, fn)
                 if time.time() - os.path.getmtime(p) >= _ORPHAN_MANIFEST_GRACE_SEC:
                     os.remove(p)

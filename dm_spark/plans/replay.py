@@ -232,6 +232,26 @@ class ReplayRunner:
                 applied += self._apply_resolved(ev.target_table, act)
             return applied
 
+        if ev.action == "add_unique_key":
+            # advisory on plain-PK tables (no physical index on a lake
+            # table); REFUSED on declared-ladder tables — identity
+            # strings are hashed into bucket ids at write time, so
+            # extending the ladder mid-stream would re-identify (and
+            # re-bucket) existing rows and split their update chains
+            if self._ddl_filtered(ev.source_table, ev.to_action()):
+                return []
+            if not self.error_ops.resolve(ev.to_action()):
+                return []
+            lake = self._lake_for(ev.source_table)
+            if lake is not None and lake.exists and lake._load_meta().unique_keys:  # noqa: SLF001
+                raise ValueError(
+                    f"ADD UNIQUE on {ev.source_table}: the declared identity "
+                    "ladder (unique_keys) is immutable after create — "
+                    "recreate the table with the new ladder, or skip this "
+                    "DDL with an error operator if the index is advisory"
+                )
+            return []
+
         kind, _real = classify(ev.source_table)
         action = ev.to_action()
         if self._ddl_filtered(ev.source_table, action):
@@ -371,7 +391,10 @@ class ReplayRunner:
             if not re.match(pattern_to_regex(r.pattern), source_table):
                 continue
             exprs = [r.insert_expr, r.update_old_expr, r.update_new_expr, r.delete_expr]
-            hit = [e for e in exprs if e and pat.search(e)]
+            # match against column REFERENCES only: a data value inside
+            # a quoted literal coinciding with the column name must not
+            # halt replication
+            hit = [e for e in exprs if e and pat.search(re.sub(r"'[^']*'", "''", e))]
             if hit:
                 raise ValueError(
                     f"expression filter rule (pattern={r.pattern!r}) references "
@@ -426,10 +449,11 @@ class ReplayRunner:
         announce -> lake catalog -> rename map -> registry)."""
         applied = []
         lake = self._lake_for(source_table)
-        if act["action"] == "rename_column":
-            # BEFORE any state mutates: a refused rename must leave the
-            # lake catalog, registry and rename_map all untouched so the
-            # fixed-config resume applies it cleanly
+        if act["action"] in ("rename_column", "drop_column"):
+            # BEFORE any state mutates: a refused rename/drop must leave
+            # the lake catalog, registry and rename_map all untouched so
+            # the fixed-config resume applies it cleanly (drop has the
+            # same silent-NULL failure mode as rename)
             self._check_expr_filters_after_rename(source_table, act["column"])
         ready = True
         if self.barrier is not None:

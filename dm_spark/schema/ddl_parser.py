@@ -113,6 +113,20 @@ def _split_clauses(body: str) -> list[str]:
     return [c for c in out if c]
 
 
+def _key_names(arglist: str) -> list[str]:
+    """Key-part list -> plain column names; raises on anything that
+    isn't a plain identifier after stripping backticks, prefix lengths
+    (`txt(16)`), and ASC/DESC — a corrupt name must never leak into a
+    key/ladder."""
+    out = []
+    for a in arglist.split(","):
+        n = re.sub(r"(?i)[`\s]|\(\d+\)|\b(asc|desc)\b", "", a)
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n):
+            raise UnsupportedDdl(f"unsupported key part: {a.strip()}")
+        out.append(n)
+    return out
+
+
 def _parse_create_body(body: str) -> tuple[list, list, list]:
     """CREATE TABLE body -> (columns, primary key, unique keys).
     Secondary KEY/INDEX entries are ignored (no physical index on a
@@ -122,19 +136,18 @@ def _parse_create_body(body: str) -> tuple[list, list, list]:
     pk: list[str] = []
     uks: list[list[str]] = []
 
-    def names(arglist: str) -> list[str]:
-        # strip backticks, lengths `name(10)`, and ASC/DESC ordering
-        return [
-            re.sub(r"(?i)[`\s]|\(\d+\)|\b(asc|desc)\b", "", a)
-            for a in arglist.split(",")
-        ]
+    names = _key_names
 
     for clause in _split_clauses(body):
         c = clause.strip()
-        if cm := re.match(r"(?i)^PRIMARY KEY ?\(([^)]*)\)", c):
+        # greedy `\((.*)\)$` captures through NESTED parens — prefix
+        # lengths like PRIMARY KEY (txt(16)) are a standard MySQL shape
+        # for TEXT/BLOB keys; a `[^)]*` capture would stop at the inner
+        # ')' and silently emit the corrupt column name 'txt(16'
+        if cm := re.match(r"(?i)^PRIMARY KEY ?\((.*)\)$", c):
             pk = names(cm.group(1))
         elif cm := re.match(
-            rf"(?i)^(?:CONSTRAINT {_IDENT} )?UNIQUE(?: KEY| INDEX)? ?(?:{_IDENT} ?)?\(([^)]*)\)",
+            rf"(?i)^(?:CONSTRAINT {_IDENT} )?UNIQUE(?: KEY| INDEX)? ?(?:{_IDENT} ?)?\((.*)\)$",
             c,
         ):
             uks.append(names(cm.group(3)))
@@ -173,8 +186,7 @@ _GENERATED_RE = re.compile(r"(?i)\bGENERATED ALWAYS AS\b|\bAS \(.*\) ?(?:VIRTUAL
 # storage/charset table options
 _NOOP_ALTER_RE = re.compile(
     r"(?i)^("
-    r"ADD (?:UNIQUE |FULLTEXT |SPATIAL )?(?:INDEX|KEY)\b"
-    r"|ADD UNIQUE\b"  # bare `ADD UNIQUE (cols)`
+    r"ADD (?:FULLTEXT |SPATIAL )?(?:INDEX|KEY)\b"  # UNIQUE handled as add_unique_key
     r"|DROP (?:INDEX|KEY)\b"
     r"|RENAME (?:INDEX|KEY) .+ TO .+"
     r"|ALTER INDEX\b"
@@ -224,8 +236,17 @@ def parse_ddl(
     # TABLE; DROP DATABASE below is the exception since it drops data)
     if re.match(r"(?i)^(CREATE|ALTER) (DATABASE|SCHEMA)\b", s):
         return []
-    # standalone index DDL: same no-op as the ALTER-clause forms
-    if re.match(r"(?i)^CREATE (?:UNIQUE |FULLTEXT |SPATIAL )?INDEX .+ ON ", s):
+    # standalone index DDL: UNIQUE is identity-relevant (see the ALTER
+    # add_unique_key branch); plain/fulltext/spatial index is a no-op
+    m = re.match(rf"(?i)^CREATE UNIQUE INDEX {_IDENT} ON {_TABLE} ?\((.*)\)$", s)
+    if m:
+        return [
+            DdlEvent(
+                "add_unique_key", _table_name(m.group(2), m.group(3)),
+                file_seq, pos, unique_keys=[_key_names(m.group(4))],
+            )
+        ]
+    if re.match(r"(?i)^CREATE (?:FULLTEXT |SPATIAL )?INDEX .+ ON ", s):
         return []
     if re.match(r"(?i)^DROP INDEX .+ ON ", s):
         return []
@@ -310,6 +331,18 @@ def parse_ddl(
             # identity / partition / constraint changes move or delete
             # data — never a silent no-op; the operator decides
             raise UnsupportedDdl(clause)
+        if um := re.match(
+            rf"(?i)^ADD (?:CONSTRAINT {_IDENT} )?UNIQUE(?: KEY| INDEX)? ?(?:{_IDENT} ?)?\((.*)\)$",
+            c,
+        ):
+            # a new unique key is IDENTITY-relevant on tables using the
+            # declared-UK merge ladder (a row's identity string is
+            # hashed into its bucket — extending the ladder mid-stream
+            # would re-identify existing rows), so it becomes an
+            # explicit event: the runner refuses it loudly on ladder
+            # tables and no-ops it on plain-PK tables (advisory index)
+            emit("add_unique_key", unique_keys=[_key_names(um.group(3))])
+            continue
         if _NOOP_ALTER_RE.match(c):
             continue  # index/charset/engine surface: no lake analog
         if _GENERATED_RE.search(c):

@@ -114,7 +114,21 @@ def decode_wire(wire: DataFrame) -> DataFrame:
 
     def image(side: str):
         fields = [F.col(f"{side}_{n}").alias(n) for n in img_fields]
-        ts = F.to_timestamp(F.col(f"{side}_ts"), _WIRE_TS_FMT).alias("ts")
+        raw = F.col(f"{side}_ts")
+        # strict wire format first, then Spark's lenient ISO parser
+        # (covers second-precision / 'Z' / space-separated producers the
+        # old per-row pd.Timestamp accepted); a present-but-unparseable
+        # ts RAISES instead of silently becoming NULL — image ts is the
+        # first LWW ordering component, a silent NULL would corrupt
+        # conflict resolution with no signal
+        parsed = F.coalesce(
+            F.try_to_timestamp(raw, F.lit(_WIRE_TS_FMT)),
+            F.try_to_timestamp(raw),
+            F.raise_error(
+                F.concat(F.lit("unparseable wire image timestamp: "), raw)
+            ).cast("timestamp"),
+        )
+        ts = F.when(raw.isNotNull(), parsed).alias("ts")
         return F.when(~F.col(f"{side}_null"), F.struct(*fields, ts))
 
     return flat.select(

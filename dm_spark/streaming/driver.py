@@ -137,6 +137,7 @@ class CdcStreamDriver:
 
     def _apply(self, batch_df: DataFrame, batch_id: int) -> None:
         t_start = time.time()
+        self._apply_staged_patch()  # batch boundary: swap filters here
         # persist ONLY when the batch is read more than once (runner
         # mode scans it per DDL range; multi-target scans it per lake;
         # a pruning CoW merge makes a bucket-discovery pass). The
@@ -226,6 +227,31 @@ class CdcStreamDriver:
     # alter merge semantics and need a restart — rejected loudly.
     _PATCHABLE = ("allow_tables", "deny_tables", "event_filters",
                   "expr_filters", "ddl_filters")
+
+    def _stage_config_patch(self, ctl: dict) -> None:
+        """Poll-thread side: VALIDATE and stage the patch; the actual
+        pipeline swap happens at the top of the next `_apply` call (a
+        true batch boundary). Swapping from the poll thread would let a
+        patch land mid-batch — runner mode consults the pipeline config
+        repeatedly inside one replay, so half a micro-batch would
+        filter under old rules and half under new."""
+        patch = ctl.get("config_patch")
+        if not patch or patch == getattr(self, "_applied_patch", None):
+            return
+        bad = set(patch) - set(self._PATCHABLE)
+        if bad:
+            raise ValueError(
+                f"config_patch keys {sorted(bad)} are not runtime-swappable "
+                f"(allowed: {list(self._PATCHABLE)}); routing/key changes "
+                "need a task restart"
+            )
+        self._staged_patch = patch
+
+    def _apply_staged_patch(self) -> None:
+        patch = getattr(self, "_staged_patch", None)
+        if patch is not None:
+            self._staged_patch = None
+            self._apply_config_patch({"config_patch": patch})
 
     def _apply_config_patch(self, ctl: dict) -> None:
         import copy
@@ -374,7 +400,7 @@ class CdcStreamDriver:
                         break
                     if ctl.get("pause"):
                         break  # stop the query; outer loop idles until cleared
-                    self._apply_config_patch(ctl)
+                    self._stage_config_patch(ctl)
                     time.sleep(poll_sec)
                 else:
                     done = True  # query died or overall timeout

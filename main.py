@@ -61,11 +61,21 @@ def ctl(argv: list[str]) -> int:
     if cmd == "pause":
         body["pause"] = True
     elif cmd == "resume":
+        # resume clears BOTH pause and a previous stop: a stale
+        # stop:true would otherwise make every task relaunch exit
+        # immediately with zero batches (sticky stop)
         body.pop("pause", None)
+        body.pop("stop", None)
     elif cmd == "stop":
         body["stop"] = True
     elif cmd == "patch":
-        body["config_patch"] = json.loads(argv[2])
+        if len(argv) < 3:
+            print(ctl.__doc__)
+            return 2
+        try:
+            body["config_patch"] = json.loads(argv[2])
+        except json.JSONDecodeError as e:
+            raise SystemExit(f"ctl patch: invalid JSON ({e}): {argv[2]!r}") from e
     else:
         raise SystemExit(f"unknown ctl command {cmd}")
     os.makedirs(cp_dir, exist_ok=True)

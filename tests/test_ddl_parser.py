@@ -164,7 +164,8 @@ def test_parse_hardened_surface():
     integration fixtures use constantly."""
     # index DDL is an explicit no-op (no physical index on a lake table)
     assert parse_ddl("alter table t add index age2(age2)", 0, 1) == []
-    assert parse_ddl("alter table t drop index uk, add unique key uk(a)", 0, 1) == []
+    evs = parse_ddl("alter table t drop index uk, add unique key uk(a)", 0, 1)
+    assert [(e.action, e.unique_keys) for e in evs] == [("add_unique_key", [["a"]])]
     assert parse_ddl("alter table t add key multi_col_idx(uid, id_gen)", 0, 1) == []
     # table options are no-ops too
     assert parse_ddl(
@@ -276,3 +277,32 @@ def test_reference_fixture_corpus_no_silent_misparse():
     assert not errors, errors[:10]
     # breadth floor: the grammar parses the bulk of the corpus
     assert ok / (ok + unsupported) >= 0.6, (ok, unsupported)
+
+
+def test_prefix_length_key_parts_parse_clean():
+    """PRIMARY KEY (txt(16)) — the standard MySQL shape for TEXT/BLOB
+    keys. A non-greedy capture stopped at the inner ')' and silently
+    produced the corrupt column name 'txt(16' (review r4)."""
+    (e,) = parse_ddl(
+        "CREATE TABLE t (txt TEXT, uid INT, PRIMARY KEY (txt(16)), "
+        "UNIQUE KEY uq (uid, txt(8)))", 0, 1
+    )
+    assert e.key == ["txt"] and e.unique_keys == [["uid", "txt"]]
+    # an expression key part cannot silently become a column name
+    with pytest.raises(UnsupportedDdl, match="key part"):
+        parse_ddl("CREATE TABLE t (a INT, PRIMARY KEY ((a+1)))", 0, 1)
+
+
+def test_add_unique_key_is_an_explicit_event():
+    """ADD UNIQUE is identity-relevant (the declared merge ladder), so
+    it parses to an add_unique_key event instead of a silent no-op;
+    plain index DDL stays a no-op."""
+    (e,) = parse_ddl("alter table db.t add unique key uq(uid, ts)", 0, 1)
+    assert (e.action, e.unique_keys) == ("add_unique_key", [["uid", "ts"]])
+    (e,) = parse_ddl("alter table db.t add unique (id_gen)", 0, 1)
+    assert (e.action, e.unique_keys) == ("add_unique_key", [["id_gen"]])
+    (e,) = parse_ddl("CREATE UNIQUE INDEX uq ON db.t (uid)", 0, 1)
+    assert (e.action, e.source_table, e.unique_keys) == (
+        "add_unique_key", "db.t", [["uid"]],
+    )
+    assert parse_ddl("alter table db.t add index i(uid)", 0, 1) == []

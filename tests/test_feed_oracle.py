@@ -75,3 +75,29 @@ def test_synthetic_feed_shape_and_determinism(spark):
         f1.groupBy("after.conv_id").count().orderBy("count", ascending=False).first()["count"]
     )
     assert top > 5000 / 100 * 3  # >3x uniform share
+
+
+def test_decode_wire_ts_lenient_but_never_silent(spark):
+    """Review fix: image timestamps from OTHER producers (second
+    precision 'Z', space-separated) must parse via the lenient
+    fallback, and a present-but-unparseable ts must RAISE — image ts is
+    the first LWW ordering component; a silent NULL would corrupt
+    conflict resolution with no signal."""
+    import pytest
+
+    from dm_spark.sources.decode import WIRE_DDL, decode_wire
+
+    def wire(payload):
+        return spark.createDataFrame(
+            [("I", payload, "db.t", 0, 1, 1700000000000000, 0)], WIRE_DDL
+        )
+
+    for ts in ["2024-01-01T00:00:00Z", "2024-01-01 00:00:05"]:
+        row = decode_wire(wire('{"after": {"conv_id": "a", "ts": "%s"}}' % ts)).collect()[0]
+        assert row.after.ts is not None and row.after.ts.year == 2024
+    # absent ts stays NULL quietly
+    row = decode_wire(wire('{"after": {"conv_id": "a"}}')).collect()[0]
+    assert row.after.ts is None
+    # garbage raises loudly
+    with pytest.raises(Exception, match="unparseable wire image timestamp"):
+        decode_wire(wire('{"after": {"conv_id": "a", "ts": "not-a-time"}}')).collect()

@@ -174,3 +174,30 @@ def test_ladder_identity_sql_matches_native_expr(spark):
     sql_expr = ladder_identity_sql(pk, uks, payload, "t")
     via_sql = df.alias("t").selectExpr(f"{sql_expr} AS ident").collect()
     assert [r.ident for r in native] == [r.ident for r in via_sql]
+
+
+def test_lww_source_keys_on_ladder_identity(spark):
+    """Review fix: the MERGE source dedup must key on the LADDER
+    identity when unique_keys are declared — a window over a nullable
+    raw PK treats NULLs as equal and would collapse distinct-UK rows."""
+    import datetime as _dt
+
+    from dm_spark.lake.iceberg import lww_source
+
+    ddl = ("pk int, uid string, v int, op string, "
+           "_cdc_ts timestamp, _cdc_file_seq long, _cdc_pos long")
+    T = lambda i: _dt.datetime(2024, 1, 1, 0, 0, i)  # noqa: E731
+    changes = spark.createDataFrame(
+        [
+            (None, "a", 1, "I", T(1), 0, 1),
+            (None, "b", 1, "I", T(2), 0, 2),  # distinct UK, same NULL pk
+            (None, "a", 2, "U", T(3), 0, 3),  # newer event for uid=a
+        ],
+        ddl,
+    )
+    out = lww_source(changes, ["pk"], unique_keys=[["uid"]])
+    got = {(r.uid, r.v) for r in out.collect()}
+    assert got == {("a", 2), ("b", 1)}  # b survived; a deduped to newest
+    # raw-PK dedup (the old behavior) demonstrates the hazard
+    bad = lww_source(changes, ["pk"], unique_keys=None)
+    assert bad.count() == 1

@@ -808,3 +808,27 @@ def test_barrier_requires_spill(spark, tmp_path):
             pipeline=ApplyPipeline(cfg), lake=lake,
             barrier=ShardDdlBarrier(groups={"transcripts": ["shard_0.t"]}),
         )
+
+
+def test_add_unique_key_refused_on_ladder_tables_noop_on_plain(spark, tmp_path):
+    """ADD UNIQUE (parsed as add_unique_key): advisory no-op on a
+    plain-PK table (no physical index on a lake), REFUSED loudly on a
+    declared-ladder table — identity strings are hashed into bucket
+    ids, so extending the ladder mid-stream would re-identify rows."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    plain = LakeTable.create(spark, str(tmp_path / "lake_pl"), SCHEMA, KEY, n_buckets=4)
+    r1 = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=plain)
+    ev_uk = DdlEvent("add_unique_key", "shard_0.t", 0, 3,
+                     unique_keys=[["role", "text"]])
+    assert r1.handle_ddl(ev_uk) == []  # advisory no-op
+
+    ladder = LakeTable.create(
+        spark, str(tmp_path / "lake_ld"), SCHEMA, KEY, n_buckets=4,
+        unique_keys=[["conv_id", "ts"]],
+    )
+    r2 = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=ladder)
+    with pytest.raises(ValueError, match="immutable"):
+        r2.handle_ddl(ev_uk)
+    # the error-op escape hatch still works
+    r2.error_ops.set_skip(0, 3)
+    assert r2.handle_ddl(ev_uk) == []

@@ -67,3 +67,9 @@ def test_ctl_commands_compose(tmp_path):
     assert body == {"config_patch": {"deny_tables": ["db.*"]}}
     assert mainmod.ctl([cp, "stop"]) == 0
     assert json.load(open(f"{cp}/control.json"))["stop"] is True
+    # resume clears a previous stop too (a sticky stop would make every
+    # task relaunch exit immediately with zero batches)
+    assert mainmod.ctl([cp, "resume"]) == 0
+    assert "stop" not in json.load(open(f"{cp}/control.json"))
+    # malformed patch invocations get usage / a clear error, not a traceback
+    assert mainmod.ctl([cp, "patch"]) == 2
