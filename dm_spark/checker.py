@@ -25,8 +25,12 @@ def precheck_feed(feed: DataFrame, key_fields: list[str]) -> dict:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("file_seq", "pos").alias("n_loc"),
         # 'Q' = in-band DDL query event (feed.query_events) — a valid
-        # op whose images are intentionally not keyed
-        F.sum((~F.col("op").isin("I", "U", "D", "Q")).cast("int")).alias("bad_op"),
+        # op whose images are intentionally not keyed. NULL op must
+        # count as bad: `~isin(...)` is NULL for NULL (sum would skip
+        # it) — the when/otherwise form counts it
+        F.sum(
+            F.when(F.col("op").isin("I", "U", "D", "Q"), 0).otherwise(1)
+        ).alias("bad_op"),
         F.sum((~key_ok & F.col("op").isin("I", "U", "D")).cast("int")).alias("null_key"),
     ).collect()[0]
     return {

@@ -77,14 +77,9 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Word k-gram shingle array (distinct), built with sequence +
-    transform — pure Catalyst, no UDF."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
+# NOTE: a word_shingles helper built as slice-inside-transform used to
+# live here — deleted: Catalyst does no common-subexpression
+# elimination inside lambda bodies, so that shape re-evaluates the
+# derived token array per element (O(tokens^2), the measured ~6x
+# blowup documented in CLAUDE.md). Shingling is done with zip_with
+# over shifted slices in functions/dedup.hashed_shingles.

@@ -1375,6 +1375,24 @@ class LakeTable:
             cp.setdefault("epoch", 0)  # pre-epoch manifests
         return cp
 
+    def replication_lag_sec(self, now=None) -> float | None:
+        """secondsBehindMaster analog (syncer/syncer.go:802-845): now
+        minus the max applied event timestamp recorded in the committed
+        checkpoint (a local manifest read). THE single implementation —
+        task.replication_lag_sec and CdcStreamDriver's per-batch
+        lag_sec gauge both delegate here, so the two surfaces can never
+        drift (UTC-naive arithmetic, clamped at 0, 3 decimals)."""
+        import datetime as _dt
+
+        cp = self.global_checkpoint()
+        ts = (cp or {}).get("max_applied_ts")
+        if not ts:
+            return None
+        applied = _dt.datetime.fromisoformat(ts)
+        if now is None:
+            now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        return round(max(0.0, (now - applied).total_seconds()), 3)
+
     def table_checkpoints(self) -> dict:
         """source_table -> [file_seq, pos] applied high water (the
         reference's per-table checkpoint, syncer/checkpoint.go)."""

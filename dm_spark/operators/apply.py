@@ -130,14 +130,32 @@ def flatten_changes(
 
 
 class ApplyPipeline:
-    """Compiles a TaskConfig into the envelope->batch transform."""
+    """Compiles a TaskConfig into the envelope->batch transform.
 
-    def __init__(self, config: TaskConfig):
+    `location_floor=(file_seq, pos)`: drop events at-or-before this
+    location before any other stage — the snapshot-watermark gate of
+    mode `all` (events already included in the snapshot must not
+    re-apply). A FIELD, not a transform monkeypatch: pipeline swaps
+    (config_patch) copy it to the new instance, so the gate survives
+    runtime reconfiguration."""
+
+    def __init__(
+        self, config: TaskConfig, location_floor: tuple[int, int] | None = None
+    ):
         self.config = config
+        self.location_floor = location_floor
 
     def transform(self, feed: DataFrame) -> DataFrame:
         c = self.config
         df = feed
+        if self.location_floor is not None:
+            fs, pos = self.location_floor
+            loc = F.struct(F.col("file_seq"), F.col("pos"))
+            lo = F.struct(
+                F.lit(fs).cast("bigint").alias("file_seq"),
+                F.lit(pos).cast("bigint").alias("pos"),
+            )
+            df = df.filter(loc > lo)
         if c.online_ddl:
             from dm_spark.schema.online_ddl import filter_online_ddl_tables
 

@@ -111,6 +111,8 @@ def _replay_through_lake(
     # an approxQuantile pass; batch sizes may skew but replay
     # semantics only need contiguous location ranges
     mm = batch.agg(F.min("__ord"), F.max("__ord")).collect()[0]
+    if mm[0] is None:  # fully-filtered feed: an empty lake is the answer
+        return lake
     lo_all, hi_all = int(mm[0]), int(mm[1])
     width = max(1, (hi_all - lo_all + n_batches) // n_batches)
     cuts = [

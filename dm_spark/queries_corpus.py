@@ -211,6 +211,13 @@ def q_emb_cosine_topk(spark, sf_dir):
 
 
 def q_emb_near_dup(spark, sf_dir):
+    # Known boundary risk (reviewed, accepted): the 0.4 cosine threshold
+    # is evaluated independently by Spark (F.aggregate dot/norm) and
+    # DuckDB (list_cosine_similarity); a pair within a few ulps of the
+    # threshold could split between engines on some dataset. The gate
+    # would fail LOUDLY (hash mismatch), never silently — and the
+    # generated testdata has no boundary pair (stable across rounds).
+    # Every other query removes this class with exact-integer outputs.
     """Embedding-cosine near-duplicate pairs (cos >= 0.4, id_a < id_b) —
     exact all-pairs baseline, a small-sf correctness slot like
     emb_cosine_topk; the scale path is emb_near_dup_lsh."""

@@ -17,7 +17,6 @@ Streaming query:
 
 from __future__ import annotations
 
-import datetime as _dt
 import hashlib
 import json
 import os
@@ -219,7 +218,10 @@ class CdcStreamDriver:
             return {}
         except json.JSONDecodeError as e:
             # a malformed control file must not be treated as "no
-            # control" — the operator thinks the stream is paused
+            # control" — the operator thinks the stream is paused.
+            # Writers must write ATOMICALLY (tmp + os.replace, as
+            # `main.py ctl` does): this poller runs sub-second and WILL
+            # observe a partial plain-write
             raise RuntimeError(f"malformed control file {self.control_path()}: {e}") from e
 
     # the runtime-swappable subset: the filter family (the reference's
@@ -285,8 +287,9 @@ class CdcStreamDriver:
         if "ddl_filters" in patch:
             cfg.ddl_filters = [DdlFilterRule(**r) for r in patch["ddl_filters"]]
         # swapping the reference is atomic; the next micro-batch reads
-        # the new pipeline (foreachBatch reads self.pipeline once)
-        self.pipeline = ApplyPipeline(cfg)
+        # the new pipeline. The location floor (snapshot-watermark gate)
+        # carries over — it is task state, not filter config
+        self.pipeline = ApplyPipeline(cfg, location_floor=self.pipeline.location_floor)
         if self.runner is not None:
             self.runner.pipeline = self.pipeline
         self._applied_patch = patch
@@ -304,16 +307,7 @@ class CdcStreamDriver:
 
     @staticmethod
     def _lag_sec(lake: LakeTable) -> float | None:
-        """secondsBehindMaster analog (syncer/syncer.go:802-845):
-        wall-clock now minus the max applied event timestamp, read from
-        the lake's committed checkpoint (a local manifest read)."""
-        cp = lake.global_checkpoint()
-        ts = cp.get("max_applied_ts") if cp else None
-        if not ts:
-            return None
-        applied = _dt.datetime.fromisoformat(ts)
-        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-        return round((now - applied).total_seconds(), 3)
+        return lake.replication_lag_sec()
 
     def run_available_now(self, timeout_sec: int = 600) -> list[dict]:
         """Drain everything currently in the relay dir, then stop

@@ -47,8 +47,15 @@ def _fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
 
 
 def conversation_state_stream(envelope_stream: DataFrame) -> DataFrame:
-    """envelope stream -> running per-conversation rollup (stateful)."""
-    turns = envelope_stream.select(
+    """envelope stream -> running per-conversation rollup (stateful).
+
+    op='Q' in-band DDL rows are excluded (their images carry SQL text,
+    not a conversation — a relay feed written with feed.query_events
+    would otherwise grow a phantom rollup row counting DDL statements).
+    """
+    turns = envelope_stream.where(
+        ~F.col("op").eqNullSafe(F.lit("Q"))
+    ).select(
         F.coalesce(F.col("after.conv_id"), F.col("before.conv_id")).alias("conv_id"),
         F.coalesce(F.col("after.turn_idx"), F.col("before.turn_idx")).alias("turn_idx"),
         F.unix_micros(F.col("ts")).alias("ts_us"),

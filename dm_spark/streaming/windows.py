@@ -26,7 +26,9 @@ def windowed_op_counts(
     (its window already finalized and emitted); within tolerance it
     still lands in its window. Output columns: window_start_us,
     window_end_us, op, n, n_convs."""
-    ev = envelope_stream.select(
+    # op='Q' in-band DDL rows are not change events — exclude them from
+    # the op histogram (they'd otherwise surface as a phantom 'Q' group)
+    ev = envelope_stream.where(~F.col("op").eqNullSafe(F.lit("Q"))).select(
         F.col("ts"),
         F.col("op"),
         F.coalesce(F.col("after.conv_id"), F.col("before.conv_id")).alias("conv_id"),

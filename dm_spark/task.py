@@ -44,18 +44,10 @@ class Task:
             max_files_per_trigger=max_files_per_trigger,
         )
         if from_location is not None:
-            fs, pos = from_location
-            orig = pipeline.transform
-
-            def gated(feed: DataFrame) -> DataFrame:
-                loc = F.struct(F.col("file_seq"), F.col("pos"))
-                lo = F.struct(
-                    F.lit(fs).cast("bigint").alias("file_seq"),
-                    F.lit(pos).cast("bigint").alias("pos"),
-                )
-                return orig(feed.filter(loc > lo))
-
-            pipeline.transform = gated  # type: ignore[method-assign]
+            # stable field, not a transform monkeypatch: a pipeline
+            # swap (runtime config_patch) would silently drop a patched
+            # method and re-apply pre-snapshot events
+            pipeline.location_floor = from_location
         return drv.run_available_now()
 
     def run_all(self, snapshot: DataFrame, snapshot_location: tuple[int, int]) -> list[dict]:
@@ -89,14 +81,6 @@ class Task:
 
 
 def replication_lag_sec(lake: LakeTable, now=None) -> float | None:
-    """secondsBehindMaster analog (syncer/syncer.go:802-845): now minus
-    the max applied event timestamp recorded in the lake checkpoint."""
-    import datetime as _dt
-
-    cp = lake.global_checkpoint()
-    ts = (cp or {}).get("max_applied_ts")
-    if not ts:
-        return None
-    applied = _dt.datetime.fromisoformat(ts)
-    now = now or _dt.datetime.utcnow()
-    return max(0.0, (now - applied).total_seconds())
+    """secondsBehindMaster analog — delegates to the single
+    implementation on LakeTable (kept for API compatibility)."""
+    return lake.replication_lag_sec(now=now)

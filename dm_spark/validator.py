@@ -88,9 +88,19 @@ def table_diff(left: DataFrame, right: DataFrame, key: list[str]) -> dict:
         # xxhash64 is an AnalysisException)
         lh = F.lit(0).cast("bigint").alias("__lh")
         rh = F.lit(0).cast("bigint").alias("__rh")
-    l2 = left.select(*key, lh)
-    r2 = right.select(*key, rh)
-    j = l2.join(r2, key, "full_outer")
+    # NULL-SAFE key join: the UK-identity feature deliberately produces
+    # final rows with NULL key components, and a null-unsafe equi-join
+    # would report an identical null-key row as missing on BOTH sides
+    l2 = left.select(*[F.col(k).alias(f"__l_{k}") for k in key], lh)
+    r2 = right.select(*[F.col(k).alias(f"__r_{k}") for k in key], rh)
+    cond = F.lit(True)
+    for k in key:
+        cond = cond & F.col(f"__l_{k}").eqNullSafe(F.col(f"__r_{k}"))
+    j = l2.join(r2, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"__l_{k}"), F.col(f"__r_{k}")).alias(k) for k in key],
+        "__lh",
+        "__rh",
+    )
     agg = j.agg(
         F.count(F.lit(1)).alias("keys"),
         F.sum(F.col("__rh").isNull().cast("int")).alias("missing_right"),

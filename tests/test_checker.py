@@ -59,3 +59,20 @@ def test_precheck_identity_ladder(spark):
     assert r["full_row_rows"] == 1 and not r["ok"]
     ok = precheck_identity(feed.where("op = 'I'"), ["k"], [["u"]])
     assert ok["ok"] and ok["full_row_rows"] == 0
+
+
+def test_precheck_counts_null_op_as_bad(spark):
+    """Review fix: `~op.isin(...)` is NULL for a NULL op and F.sum
+    skips NULLs — a decode bug emitting op=NULL sailed through the
+    precheck gate with ok=True."""
+    from pyspark.sql import functions as F
+
+    from tests.test_replay_runner import ev
+
+    feed = ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)]).unionByName(
+        ev(spark, [("I", "b", 1, "v1", "shard_0.t", 0, 2)]).withColumn(
+            "op", F.lit(None).cast("string")
+        )
+    )
+    r = precheck_feed(feed, ["conv_id", "turn_idx"])
+    assert r["bad_op_rows"] == 1 and not r["ok"]

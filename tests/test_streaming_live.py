@@ -188,8 +188,13 @@ def test_control_file_pause_resume_stop(spark, sf_dir, tmp_path):
     os.makedirs(drv.checkpoint_dir, exist_ok=True)
 
     def write_ctl(d):
-        with open(drv.control_path(), "w") as f:
+        # ATOMIC write (like main.py ctl): the driver polls every 0.1s
+        # and a partial read of a plain open(w) write is a loud
+        # malformed-control error that kills the run loop
+        tmp = drv.control_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(d, f)
+        os.replace(tmp, drv.control_path())
 
     write_ctl({"pause": True})  # born paused
     th = threading.Thread(

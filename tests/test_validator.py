@@ -80,3 +80,22 @@ def test_diff_on_replayed_lake(spark, sf_dir, tmp_path):
     ).drop("op", "file_seq", "pos")
     d = table_diff(lake.read(), expected, ["conv_id", "turn_idx"])
     assert d["equal"], d
+
+
+def test_table_diff_null_key_components_match(spark):
+    """Review fix: identical tables whose key columns contain NULLs
+    (the UK-identity feature produces them by design) must diff as
+    EQUAL — the null-unsafe equi-join reported each null-key row as
+    missing on BOTH sides."""
+    from dm_spark.validator import table_diff
+
+    ddl = "conv_id string, turn_idx int, v string"
+    rows = [("a", 1, "x"), (None, 2, "y"), (None, None, "z")]
+    l = spark.createDataFrame(rows, ddl)
+    r = spark.createDataFrame(rows, ddl)
+    d = table_diff(l, r, key=["conv_id", "turn_idx"])
+    assert d["equal"] and d["missing_left"] == 0 and d["missing_right"] == 0
+    # and a genuine difference on a null-key row is still caught
+    r2 = spark.createDataFrame([("a", 1, "x"), (None, 2, "y"), (None, None, "DIFF")], ddl)
+    d2 = table_diff(l, r2, key=["conv_id", "turn_idx"])
+    assert not d2["equal"] and d2["mismatched"] == 1
