@@ -257,3 +257,24 @@ def test_config_patch_validation(spark, tmp_path):
         drv._apply_config_patch({"config_patch": {"routes": []}})
     with pytest.raises(ValueError, match="not runtime-swappable"):
         drv._apply_config_patch({"config_patch": {"key": ["conv_id"]}})
+
+
+def test_config_patch_preserves_location_floor(spark, tmp_path):
+    """The snapshot-watermark gate (mode 'all') is task state, not
+    filter config: a runtime patch must carry it to the swapped
+    pipeline — losing it would re-apply pre-snapshot events."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lake_lf"),
+        [("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+         ("text", "string"), ("tool", "string"), ("ts", "timestamp")],
+        ["conv_id", "turn_idx"], n_buckets=4,
+    )
+    drv = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), str(tmp_path / "cp"),
+        ApplyPipeline(cfg, location_floor=(3, 7)), {"transcripts": lake},
+    )
+    drv._stage_config_patch({"config_patch": {"deny_tables": ["x.*"]}})
+    drv._apply_staged_patch()
+    assert drv.pipeline.config.deny_tables == ["x.*"]
+    assert drv.pipeline.location_floor == (3, 7)
