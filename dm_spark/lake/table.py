@@ -59,6 +59,11 @@ from dm_spark.operators.identity import ladder_identity_expr
 
 LINEAGE_COLS = ["_cdc_ts", "_cdc_file_seq", "_cdc_pos"]
 HASH_SEED_COL = "__dm_bucket"
+# failpoint seam (the reference's gofail analog, used all over its
+# integration suites): tests inject a stall between the manifest write
+# and the HEAD swap to exercise the fencing re-read; None in production
+_COMMIT_STALL_HOOK = None
+
 # manifests above HEAD older than this are crashed-writer orphans,
 # reclaimable by the next commit / vacuum (ADVICE r03 #2)
 _ORPHAN_MANIFEST_GRACE_SEC = 10.0
@@ -137,6 +142,10 @@ class _Meta:
     # pruned — a consumer asking for them must fail loudly, not
     # silently skip a window (the Delta CDF out-of-retention error)
     changes_pruned_below: int = 1
+    # per-commit fencing token (ADVICE r04 #2): stamped fresh by every
+    # _commit; the pre-HEAD-swap re-read proves the manifest on disk is
+    # still THIS writer's after a stall past the orphan grace window
+    writer_token: str = ""
 
     def fields(self) -> list[dict]:
         return self.schema_history[str(self.schema_version)]
@@ -288,6 +297,11 @@ class LakeTable:
             with open(os.path.join(self.meta_dir, rel), "w") as f:
                 json.dump(data, f)
             meta.bucket_chunks[str(c)] = rel
+        # fresh fencing token per commit attempt: the manifest payload
+        # carries it so the pre-swap re-read below can prove the file is
+        # still OURS (a writer stalled past the orphan grace window may
+        # have been reclaimed by a concurrent committer)
+        meta.writer_token = uuid.uuid4().hex
         payload = {
             k: v
             for k, v in meta.__dict__.items()
@@ -344,6 +358,32 @@ class LakeTable:
                 ) from None
             with open(mp, "x") as f:
                 json.dump(payload, f, indent=1)
+        if _COMMIT_STALL_HOOK is not None:
+            _COMMIT_STALL_HOOK(self, meta)  # test-only failpoint
+        # fencing re-read IMMEDIATELY before the HEAD swap (ADVICE r04
+        # #2): a writer stalled >grace between its mode-'x' manifest
+        # write and the swap (GC pause / SIGSTOP / VM stall) can have
+        # its v{N}.json renamed away and REPLACED by a concurrent
+        # reclaimer — swapping HEAD anyway would point HEAD at the
+        # reclaimer's manifest while this writer returns success, and
+        # its batch would be silently discarded. The manifest on disk
+        # must still carry OUR token.
+        try:
+            with open(mp) as f:
+                on_disk_token = json.load(f).get("writer_token")
+        except (OSError, json.JSONDecodeError) as e:
+            raise RuntimeError(
+                f"commit fencing: manifest v{meta.version}.json unreadable "
+                f"immediately before HEAD swap ({e}); this batch did NOT "
+                "commit — reload and retry"
+            ) from e
+        if on_disk_token != meta.writer_token:
+            raise RuntimeError(
+                f"commit fencing: manifest v{meta.version}.json was "
+                "reclaimed by a concurrent writer (this writer stalled "
+                f"past the {_ORPHAN_MANIFEST_GRACE_SEC}s orphan grace "
+                "window); this batch did NOT commit — reload and retry"
+            )
         tmp = os.path.join(self.meta_dir, f".HEAD.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(meta.version))
@@ -972,6 +1012,31 @@ class LakeTable:
             "file_seq": int(loc["_cdc_file_seq"]),
             "pos": int(loc["_cdc_pos"]),
         }
+        if (
+            epoch == prev.get("epoch", 0)
+            and prev["file_seq"] >= 0
+            and cand["file_seq"] < prev["file_seq"]
+        ):
+            # file_seq regressed WITHIN an epoch: either a redelivery
+            # replay (benign — LWW absorbs it and the checkpoint simply
+            # holds) or a source re-master that restarted file numbering
+            # — in which case the reported checkpoint will FREEZE at the
+            # old high water until the operator declares the next epoch.
+            # Surface the remedy loudly instead of relying on the
+            # operator to know it (VERDICT r04 #6); auto-incrementing
+            # here would mis-order genuine redelivery, so it stays a
+            # diagnosed suggestion, not an action.
+            import logging
+
+            note = (
+                f"checkpoint frozen? batch max file_seq {cand['file_seq']} "
+                f"< stored {prev['file_seq']} in epoch {epoch} — if the "
+                "source was re-mastered (file numbering restarted), pass "
+                f"merge_into(epoch={epoch + 1}) / CdcStreamDriver("
+                f"epoch={epoch + 1}); if this is redelivery, no action"
+            )
+            logging.getLogger("dm_spark.lake").warning("%s: %s", self.path, note)
+            meta._checkpoint_note = note  # noqa: SLF001 — transient; _commit strips _-keys
         if (cand["epoch"], cand["file_seq"], cand["pos"]) > (
             prev.get("epoch", 0), prev["file_seq"], prev["pos"],
         ):
@@ -990,17 +1055,22 @@ class LakeTable:
         meta.totals["batches"] += 1
         meta.totals["rows_upserted"] += stats.n_incoming - stats.n_deletes_in
         meta.totals["rows_deleted"] += stats.n_deletes_in
-        meta.lineage.append(
-            {
-                "version": meta.version,
-                "batch_id": batch_id,
-                "n_incoming": stats.n_incoming,
-                "n_deletes_in": stats.n_deletes_in,
-                "buckets_touched": stats.n_buckets_touched,
-                "rows_written": stats.rows_written,
-                "mode": mode,
-            }
-        )
+        rec = {
+            "version": meta.version,
+            "batch_id": batch_id,
+            "n_incoming": stats.n_incoming,
+            "n_deletes_in": stats.n_deletes_in,
+            "buckets_touched": stats.n_buckets_touched,
+            "rows_written": stats.rows_written,
+            "mode": mode,
+        }
+        note = getattr(meta, "_checkpoint_note", None)
+        if note:
+            # the epoch-regression diagnosis rides the lineage log so a
+            # monitoring read surfaces the remedy, not just the freeze
+            rec["checkpoint_note"] = note
+            meta._checkpoint_note = None
+        meta.lineage.append(rec)
         meta.lineage = meta.lineage[-200:]
         self._commit(meta, dirty=dirty)
 
@@ -1131,17 +1201,20 @@ class LakeTable:
         meta.totals["batches"] += 1
         meta.totals["rows_upserted"] += stats.n_incoming - stats.n_deletes_in
         meta.totals["rows_deleted"] += stats.n_deletes_in
-        meta.lineage.append(
-            {
-                "version": meta.version,
-                "batch_id": batch_id,
-                "n_incoming": stats.n_incoming,
-                "n_deletes_in": stats.n_deletes_in,
-                "buckets_touched": len(touched),
-                "rows_written": stats.rows_written,
-                "mode": "cow",
-            }
-        )
+        rec = {
+            "version": meta.version,
+            "batch_id": batch_id,
+            "n_incoming": stats.n_incoming,
+            "n_deletes_in": stats.n_deletes_in,
+            "buckets_touched": len(touched),
+            "rows_written": stats.rows_written,
+            "mode": "cow",
+        }
+        note = getattr(meta, "_checkpoint_note", None)
+        if note:
+            rec["checkpoint_note"] = note
+            meta._checkpoint_note = None
+        meta.lineage.append(rec)
         meta.lineage = meta.lineage[-200:]
         self._commit(meta, dirty=set(touched))
         return stats

@@ -127,14 +127,19 @@ def _key_names(arglist: str) -> list[str]:
     return out
 
 
-def _parse_create_body(body: str) -> tuple[list, list, list]:
-    """CREATE TABLE body -> (columns, primary key, unique keys).
-    Secondary KEY/INDEX entries are ignored (no physical index on a
-    bucketed lake table); FOREIGN KEY constraints are unsupported
-    (reference drops them from shard-merge targets anyway)."""
+def _parse_create_body(body: str) -> tuple[list, list, list, list]:
+    """CREATE TABLE body -> (columns, primary key, unique keys,
+    generated columns). Secondary KEY/INDEX entries are ignored (no
+    physical index on a bucketed lake table); FOREIGN KEY constraints
+    are unsupported (reference drops them from shard-merge targets
+    anyway). Generated columns are returned by NAME only: they are
+    tracked-but-never-replicated (syncer/dml.go:358-395) — the caller
+    registers them for image pruning instead of declaring them as data
+    columns."""
     cols: list[tuple[str, str]] = []
     pk: list[str] = []
     uks: list[list[str]] = []
+    gens: list[str] = []
 
     names = _key_names
 
@@ -143,9 +148,13 @@ def _parse_create_body(body: str) -> tuple[list, list, list]:
         # greedy `\((.*)\)$` captures through NESTED parens — prefix
         # lengths like PRIMARY KEY (txt(16)) are a standard MySQL shape
         # for TEXT/BLOB keys; a `[^)]*` capture would stop at the inner
-        # ')' and silently emit the corrupt column name 'txt(16'
-        if cm := re.match(r"(?i)^PRIMARY KEY ?\((.*)\)$", c):
-            pk = names(cm.group(1))
+        # ')' and silently emit the corrupt column name 'txt(16'.
+        # Optional trailing CLUSTERED/NONCLUSTERED (TiDB) and an
+        # optional constraint name (MySQL ignores PK names) both parse.
+        if cm := re.match(
+            rf"(?i)^PRIMARY KEY ?(?:{_IDENT} ?)?\((.*?)\)(?: (?:NON)?CLUSTERED)?$", c
+        ):
+            pk = names(cm.group(2))
         elif cm := re.match(
             rf"(?i)^(?:CONSTRAINT {_IDENT} )?UNIQUE(?: KEY| INDEX)? ?(?:{_IDENT} ?)?\((.*)\)$",
             c,
@@ -158,10 +167,10 @@ def _parse_create_body(body: str) -> tuple[list, list, list]:
         elif cm := re.match(rf"(?i)^{_IDENT} (.+)$", c):
             name, rest = cm.group(1), cm.group(2)
             if _GENERATED_RE.search(rest):
-                raise UnsupportedDdl(
-                    f"generated column in CREATE TABLE: {clause} — list it in "
-                    "generated_columns config and declare the table explicitly"
-                )
+                # declared generated: never a data column — the value is
+                # computed upstream and must not replicate (dml.go:358)
+                gens.append(name)
+                continue
             if re.search(r"(?i)\bPRIMARY KEY\b", rest):
                 pk = [name]
             if re.search(r"(?i)\bUNIQUE\b", rest) and not re.search(
@@ -171,7 +180,7 @@ def _parse_create_body(body: str) -> tuple[list, list, list]:
             cols.append((name, map_type(rest)))
         else:
             raise UnsupportedDdl(clause)
-    return cols, pk, uks
+    return cols, pk, uks, gens
 
 
 # generated columns are tracked upstream but never replicated by value
@@ -225,7 +234,15 @@ def parse_ddl(
     # classify / registry), so a top-level import here is a cycle
     from dm_spark.plans.replay import DdlEvent
 
-    s = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)  # inline comments (gh-ost stamps them)
+    # MySQL conditional comments /*!50100 ... */ carry EXECUTABLE
+    # content (mysqldump stamps partition clauses and index options in
+    # them): keep the contents and strip only the markers, so a hidden
+    # PARTITION BY reaches the reject surface loudly instead of being
+    # deleted with the comment and silently changing the statement's
+    # semantics (ADVICE r04 #4). Plain comments (gh-ost stamps them)
+    # still strip whole.
+    s = re.sub(r"/\*!\d*\s*(.*?)\s*\*/", r" \1 ", sql, flags=re.S)
+    s = re.sub(r"/\*.*?\*/", " ", s, flags=re.S)
     s = re.sub(r"(?m)--\s.*$", " ", s)
     if ansi_quotes:
         s = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"\1", s)
@@ -275,14 +292,40 @@ def parse_ddl(
 
     # table lifecycle (shard-mode pre-filter surface,
     # syncer/syncer.go:2299-2337): CREATE / DROP / TRUNCATE TABLE
-    m = re.match(rf"(?i)^CREATE TABLE (?:IF NOT EXISTS )?{_TABLE} ?\((.*)\)[^)]*$", s)
+    m = re.match(rf"(?i)^CREATE TABLE (?:IF NOT EXISTS )?{_TABLE} ?\(", s)
     if m:
         table = _table_name(m.group(1), m.group(2))
-        cols, pk, uks = _parse_create_body(m.group(3))
+        # balanced-paren body extraction: a `\((.*)\)[^)]*$` regex swept
+        # a trailing `PARTITION BY RANGE (...) (PARTITION p0 ...)` INTO
+        # the column body and silently misparsed it (the hazard the
+        # conditional-comment unveil above now exposes)
+        start = m.end() - 1
+        depth = 0
+        end = -1
+        for i in range(start, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise UnsupportedDdl(sql)
+        tail = s[end + 1:].strip()
+        if tail and (
+            "(" in tail
+            or re.search(r"(?i)\b(PARTITION|SELECT|LIKE|UNION|AS)\b", tail)
+        ):
+            # data-shaping tails (partition spec, CREATE..AS SELECT)
+            # must never be silently dropped as "table options"
+            raise UnsupportedDdl(sql)
+        cols, pk, uks, gens = _parse_create_body(s[start + 1:end])
         return [
             DdlEvent(
                 "create_table", table, file_seq, pos,
                 columns=cols, key=pk, unique_keys=uks,
+                generated=gens or None,
             )
         ]
     m = re.match(r"(?i)^DROP TABLE (?:IF EXISTS )?(.+)$", s)
@@ -327,10 +370,6 @@ def parse_ddl(
     _TAIL = r"(?: (?:NULL|NOT NULL|DEFAULT .*|COMMENT .*|FIRST|AFTER .*))?"
     for clause in _split_clauses(m.group(3)):
         c = clause.strip()
-        if _REJECT_ALTER_RE.match(c):
-            # identity / partition / constraint changes move or delete
-            # data — never a silent no-op; the operator decides
-            raise UnsupportedDdl(clause)
         if um := re.match(
             rf"(?i)^ADD (?:CONSTRAINT {_IDENT} )?UNIQUE(?: KEY| INDEX)? ?(?:{_IDENT} ?)?\((.*)\)$",
             c,
@@ -340,12 +379,33 @@ def parse_ddl(
             # hashed into its bucket — extending the ladder mid-stream
             # would re-identify existing rows), so it becomes an
             # explicit event: the runner refuses it loudly on ladder
-            # tables and no-ops it on plain-PK tables (advisory index)
+            # tables and no-ops it on plain-PK tables (advisory index).
+            # Matched BEFORE _REJECT_ALTER_RE: its 'ADD CONSTRAINT'
+            # alternative otherwise swallows the common
+            # 'ADD CONSTRAINT name UNIQUE (cols)' form and halts
+            # replication on a valid statement (ADVICE r04 #1)
             emit("add_unique_key", unique_keys=[_key_names(um.group(3))])
             continue
+        if _REJECT_ALTER_RE.match(c):
+            # identity / partition / constraint changes move or delete
+            # data — never a silent no-op; the operator decides
+            raise UnsupportedDdl(clause)
         if _NOOP_ALTER_RE.match(c):
             continue  # index/charset/engine surface: no lake analog
+        if re.match(r"(?i)^ADD (?:COLUMN )?", c) and _GENERATED_RE.search(c):
+            # ADD of a generated column: tracked upstream but its value
+            # is never replicated (syncer/dml.go:358-395) — register it
+            # as generated-and-pruned so the existing pruning path
+            # handles it end-to-end, instead of forcing an
+            # error-operator detour (VERDICT r04 #3)
+            nm = re.match(rf"(?i)^ADD (?:COLUMN )?{_IDENT}\b", c)
+            if not nm:
+                raise UnsupportedDdl(clause)
+            emit("add_generated_column", column=nm.group(1))
+            continue
         if _GENERATED_RE.search(c):
+            # MODIFY/CHANGE of a generated column still rejects: it can
+            # flip a column between generated and stored-data semantics
             raise UnsupportedDdl(
                 f"generated column DDL: {clause} — add it to "
                 "generated_columns config (values are never replicated)"

@@ -77,6 +77,12 @@ class CdcStreamDriver:
         # re-master restarts file_seq) — rides every merge so the
         # reported checkpoint advances as (epoch, file_seq, pos)
         self.epoch = epoch
+        if self.runner is not None:
+            # runner (DDL-capable) mode merges through the runner: it
+            # must carry the same epoch, or a re-mastered source's
+            # reported checkpoint silently freezes at the old high
+            # water in exactly the mode that needs it (ADVICE r04 #3)
+            self.runner.epoch = epoch
 
     def _extract_inline_ddl(self, batch_df: DataFrame) -> list:
         """In-band DDL: relay rows with op='Q' are query events whose
@@ -206,7 +212,9 @@ class CdcStreamDriver:
     #                                resumes from checkpoint on clear)
     #   {"stop": true}               graceful stop (drain current batch)
     #   {"config_patch": {...}}      swap the FILTER family of the task
-    #                                config at a batch boundary
+    #                                config at a batch boundary; route
+    #                                rules additionally swap while PAUSED
+    #                                (pause -> patch -> resume)
     def control_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "control.json")
 
@@ -225,10 +233,28 @@ class CdcStreamDriver:
             raise RuntimeError(f"malformed control file {self.control_path()}: {e}") from e
 
     # the runtime-swappable subset: the filter family (the reference's
-    # update-task + handle-error surface). Routing/key/bucket changes
-    # alter merge semantics and need a restart — rejected loudly.
+    # update-task + handle-error surface). Route changes are swappable
+    # only while PAUSED (pause -> patch -> resume, the reference's
+    # pause-task/update-task/resume-task flow, tests/dmctl_basic);
+    # key/bucket changes alter merge semantics and always need a
+    # restart — rejected loudly (rescale() exists for rebucketing).
     _PATCHABLE = ("allow_tables", "deny_tables", "event_filters",
                   "expr_filters", "ddl_filters")
+    _PAUSED_PATCHABLE = ("routes",)
+
+    def _validate_patch_keys(self, patch: dict, paused: bool) -> None:
+        allowed = self._PATCHABLE + (self._PAUSED_PATCHABLE if paused else ())
+        bad = set(patch) - set(allowed)
+        if bad:
+            hint = (
+                "routes are swappable only while PAUSED (pause -> patch "
+                "-> resume); " if "routes" in bad and not paused else ""
+            )
+            raise ValueError(
+                f"config_patch keys {sorted(bad)} are not runtime-swappable "
+                f"(allowed here: {list(allowed)}); {hint}key/bucket changes "
+                "need a task restart (rescale() for rebucketing)"
+            )
 
     def _stage_config_patch(self, ctl: dict) -> None:
         """Poll-thread side: VALIDATE and stage the patch; the actual
@@ -240,13 +266,7 @@ class CdcStreamDriver:
         patch = ctl.get("config_patch")
         if not patch or patch == getattr(self, "_applied_patch", None):
             return
-        bad = set(patch) - set(self._PATCHABLE)
-        if bad:
-            raise ValueError(
-                f"config_patch keys {sorted(bad)} are not runtime-swappable "
-                f"(allowed: {list(self._PATCHABLE)}); routing/key changes "
-                "need a task restart"
-            )
+        self._validate_patch_keys(patch, paused=False)
         self._staged_patch = patch
 
     def _apply_staged_patch(self) -> None:
@@ -255,27 +275,35 @@ class CdcStreamDriver:
             self._staged_patch = None
             self._apply_config_patch({"config_patch": patch})
 
-    def _apply_config_patch(self, ctl: dict) -> None:
+    def _apply_config_patch(self, ctl: dict, paused: bool = False) -> None:
         import copy
 
         from dm_spark.config import (
             DdlFilterRule,
             EventFilterRule,
             ExprFilterRule,
+            RouteRule,
         )
         from dm_spark.operators import ApplyPipeline
 
         patch = ctl.get("config_patch")
         if not patch or patch == getattr(self, "_applied_patch", None):
             return
-        bad = set(patch) - set(self._PATCHABLE)
-        if bad:
-            raise ValueError(
-                f"config_patch keys {sorted(bad)} are not runtime-swappable "
-                f"(allowed: {list(self._PATCHABLE)}); routing/key changes "
-                "need a task restart"
-            )
+        self._validate_patch_keys(patch, paused=paused)
         cfg = copy.deepcopy(self.pipeline.config)
+        if "routes" in patch:
+            cfg.routes = [RouteRule(**r) for r in patch["routes"]]
+            # a route to a target with no lake would silently DROP every
+            # routed row (the merge loop only writes known targets) —
+            # refuse unless runner mode can auto-create it on CREATE
+            # TABLE (lake_root)
+            unknown = {r.target for r in cfg.routes} - set(self.lakes)
+            if unknown and not (self.runner is not None and self.runner.lake_root):
+                raise ValueError(
+                    f"route patch targets {sorted(unknown)} have no lake in "
+                    "this task — add the lake at task start, or run in "
+                    "runner mode with lake_root for CREATE-TABLE auto-create"
+                )
         if "allow_tables" in patch:
             cfg.allow_tables = list(patch["allow_tables"])
         if "deny_tables" in patch:
@@ -370,6 +398,11 @@ class CdcStreamDriver:
                 break
             if ctl.get("pause"):
                 self.paused = True
+                # paused = the update-task window: the full patch
+                # surface (filters + routes) applies here, before any
+                # batch can run under the new rules — the reference's
+                # pause-task -> update-task -> resume-task flow
+                self._apply_config_patch(ctl, paused=True)
                 time.sleep(poll_sec)
                 continue
             self.paused = False

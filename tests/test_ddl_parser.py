@@ -216,18 +216,76 @@ def test_parse_hardened_surface():
 
 
 def test_parse_rejects_data_moving_clauses_loudly():
-    """Identity/partition/generated-column changes move or delete data —
-    they must raise (error-operator escape hatch), never no-op."""
+    """Identity/partition changes move or delete data — they must raise
+    (error-operator escape hatch), never no-op. MODIFY of a generated
+    column still rejects (it can flip generated <-> stored-data
+    semantics); ADD of one parses now (see the generated tests)."""
     for sql in [
         "alter table t drop primary key",
         "alter table t add primary key (id)",
         "alter table t drop partition p1",
         "alter table t remove partitioning",
-        "alter table gho_t3 add column info_json json GENERATED ALWAYS AS (`info`) VIRTUAL",
-        "create table t (id int primary key, g int GENERATED ALWAYS AS (id+1) STORED)",
+        "alter table t modify g int GENERATED ALWAYS AS (a+1) VIRTUAL",
+        # conditional comments carry EXECUTABLE content: a partition
+        # clause hidden in /*!50100 ...*/ must reach the reject surface,
+        # not vanish with the comment strip (ADVICE r04 #4)
+        "ALTER TABLE t /*!50100 ADD PARTITION (PARTITION p1 VALUES LESS THAN (10))*/",
+        "CREATE TABLE t (a INT) /*!50100 PARTITION BY HASH(a) PARTITIONS 4*/",
+        # data-shaping CREATE tails must never silently drop
+        "CREATE TABLE t (a INT) PARTITION BY RANGE (a) (PARTITION p0 VALUES LESS THAN (10))",
+        "CREATE TABLE t (a INT) AS SELECT a FROM s",
     ]:
         with pytest.raises(UnsupportedDdl):
             parse_ddl(sql, 0, 1)
+
+
+def test_add_constraint_unique_parses_as_unique_key():
+    """'ADD CONSTRAINT name UNIQUE (cols)' is common, valid MySQL — the
+    reject regex's ADD CONSTRAINT alternative used to swallow it before
+    the add_unique_key branch could match (ADVICE r04 #1)."""
+    (e,) = parse_ddl("ALTER TABLE db.t ADD CONSTRAINT uq_ab UNIQUE (a, b)", 0, 1)
+    assert (e.action, e.unique_keys) == ("add_unique_key", [["a", "b"]])
+    # FOREIGN KEY / CHECK constraints still reject loudly
+    with pytest.raises(UnsupportedDdl):
+        parse_ddl("ALTER TABLE t ADD CONSTRAINT c1 CHECK (a > 0)", 0, 1)
+
+
+def test_generated_column_ddl_registers_not_rejects():
+    """ADD of a generated column parses to add_generated_column (the
+    pruning path handles it, VERDICT r04 #3); CREATE TABLE declares its
+    generated columns by name, excluded from the data columns."""
+    (e,) = parse_ddl(
+        "alter table gho_t3 add column info_json json GENERATED ALWAYS AS (`info`) VIRTUAL",
+        0, 1,
+    )
+    assert (e.action, e.column) == ("add_generated_column", "info_json")
+    (e,) = parse_ddl(
+        "create table t (id int primary key, v text, "
+        "g int GENERATED ALWAYS AS (id+1) STORED)", 0, 1
+    )
+    assert e.action == "create_table"
+    assert e.columns == [("id", "int"), ("v", "string")]
+    assert e.generated == ["g"]
+
+
+def test_named_and_clustered_primary_keys_parse():
+    """MySQL's named-PK form (name ignored) and TiDB's CLUSTERED
+    suffix — both seen constantly in the reference fixtures."""
+    (e,) = parse_ddl(
+        "create table t(id bigint, b int, primary key id(id), unique key b(b))", 0, 1
+    )
+    assert e.key == ["id"] and e.unique_keys == [["b"]]
+    (e,) = parse_ddl("create table t (a varchar(10), primary key(a) clustered)", 0, 1)
+    assert e.key == ["a"]
+
+
+def test_conditional_comment_contents_survive():
+    """/*!40101 ...*/ contents are executable SQL — benign ones (index
+    options) still parse; the strip only removes the markers."""
+    evs = parse_ddl(
+        "ALTER TABLE t ADD COLUMN r INT /*! COMMENT 'x' */", 0, 1
+    )
+    assert [(e.action, e.column) for e in evs] == [("add_column", "r")]
 
 
 def test_reference_fixture_corpus_no_silent_misparse():

@@ -379,6 +379,74 @@ def test_vacuum_collects_aged_orphan_manifests(spark, tmp_path):
     assert os.path.exists(fresh)
 
 
+def test_commit_fencing_detects_reclaimed_manifest(spark, tmp_path, monkeypatch):
+    """ADVICE r04 #2: a writer stalled past the orphan grace window
+    between its manifest write and the HEAD swap can have its manifest
+    reclaimed by a concurrent committer. On resume it must FAIL LOUDLY
+    (the fencing re-read sees the other writer's token) instead of
+    swapping HEAD onto the reclaimer's manifest and silently discarding
+    its own batch while returning success."""
+    import os
+
+    import dm_spark.lake.table as tablemod
+
+    lake = LakeTable.create(spark, str(tmp_path / "fence"), SCHEMA, KEY, n_buckets=4)
+    lake.merge_into(
+        spark.createDataFrame([ch("a", 1, "I", "v1", 0, 1, 1)], CHANGE_DDL), batch_id=0
+    )
+    lake_b = LakeTable(spark, lake.path)
+
+    def stall(stalled_lake, meta):
+        # simulate the >grace stall: age the just-written manifest, then
+        # let a concurrent writer commit the SAME version (it reclaims
+        # the aged orphan and HEAD-swaps its own manifest)
+        mp = os.path.join(stalled_lake.meta_dir, f"v{meta.version}.json")
+        os.utime(mp, (1, 1))
+        tablemod._COMMIT_STALL_HOOK = None  # the concurrent writer runs clean
+        lake_b.merge_into(
+            spark.createDataFrame([ch("c", 1, "I", "vB", 2, 1, 3)], CHANGE_DDL),
+            batch_id=None,
+        )
+
+    monkeypatch.setattr(tablemod, "_COMMIT_STALL_HOOK", stall)
+    with pytest.raises(RuntimeError, match="fencing"):
+        lake.merge_into(
+            spark.createDataFrame([ch("b", 1, "I", "vA", 1, 1, 2)], CHANGE_DDL),
+            batch_id=1,
+        )
+    # the reclaimer's batch IS the committed state; the stalled writer's
+    # batch is not (it errored, so the caller retries — never silent)
+    assert rows(lake.read()) == [("a", 1, "v1"), ("c", 1, "vB")]
+
+
+def test_file_seq_regression_surfaces_epoch_remedy(spark, tmp_path):
+    """VERDICT r04 #6: a re-master restarts file numbering, and without
+    an epoch bump the REPORTED checkpoint freezes at the old high water.
+    The merge now diagnoses the regression and surfaces the remedy in
+    the lineage log (and a dm_spark.lake warning) instead of relying on
+    the operator to know `epoch=N` exists."""
+    lake = LakeTable.create(spark, str(tmp_path / "freeze"), SCHEMA, KEY, n_buckets=4)
+    lake.merge_into(
+        spark.createDataFrame([ch("c1", 1, "I", "v1", 900, 5, 10)], CHANGE_DDL),
+        batch_id=0,
+    )
+    # re-mastered source, operator forgot epoch=1: file_seq restarts
+    lake.merge_into(
+        spark.createDataFrame([ch("c1", 1, "U", "v2", 0, 1, 20)], CHANGE_DDL),
+        batch_id=1,
+    )
+    note = lake.lineage_log()[-1].get("checkpoint_note", "")
+    assert "epoch=1" in note and "re-master" in note
+    # with the epoch declared, the next batch advances and no note rides
+    lake.merge_into(
+        spark.createDataFrame([ch("c2", 1, "I", "v3", 0, 2, 21)], CHANGE_DDL),
+        batch_id=2,
+        epoch=1,
+    )
+    assert "checkpoint_note" not in lake.lineage_log()[-1]
+    assert lake.global_checkpoint()["epoch"] == 1
+
+
 def test_manifest_metadata_bounded_after_many_ddls(spark, tmp_path):
     """500 add/widen DDLs: the manifest must stay bounded — applied_ddl
     capped to a tail window (the obsolete gate uses ddl_high_water) and

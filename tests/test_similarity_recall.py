@@ -152,3 +152,44 @@ def test_distributed_refine_rescues_bad_init(spark):
     df.unpersist()
     assert refined >= 0.95, (starved, refined)
     assert refined >= starved  # the full-table pass can only help here
+
+
+def test_sizing_never_full_scans(spark, sf_dir, monkeypatch):
+    """VERDICT r04 #4: omitting n_rows must NOT fall back to a silent
+    full-scan df.count() — sizing derives from parquet footer metadata
+    (zero data-scan jobs). Pinned by making count() explode."""
+    from pyspark.sql import DataFrame
+
+    from dm_spark.functions.similarity import _estimate_rows
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    true_n = embs.count()
+    est = _estimate_rows(embs, "test")
+    assert est == true_n  # exact for an unfiltered parquet scan
+
+    def boom(self):
+        raise AssertionError("full-scan count() in a sizing path")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    out = cosine_topk_ivf(embs, k=1, n_lists=4, n_probe=2, kmeans_iters=1)
+    got = embedding_near_dup_pairs_lsh(embs, min_cos=0.9)
+    monkeypatch.undo()
+    assert out.count() > 0 and got.count() >= 0
+
+
+def test_sizing_requires_n_rows_for_non_file_inputs(spark):
+    """A non-file input (no parquet footers to read) must raise a LOUD
+    TypeError pointing at n_rows — never silently full-scan."""
+    import pytest
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2), F.rand(3)).alias("embedding"),
+    )
+    with pytest.raises(TypeError, match="n_rows"):
+        cosine_topk_ivf(df, k=1, n_lists=2)
+    with pytest.raises(TypeError, match="n_rows"):
+        embedding_near_dup_pairs_lsh(df, min_cos=0.9)
+    # the explicit argument unblocks both
+    assert cosine_topk_ivf(df, k=1, n_lists=2, n_rows=100).count() > 0
+    assert embedding_near_dup_pairs_lsh(df, min_cos=0.99, n_rows=100).count() >= 0

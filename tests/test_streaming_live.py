@@ -29,14 +29,21 @@ def _stage_chunks(spark, sf_dir, stage_dir):
 
 def _feeder(staged, feed_dir, delay=0.4):
     """Move staged relay files into the live dir one at a time, with
-    increasing mtimes (the upstream master writing binlog files)."""
+    STRICTLY increasing mtimes (the upstream master writing binlog
+    files). Spark's file source admits by modification time: with
+    delay=0 a plain time.time() stamp lands several files in the same
+    millisecond and the source groups them in arbitrary order —
+    location order scrambles across micro-batches (CLAUDE.md mtime
+    gotcha; it produced batch 0 = files {0,3} in the route-patch
+    test)."""
     os.makedirs(feed_dir, exist_ok=True)
-    for p in staged:
+    base = time.time()
+    for i, p in enumerate(staged):
         dst = os.path.join(feed_dir, os.path.basename(p))
         shutil.copy(p, dst + ".tmp")
         os.rename(dst + ".tmp", dst)
-        now = time.time()
-        os.utime(dst, (now, now))
+        t = max(time.time(), base + 0.002 * (i + 1))
+        os.utime(dst, (t, t))
         time.sleep(delay)
 
 
@@ -278,3 +285,136 @@ def test_config_patch_preserves_location_floor(spark, tmp_path):
     drv._apply_staged_patch()
     assert drv.pipeline.config.deny_tables == ["x.*"]
     assert drv.pipeline.location_floor == (3, 7)
+
+
+def test_route_patch_while_paused_via_ctl(spark, sf_dir, tmp_path):
+    """The reference's pause-task -> update-task -> resume-task route
+    change (tests/dmctl_basic; VERDICT r04 #5), driven end-to-end
+    through `main.py ctl`: a live tail is paused mid-stream, a route
+    patch redirects shard_3 to a quarantine lake, and the resumed
+    stream applies every later event under the new routes. BOTH lakes'
+    final states match exact DuckDB replay oracles split at the pause
+    location."""
+    import json
+
+    import main as mainmod
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_rp"), SCHEMA, KEY, n_buckets=8)
+    qlake = LakeTable.create(spark, str(tmp_path / "lake_q"), SCHEMA, KEY, n_buckets=8)
+    feed_dir = str(tmp_path / "feed")
+    cp_dir = str(tmp_path / "cp")
+    staged = _stage_chunks(spark, sf_dir, str(tmp_path / "stage"))
+    half, rest = staged[:4], staged[4:]
+
+    # the pause boundary: max location delivered before the patch
+    b = spark.read.parquet(*half).selectExpr(
+        "max(struct(file_seq, pos)) AS m"
+    ).collect()[0][0]
+    after_b = f"(file_seq > {b['file_seq']} OR (file_seq = {b['file_seq']} AND pos > {b['pos']}))"
+    routed_away = f"(source_table LIKE 'shard_3.%' AND {after_b})"
+    feed_all = feedmod.change_feed(spark, sf_dir)
+
+    def max_loc(cond):
+        r = feed_all.where(cond).selectExpr("max(struct(file_seq, pos)) AS m").collect()[0][0]
+        return (r["file_seq"], r["pos"]) if r else (-1, -1)
+
+    t_final = max_loc(
+        f"NOT (source_table LIKE 'shard_3.%' AND {after_b.replace('file_seq', 'file_seq').replace('pos', 'pos')})"
+    )
+    q_final = max_loc(f"source_table LIKE 'shard_3.%' AND {after_b}")
+    assert q_final != (-1, -1)  # the redirected slice is non-empty
+
+    drv = CdcStreamDriver(
+        spark, feed_dir, cp_dir, ApplyPipeline(cfg),
+        {"transcripts": lake, "quarantine": qlake}, max_files_per_trigger=2,
+    )
+    th = threading.Thread(
+        target=lambda: drv.run_continuous(trigger_sec=0.2, timeout_sec=300, poll_sec=0.1)
+    )
+    _feeder(half, feed_dir, delay=0)
+    th.start()
+    try:
+        def stream_settled():
+            """True once the pre-pause slice is FULLY durable: the lake
+            checkpoint reached the boundary AND Spark's commit log
+            caught up with the offset log — pausing earlier can
+            interrupt a batch after its lake commit but before the
+            stream commit, and that batch would REPLAY under the
+            post-patch routes (the batch-id gate keeps the lake state
+            consistent, but the test's location-split oracle assumes
+            the slice boundary == the pause boundary)."""
+            cp = lake.global_checkpoint()
+            if not cp or (cp.get("file_seq", -1), cp.get("pos", -1)) < (b["file_seq"], b["pos"]):
+                return False
+            offs = {os.path.basename(p) for p in glob.glob(os.path.join(cp_dir, "offsets", "*"))}
+            cmts = {os.path.basename(p) for p in glob.glob(os.path.join(cp_dir, "commits", "*"))}
+            return offs == cmts and bool(offs)
+
+        deadline = time.time() + 120
+        while not stream_settled() and time.time() < deadline:
+            time.sleep(0.2)
+        assert stream_settled()
+        # pause -> patch (routes: paused-only surface) -> resume, all
+        # through the dmctl analog
+        assert mainmod.ctl([cp_dir, "pause"]) == 0
+        deadline = time.time() + 60
+        while not getattr(drv, "paused", False) and time.time() < deadline:
+            time.sleep(0.1)
+        assert drv.paused
+        patch = {"routes": [
+            {"pattern": "shard_3.transcripts_*", "target": "quarantine"},
+            {"pattern": "shard_*.transcripts_*", "target": "transcripts"},
+        ]}
+        assert mainmod.ctl([cp_dir, "patch", json.dumps(patch)]) == 0
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(r.target == "quarantine" for r in drv.pipeline.config.routes):
+                break
+            time.sleep(0.1)
+        assert any(r.target == "quarantine" for r in drv.pipeline.config.routes)
+        _feeder(rest, feed_dir, delay=0)
+        assert mainmod.ctl([cp_dir, "resume"]) == 0
+
+        def drained(lk, final):
+            cp = lk.global_checkpoint()
+            return bool(cp) and (cp.get("file_seq", -1), cp.get("pos", -1)) >= final
+
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if drained(lake, t_final) and drained(qlake, q_final):
+                break
+            time.sleep(0.25)
+        assert drained(lake, t_final) and drained(qlake, q_final)
+    finally:
+        mainmod.ctl([cp_dir, "stop"])
+        th.join(90)
+        assert not th.is_alive()
+
+    # exact split oracles: transcripts replays everything EXCEPT the
+    # post-pause shard_3 slice; quarantine replays exactly that slice
+    assert_tables_equal(spark_final(lake), duck_replay(sf_dir, f"NOT {routed_away}"))
+    assert_tables_equal(spark_final(qlake), duck_replay(sf_dir, routed_away))
+
+
+def test_route_patch_validation_paused_only(spark, tmp_path):
+    """Routes swap only while paused, and only to targets that have a
+    lake (rows to an unknown target would silently drop)."""
+    import pytest
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_rv"), SCHEMA, KEY, n_buckets=4)
+    drv = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), str(tmp_path / "cp"), ApplyPipeline(cfg),
+        {"transcripts": lake},
+    )
+    routes = {"config_patch": {"routes": [{"pattern": "a.*", "target": "transcripts"}]}}
+    with pytest.raises(ValueError, match="PAUSED"):
+        drv._apply_config_patch(routes)
+    drv._apply_config_patch(routes, paused=True)
+    assert drv.pipeline.config.routes[0].pattern == "a.*"
+    with pytest.raises(ValueError, match="no lake"):
+        drv._apply_config_patch(
+            {"config_patch": {"routes": [{"pattern": "b.*", "target": "nowhere"}]}},
+            paused=True,
+        )
