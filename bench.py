@@ -117,10 +117,10 @@ def run_headline() -> tuple[dict, float, dict]:
     return times, round(sum(times.values()), 3), recall
 
 
-def _kernel(kind: str, master: str, events: int, parts: int, batches: int) -> dict:
+def _kernel(kind: str, master: str, events: int, parts: int, *extra: int) -> dict:
     r = subprocess.run(
         [sys.executable, "-m", "dm_spark.bench_support", kind, master,
-         str(events), str(parts), str(batches)],
+         str(events), str(parts), *[str(x) for x in extra]],
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600,
     )
@@ -153,11 +153,30 @@ def main() -> None:
         # window and the official number badly undershot the kernel's
         # steady rate (r2/r3 drivers recorded 88k vs 178-205k clean)
         tail = max(
-            (_kernel("tail", "local[32]", TAIL_EVENTS, 32, 1) for _ in range(2)),
+            (_kernel("tail", "local[32]", TAIL_EVENTS, 32, 16, 4) for _ in range(2)),
             key=lambda r: r["events_per_sec"],
         )
         result["tail_events_per_sec"] = tail["events_per_sec"]
         result["tail_events"] = tail["events"]
+        result["tail_final_read_sec"] = tail.get("final_read_sec")
+        # ENDURANCE leg: identical events-per-trigger (1.5M) but >=20
+        # triggers — per-trigger throughput and the final MoR read
+        # latency must hold over a LONG stream (bounded delta
+        # accumulation under the compact cadence), not just a 4-trigger
+        # burst. Single rep: the leg is 5x the events; first/second-half
+        # batch times inside the result expose degradation directly.
+        if os.environ.get("DM_BENCH_SKIP_ENDURANCE") != "1":
+            endur = _kernel(
+                "tail", "local[32]", 5 * TAIL_EVENTS, 32, 80, 4
+            )
+            result["tail_endurance"] = {
+                k: endur.get(k)
+                for k in (
+                    "events", "batches", "events_per_sec",
+                    "batch_sec_first_half", "batch_sec_second_half",
+                    "final_read_sec", "final_rows",
+                )
+            }
         # data-scale point: per-event cost FALLS with batch size (fixed
         # per-batch costs amortize) — 64M events in 8x8M batches
         if os.environ.get("DM_BENCH_SKIP_BIG") != "1":

@@ -149,12 +149,22 @@ def tail_throughput(
     shuffle_partitions: int = 16,
     n_buckets: int = 32,
     text_chars: int = 600,
+    max_files_per_trigger: int = 4,
+    compact_every: int = 8,
 ) -> dict:
     """Sustained live-tail ingest: relay files consumed by
     `run_continuous` (processing-time trigger) into a merge-on-read
     lake with periodic compaction — the production continuous-CDC
     shape. Measures end-to-end events/s from stream start to the
-    checkpoint reaching the feed's final location."""
+    checkpoint reaching the feed's final location, plus a final
+    full-read latency (a MoR read merges base + deltas, so this is the
+    read-amplification probe) and first-half vs second-half mean batch
+    wall time (a long stream whose later batches slow down has
+    unbounded delta accumulation — the compact cadence is failing).
+
+    The ENDURANCE leg (bench.py) runs this with the same events-per-
+    trigger but >=20 triggers: per-trigger throughput and final read
+    latency must hold, not just survive a 4-trigger burst."""
     from dm_spark.sources.relay import write_feed_chunks
     from dm_spark.streaming import CdcStreamDriver
 
@@ -180,22 +190,38 @@ def tail_throughput(
         cp = lake.global_checkpoint()
         return bool(cp) and (cp.get("file_seq", -1), cp.get("pos", -1)) >= final
 
-    # 4 files/trigger: micro-batch size amortizes per-batch commit +
-    # trigger overhead (measured 2x vs 2 files at 2M events) — the
-    # maxFilesPerTrigger backpressure knob doing its job
+    # 4 files/trigger default: micro-batch size amortizes per-batch
+    # commit + trigger overhead (measured 2x vs 2 files at 2M events) —
+    # the maxFilesPerTrigger backpressure knob doing its job
     drv = CdcStreamDriver(
         spark, f"{workdir}/feed", f"{workdir}/cp", pipe,
-        {"transcripts": lake}, max_files_per_trigger=4, compact_every=8,
+        {"transcripts": lake},
+        max_files_per_trigger=max_files_per_trigger,
+        compact_every=compact_every,
     )
     t0 = time.time()
     drv.run_continuous(trigger_sec=0.2, timeout_sec=1800, stop_when=drained, poll_sec=0.1)
     sec = time.time() - t0
     assert drained(drv), "tail did not drain"
+    applied = [s for s in drv.batch_stats if not s.get("skipped")]
     out = {
         "events": n_events, "sec": round(sec, 3),
         "events_per_sec": round(n_events / sec, 1), "master": master,
-        "batches": len([s for s in drv.batch_stats if not s.get("skipped")]),
+        "batches": len(applied),
     }
+    secs = [s["sec"] for s in applied if "sec" in s]
+    if len(secs) >= 4:
+        half = len(secs) // 2
+        out["batch_sec_first_half"] = round(sum(secs[:half]) / half, 3)
+        out["batch_sec_second_half"] = round(
+            sum(secs[half:]) / (len(secs) - half), 3
+        )
+    # read-amplification probe: time a full MoR read (base + unmerged
+    # deltas reconciled at read time) AFTER the stream drained
+    tr = time.time()
+    n_final = lake.read().count()
+    out["final_read_sec"] = round(time.time() - tr, 3)
+    out["final_rows"] = n_final
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)
     return out
@@ -232,7 +258,12 @@ if __name__ == "__main__":
     elif kind == "tail":
         n = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000
         parts = int(sys.argv[4]) if len(sys.argv) > 4 else 16
-        res = tail_throughput(sys.argv[2], n, shuffle_partitions=parts)
+        chunks = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+        mft = int(sys.argv[6]) if len(sys.argv) > 6 else 4
+        res = tail_throughput(
+            sys.argv[2], n, n_chunks=chunks, shuffle_partitions=parts,
+            max_files_per_trigger=mft,
+        )
         print(json.dumps(res))
     else:
         raise SystemExit(f"unknown kernel {kind}")

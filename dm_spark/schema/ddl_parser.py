@@ -78,6 +78,13 @@ def map_type(mysql_type: str) -> str:
     base, args = m.group(1), m.group(3)
     if base == "decimal" or base == "numeric":
         return f"decimal({args})" if args else "decimal(10,0)"
+    if base in ("enum", "set"):
+        # ENUM/SET replicate by VALUE as strings (the member list is an
+        # upstream constraint, not a downstream type — the reference
+        # lands them as TiDB enum/set, which serialize to their string
+        # form; a lake column keeps the string). SET rows arrive
+        # comma-joined, ENUM rows as the single member.
+        return "string"
     if base not in _TYPE_MAP:
         raise UnsupportedDdl(f"unmapped MySQL type: {mysql_type}")
     out = _TYPE_MAP[base]
@@ -205,6 +212,35 @@ _NOOP_ALTER_RE = re.compile(
     r")"
 )
 
+# the reference's built-in skip-DDL surface (pkg/utils/util.go:45-100,
+# applied to every query event at syncer/filter.go:31,97): statement
+# families that appear in real binlog query streams but have no
+# replication effect — transaction markers, table maintenance,
+# temporary tables, triggers/procedures/views/functions, tablespaces,
+# scheduler events, and account management. These are SILENTLY skipped
+# (return [] — no error-operator detour), exactly like the reference;
+# everything else outside the grammar still rejects loudly.
+_BUILTIN_SKIP_RE = re.compile(
+    r"(?i)^("
+    r"SAVEPOINT\b"
+    r"|FLUSH\b"
+    r"|(?:OPTIMIZE|ANALYZE|REPAIR) TABLE\b"
+    r"|DROP TEMPORARY TABLE\b"
+    r"|CREATE (?:DEFINER ?=.+? )?TRIGGER\b|DROP TRIGGER\b"
+    r"|CREATE (?:DEFINER ?=.+? )?PROCEDURE\b|ALTER PROCEDURE\b|DROP PROCEDURE\b"
+    r"|CREATE (?:OR REPLACE )?(?:ALGORITHM ?=.+? )?(?:DEFINER ?=.+? )?"
+    r"(?:SQL SECURITY \w+ )?VIEW\b|ALTER (?:ALGORITHM ?=.+? )?"
+    r"(?:DEFINER ?=.+? )?(?:SQL SECURITY \w+ )?VIEW\b|DROP VIEW\b"
+    r"|CREATE (?:AGGREGATE )?(?:DEFINER ?=.+? )?FUNCTION\b"
+    r"|ALTER FUNCTION\b|DROP FUNCTION\b"
+    r"|(?:CREATE|ALTER|DROP) TABLESPACE\b"
+    r"|CREATE (?:DEFINER ?=.+? )?EVENT\b"
+    r"|ALTER (?:DEFINER ?=.+? )?EVENT\b|DROP EVENT\b"
+    r"|GRANT\b|REVOKE\b"
+    r"|(?:CREATE|ALTER|RENAME|DROP) USER\b|SET PASSWORD\b"
+    r")"
+)
+
 # clauses that change data or merge identity — never silent
 _REJECT_ALTER_RE = re.compile(
     r"(?i)^("
@@ -248,6 +284,11 @@ def parse_ddl(
         s = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"\1", s)
     s = re.sub(r"\s+", " ", s.strip().rstrip(";")).strip()
 
+    # the reference's built-in skip families (checked FIRST, like
+    # syncer/filter.go:31 — e.g. DROP TEMPORARY TABLE must skip before
+    # the generic DROP TABLE branch would treat it as a lake drop)
+    if _BUILTIN_SKIP_RE.match(s):
+        return []
     # statements with NO schema effect here: database-level DDL (the
     # lake has no per-database object — tables materialize on CREATE
     # TABLE; DROP DATABASE below is the exception since it drops data)

@@ -57,8 +57,11 @@ def test_parse_multi_change_splits_with_suffixes():
 
 
 def test_parse_unsupported_raises():
+    # OPTIMIZE TABLE moved to the built-in skip surface (the reference
+    # skips table maintenance, pkg/utils/util.go:52-55); LOAD DATA is
+    # genuinely out of grammar and must stay loud
     with pytest.raises(UnsupportedDdl):
-        parse_ddl("OPTIMIZE TABLE t", 0, 0)
+        parse_ddl("ALTER TABLE t ORDER BY a", 0, 0)
     with pytest.raises(UnsupportedDdl):
         parse_ddl("ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (a) REFERENCES o(a)", 0, 0)
     # index DDL (statement or clause form) is an explicit no-op instead
@@ -288,6 +291,64 @@ def test_conditional_comment_contents_survive():
     assert [(e.action, e.column) for e in evs] == [("add_column", "r")]
 
 
+def test_enum_set_types_map_to_string():
+    """ENUM/SET columns replicate by value as strings (the member list
+    constrains upstream writes, not the downstream type — the
+    reference's print_status fixture uses both)."""
+    from dm_spark.schema.ddl_parser import map_type
+
+    assert map_type("enum('a','b','c') NOT NULL") == "string"
+    assert map_type("set('a','b','c')") == "string"
+    (e,) = parse_ddl(
+        "CREATE TABLE t (id INT, c12 enum('a','b') NOT NULL, "
+        "c14 set('x','y'), PRIMARY KEY (id))", 0, 1
+    )
+    assert e.columns == [("id", "int"), ("c12", "string"), ("c14", "string")]
+
+
+def test_builtin_skip_ddls_silently_skip():
+    """The reference's built-in skip-DDL surface (pkg/utils/util.go:
+    45-100, applied to every query event at syncer/filter.go:31,97):
+    statement families with no replication effect — triggers,
+    procedures, views, functions, account management, FLUSH, SAVEPOINT,
+    temporary tables — parse to [] (silently skipped), never to an
+    UnsupportedDdl that would halt the task on routine binlog noise."""
+    skipped = [
+        "SAVEPOINT sp1",
+        "FLUSH TABLES WITH READ LOCK",
+        "OPTIMIZE TABLE db1.t",
+        "ANALYZE TABLE t",
+        "DROP TEMPORARY TABLE IF EXISTS tmp_t",
+        "CREATE DEFINER=`root`@`%` TRIGGER trg BEFORE INSERT ON t "
+        "FOR EACH ROW SET @x = 1",
+        "DROP TRIGGER IF EXISTS trg",
+        "CREATE PROCEDURE p() BEGIN SELECT 1; END",
+        "create procedure dowhile1(nums int) begin WHILE nums > 0 DO "
+        "insert into t1(a) values(nums)",
+        "DROP PROCEDURE IF EXISTS p",
+        "CREATE OR REPLACE VIEW v AS SELECT * FROM t",
+        "CREATE ALGORITHM=UNDEFINED DEFINER=`u`@`%` SQL SECURITY "
+        "DEFINER VIEW v AS SELECT 1",
+        "DROP VIEW IF EXISTS v",
+        "CREATE FUNCTION db1.hello (s CHAR(20)) RETURNS CHAR(50) "
+        "DETERMINISTIC RETURN CONCAT('Hello, ', s, '!')",
+        "DROP FUNCTION IF EXISTS hello",
+        "CREATE TABLESPACE ts ADD DATAFILE 'ts.ibd'",
+        "CREATE EVENT ev ON SCHEDULE EVERY 1 DAY DO DELETE FROM t",
+        "GRANT ALL ON db1.* TO 'dm_full'@'%'",
+        "REVOKE ALL ON *.* FROM 'u'@'%'",
+        "CREATE USER 'dm_full'@'%' IDENTIFIED BY '123456'",
+        "DROP USER IF EXISTS 'dm_full'",
+        "SET PASSWORD FOR 'u'@'%' = 'x'",
+    ]
+    for s in skipped:
+        assert parse_ddl(s, 0, 1) == [], s
+    # the skip surface must NOT swallow real lake DDL that shares a
+    # prefix word: DROP TABLE (non-temporary) still drops
+    (e,) = parse_ddl("DROP TABLE db1.t", 0, 1)
+    assert e.action == "drop_table"
+
+
 def test_reference_fixture_corpus_no_silent_misparse():
     """Every DDL statement in the reference's integration fixtures
     (tests/**/*.sql + run.sh-quoted statements) either parses to events
@@ -333,8 +394,10 @@ def test_reference_fixture_corpus_no_silent_misparse():
         except Exception as e:  # noqa: BLE001 — the assertion target
             errors.append((s, repr(e)))
     assert not errors, errors[:10]
-    # breadth floor: the grammar parses the bulk of the corpus
-    assert ok / (ok + unsupported) >= 0.6, (ok, unsupported)
+    # breadth floor: the grammar parses the bulk of the corpus (r5:
+    # 94.9% — the residual is data-moving DDL that rejects BY DESIGN
+    # (partition ops, PK changes) plus fixture-extraction artifacts)
+    assert ok / (ok + unsupported) >= 0.9, (ok, unsupported)
 
 
 def test_prefix_length_key_parts_parse_clean():
