@@ -1194,29 +1194,10 @@ class LakeTable:
         for b, files in new_lists.items():
             meta.buckets[str(b)] = files
 
-        meta.version += 1
-        if batch_id is not None:
-            meta.last_batch_id = batch_id
-        self._advance_checkpoint(meta, loc, max_ts)
-        meta.totals["batches"] += 1
-        meta.totals["rows_upserted"] += stats.n_incoming - stats.n_deletes_in
-        meta.totals["rows_deleted"] += stats.n_deletes_in
-        rec = {
-            "version": meta.version,
-            "batch_id": batch_id,
-            "n_incoming": stats.n_incoming,
-            "n_deletes_in": stats.n_deletes_in,
-            "buckets_touched": len(touched),
-            "rows_written": stats.rows_written,
-            "mode": "cow",
-        }
-        note = getattr(meta, "_checkpoint_note", None)
-        if note:
-            rec["checkpoint_note"] = note
-            meta._checkpoint_note = None
-        meta.lineage.append(rec)
-        meta.lineage = meta.lineage[-200:]
-        self._commit(meta, dirty=set(touched))
+        stats.n_buckets_touched = len(touched)
+        self._finish_commit(
+            meta, batch_id, stats, loc, max_ts, mode="cow", dirty=set(touched)
+        )
         return stats
 
     # --------------------------------------------------------- overwrite

@@ -125,10 +125,13 @@ class ReplayRunner:
     # old field name until the source itself evolves)
     rename_map: dict = field(default_factory=dict)
     # generated columns registered by DDL mid-stream (ADD ... AS (...)
-    # or CREATE TABLE declarations) — on top of the static
-    # config.generated_columns; persisted in state_json so pruning
-    # survives a driver restart
-    dynamic_generated: list = field(default_factory=list)
+    # or CREATE TABLE declarations), scoped PER TARGET LAKE: a
+    # generated-column DDL on one table must never prune a same-named
+    # DATA column from other tables in the task (the static
+    # config.generated_columns stays name-global — that is an explicit
+    # operator choice, this is automatic). {target: [col, ...]};
+    # persisted in state_json so pruning survives a driver restart
+    dynamic_generated: dict = field(default_factory=dict)
     # upstream binlog epoch (source re-master ordinal) — threaded into
     # every merge so the reported global checkpoint advances as
     # (epoch, file_seq, pos); set by CdcStreamDriver(epoch=N)
@@ -153,18 +156,22 @@ class ReplayRunner:
     def _lake_for(self, source_table: str) -> LakeTable:
         return self.lakes.get(self.pipeline.config.route_of(source_table), self.lake)
 
-    def _register_generated(self, cols: list) -> None:
-        """Register columns as generated-and-pruned: appended to the
-        live pipeline config (transform() re-reads it per batch, so the
-        next micro-batch prunes them from both images) and remembered in
-        `dynamic_generated` for crash-durable state. The config surface
-        is column-NAME scoped (like the static generated_columns list),
-        disclosed in TaskConfig."""
+    def _register_generated(self, cols: list, source_table: str) -> None:
+        """Register columns as generated-and-pruned for the TARGET the
+        declaring table routes to: `_to_target_shape` drops them from
+        that target's frame before every merge, so the value never
+        lands downstream (syncer/dml.go:358-395) — while a same-named
+        DATA column on a table routed to a DIFFERENT target keeps
+        replicating untouched (a name-global registration would
+        null-fill it silently on every upsert). Within one shard-merge
+        target all shards share a schema by construction, so
+        target-scope == table-scope there. Remembered in
+        `dynamic_generated` for crash-durable state."""
+        target = self.pipeline.config.route_of(source_table)
+        cur = self.dynamic_generated.setdefault(target, [])
         for c in cols:
-            if c not in self.pipeline.config.generated_columns:
-                self.pipeline.config.generated_columns.append(c)
-            if c not in self.dynamic_generated:
-                self.dynamic_generated.append(c)
+            if c not in cur:
+                cur.append(c)
 
     # -------------------------------------------------------------- DDL
     def _ddl_filtered(self, source_table: str, action: dict) -> bool:
@@ -260,10 +267,10 @@ class ReplayRunner:
         if ev.action == "add_generated_column":
             # generated columns are tracked upstream but their values
             # are never replicated (syncer/dml.go:358-395): the ADD
-            # registers the column as generated-and-pruned so the
-            # existing image-pruning path handles later DMLs end-to-end
-            # (VERDICT r04 #3). No lake schema change — no value ever
-            # lands downstream.
+            # registers the column as generated-and-pruned for the
+            # declaring table's TARGET (dropped at _to_target_shape)
+            # so later DMLs keep applying end-to-end (VERDICT r04 #3).
+            # No lake schema change — no value ever lands downstream.
             action = ev.to_action()
             if self._ddl_filtered(ev.source_table, action):
                 return []
@@ -271,7 +278,7 @@ class ReplayRunner:
             applied = []
             for act in resolved:
                 if act["action"] == "add_generated_column":
-                    self._register_generated([act["column"]])
+                    self._register_generated([act["column"]], ev.source_table)
                     self.applied_ddl.append(act)
                     applied.append(act)
                 else:
@@ -344,7 +351,7 @@ class ReplayRunner:
                 # declared generated columns: prune their images, never
                 # store values (the parser already excluded them from
                 # the data columns)
-                self._register_generated(list(ev.generated))
+                self._register_generated(list(ev.generated), ev.source_table)
             self.dropped_tables.discard(ev.source_table)
             if target not in self.lakes and self.lake_root is not None and ev.columns:
                 import os
@@ -704,6 +711,13 @@ class ReplayRunner:
     def _to_target_shape(self, flat: DataFrame, target: str | None = None) -> DataFrame:
         target = target or self.pipeline.config.target_table
         flat = flat.where(F.col("target_table") == target).drop("target_table")
+        # DDL-registered generated columns prune HERE, per target (by
+        # upstream name, so before renames): the value never lands in
+        # this lake, while a same-named data column on another target
+        # replicates untouched
+        drop = [g for g in self.dynamic_generated.get(target, []) if g in flat.columns]
+        if drop:
+            flat = flat.drop(*drop)
         for old, new in self.rename_map.items():
             if old in flat.columns and new not in flat.columns:
                 flat = flat.withColumnRenamed(old, new)
@@ -760,7 +774,7 @@ class ReplayRunner:
             "dropped_schemas": sorted(self.dropped_schemas),
             "error_ops": [[list(loc), ov] for loc, ov in sorted(self.error_ops.ops.items())],
             "rename_map": dict(self.rename_map),
-            "generated_columns": list(self.dynamic_generated),
+            "generated_columns": {t: list(cs) for t, cs in self.dynamic_generated.items()},
             "schemas": {t: [list(c) for c in sch] for t, sch in self.registry.schemas.items()},
             "online_ddl": self.online_ddl.to_json(),
             "applied_ddl": self.applied_ddl[-200:],
@@ -776,7 +790,19 @@ class ReplayRunner:
         self.dropped_schemas = set(d.get("dropped_schemas", []))
         self.error_ops.ops = {tuple(loc): ov for loc, ov in d.get("error_ops", [])}
         self.rename_map = dict(d.get("rename_map", {}))
-        self._register_generated(list(d.get("generated_columns", [])))
+        gen = d.get("generated_columns", {})
+        if isinstance(gen, list):
+            # legacy state form (pre-target-scoping): name-global — the
+            # only faithful restore is the old global-config semantics
+            for c in gen:
+                if c not in self.pipeline.config.generated_columns:
+                    self.pipeline.config.generated_columns.append(c)
+        else:
+            for t, cs in gen.items():
+                cur = self.dynamic_generated.setdefault(t, [])
+                for c in cs:
+                    if c not in cur:
+                        cur.append(c)
         for t, sch in d.get("schemas", {}).items():
             self.registry.schemas[t] = [tuple(c) for c in sch]
         self.online_ddl = OnlineDdlBuffer.from_json(d.get("online_ddl", {}))

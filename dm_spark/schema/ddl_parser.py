@@ -101,16 +101,54 @@ def _table_name(m1: str, m2: str | None) -> str:
     return f"{m1}.{m2}" if m2 else m1
 
 
+def _mask_strings(s: str) -> str:
+    """Same-length copy with quoted-literal CONTENTS blanked (quotes
+    kept), so structural scans — paren balancing, clause splitting,
+    keyword heuristics — cannot be fooled by a ')' , ',' or keyword
+    inside a DEFAULT/COMMENT string (review r5: an unbalanced ')' in a
+    DEFAULT literal silently truncated the CREATE body and dropped the
+    trailing columns). Handles backslash and doubled-quote escapes;
+    backtick identifier contents blank too (names are always extracted
+    from the ORIGINAL text, the mask is structure-only)."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"', "`"):
+            q = ch
+            i += 1
+            while i < n:
+                c = s[i]
+                if c == "\\" and q != "`" and i + 1 < n:
+                    out[i] = " "
+                    out[i + 1] = " "
+                    i += 2
+                    continue
+                if c == q:
+                    if i + 1 < n and s[i + 1] == q:  # '' / "" / `` escape
+                        out[i] = " "
+                        out[i + 1] = " "
+                        i += 2
+                        continue
+                    break
+                out[i] = " "
+                i += 1
+        i += 1
+    return "".join(out)
+
+
 def _split_clauses(body: str) -> list[str]:
-    """Split an ALTER body on top-level commas (commas inside type
-    parens, e.g. decimal(10,2), don't split)."""
+    """Split an ALTER / CREATE body on top-level commas (commas inside
+    type parens, e.g. decimal(10,2), or inside string literals don't
+    split)."""
     out, depth, cur = [], 0, []
-    for ch in body:
-        if ch == "(":
+    for ch, m in zip(body, _mask_strings(body)):
+        # structure (parens/commas) judged on the MASK; text kept whole
+        if m == "(":
             depth += 1
-        elif ch == ")":
+        elif m == ")":
             depth -= 1
-        if ch == "," and depth == 0:
+        if m == "," and depth == 0:
             out.append("".join(cur).strip())
             cur = []
         else:
@@ -173,7 +211,7 @@ def _parse_create_body(body: str) -> tuple[list, list, list, list]:
             raise UnsupportedDdl(clause)
         elif cm := re.match(rf"(?i)^{_IDENT} (.+)$", c):
             name, rest = cm.group(1), cm.group(2)
-            if _GENERATED_RE.search(rest):
+            if _GENERATED_RE.search(_mask_strings(rest)):
                 # declared generated: never a data column — the value is
                 # computed upstream and must not replicate (dml.go:358)
                 gens.append(name)
@@ -192,8 +230,13 @@ def _parse_create_body(body: str) -> tuple[list, list, list, list]:
 
 # generated columns are tracked upstream but never replicated by value
 # (the reference prunes them from DML, syncer/dml.go:358); silently
-# adding one as a plain column would store NULLs that look like data
-_GENERATED_RE = re.compile(r"(?i)\bGENERATED ALWAYS AS\b|\bAS \(.*\) ?(?:VIRTUAL|STORED)\b")
+# adding one as a plain column would store NULLs that look like data.
+# Matches the bare `<type> AS (expr)` form too — MySQL treats it as
+# generated (VIRTUAL by default) without the GENERATED ALWAYS or
+# VIRTUAL/STORED words (review r5). ALWAYS search this over
+# _mask_strings(text): a DEFAULT 'as (x)' literal must not classify a
+# data column as generated.
+_GENERATED_RE = re.compile(r"(?i)\bGENERATED ALWAYS AS\b|\bAS ?\(")
 
 # ALTER clauses with no physical analog on a bucketed lake table —
 # consumed as explicit no-ops (the reference executes them downstream;
@@ -339,27 +382,32 @@ def parse_ddl(
         # balanced-paren body extraction: a `\((.*)\)[^)]*$` regex swept
         # a trailing `PARTITION BY RANGE (...) (PARTITION p0 ...)` INTO
         # the column body and silently misparsed it (the hazard the
-        # conditional-comment unveil above now exposes)
+        # conditional-comment unveil above now exposes). Parens are
+        # balanced on the STRING-MASKED text so a ')' inside a
+        # DEFAULT/COMMENT literal cannot truncate the body (review r5).
         start = m.end() - 1
+        masked = _mask_strings(s)
         depth = 0
         end = -1
-        for i in range(start, len(s)):
-            if s[i] == "(":
+        for i in range(start, len(masked)):
+            if masked[i] == "(":
                 depth += 1
-            elif s[i] == ")":
+            elif masked[i] == ")":
                 depth -= 1
                 if depth == 0:
                     end = i
                     break
         if end < 0:
             raise UnsupportedDdl(sql)
-        tail = s[end + 1:].strip()
-        if tail and (
-            "(" in tail
-            or re.search(r"(?i)\b(PARTITION|SELECT|LIKE|UNION|AS)\b", tail)
+        tail_mask = masked[end + 1:].strip()
+        if tail_mask and (
+            "(" in tail_mask
+            or re.search(r"(?i)\b(PARTITION|SELECT|LIKE|UNION|AS)\b", tail_mask)
         ):
             # data-shaping tails (partition spec, CREATE..AS SELECT)
-            # must never be silently dropped as "table options"
+            # must never be silently dropped as "table options" — but
+            # the check runs on the MASK, so a COMMENT='... (as is)'
+            # table option cannot false-reject a valid statement
             raise UnsupportedDdl(sql)
         cols, pk, uks, gens = _parse_create_body(s[start + 1:end])
         return [
@@ -433,7 +481,9 @@ def parse_ddl(
             raise UnsupportedDdl(clause)
         if _NOOP_ALTER_RE.match(c):
             continue  # index/charset/engine surface: no lake analog
-        if re.match(r"(?i)^ADD (?:COLUMN )?", c) and _GENERATED_RE.search(c):
+        if re.match(r"(?i)^ADD (?:COLUMN )?", c) and _GENERATED_RE.search(
+            _mask_strings(c)
+        ):
             # ADD of a generated column: tracked upstream but its value
             # is never replicated (syncer/dml.go:358-395) — register it
             # as generated-and-pruned so the existing pruning path
@@ -444,7 +494,7 @@ def parse_ddl(
                 raise UnsupportedDdl(clause)
             emit("add_generated_column", column=nm.group(1))
             continue
-        if _GENERATED_RE.search(c):
+        if _GENERATED_RE.search(_mask_strings(c)):
             # MODIFY/CHANGE of a generated column still rejects: it can
             # flip a column between generated and stored-data semantics
             raise UnsupportedDdl(

@@ -81,8 +81,14 @@ class CdcStreamDriver:
             # runner (DDL-capable) mode merges through the runner: it
             # must carry the same epoch, or a re-mastered source's
             # reported checkpoint silently freezes at the old high
-            # water in exactly the mode that needs it (ADVICE r04 #3)
-            self.runner.epoch = epoch
+            # water in exactly the mode that needs it (ADVICE r04 #3).
+            # Only thread a NON-default epoch: an operator may have set
+            # runner.epoch directly (a public field), and the ctor's
+            # default 0 must not silently zero it (review r5).
+            if epoch:
+                self.runner.epoch = epoch
+            else:
+                self.epoch = self.runner.epoch
 
     def _extract_inline_ddl(self, batch_df: DataFrame) -> list:
         """In-band DDL: relay rows with op='Q' are query events whose
@@ -294,15 +300,24 @@ class CdcStreamDriver:
         if "routes" in patch:
             cfg.routes = [RouteRule(**r) for r in patch["routes"]]
             # a route to a target with no lake would silently DROP every
-            # routed row (the merge loop only writes known targets) —
-            # refuse unless runner mode can auto-create it on CREATE
-            # TABLE (lake_root)
-            unknown = {r.target for r in cfg.routes} - set(self.lakes)
-            if unknown and not (self.runner is not None and self.runner.lake_root):
+            # routed row (the merge loop only writes known targets).
+            # STRICT even in runner+lake_root mode (review r5): runner
+            # auto-create only fires on a CREATE TABLE event, which
+            # never arrives for an already-existing table — so a patch
+            # re-routing live tables to a lake-less target would drop
+            # their rows forever while looking accepted. Routes to
+            # not-yet-created tables belong in the task-start config.
+            known = set(self.lakes)
+            if self.runner is not None:
+                known |= set(self.runner.lakes)
+            unknown = {r.target for r in cfg.routes} - known
+            if unknown:
                 raise ValueError(
                     f"route patch targets {sorted(unknown)} have no lake in "
-                    "this task — add the lake at task start, or run in "
-                    "runner mode with lake_root for CREATE-TABLE auto-create"
+                    "this task — pre-create the lake and register it, or "
+                    "restart the task with the new route (runner mode "
+                    "auto-creates lakes only when the target's CREATE TABLE "
+                    "arrives in-stream)"
                 )
         if "allow_tables" in patch:
             cfg.allow_tables = list(patch["allow_tables"])
@@ -364,6 +379,40 @@ class CdcStreamDriver:
             self.batch_stats.append({"batch_id": None, "ddls": len(trailing), "trailing": True})
         return self.batch_stats
 
+    def _checkpoint_settled(self) -> bool:
+        """True iff Spark's commit log has caught up with its offset
+        log — no planned-but-uncommitted micro-batch will replay on the
+        next start."""
+        import os
+
+        def latest(sub: str) -> int:
+            d = os.path.join(self.checkpoint_dir, sub)
+            try:
+                ids = [int(f) for f in os.listdir(d) if f.isdigit()]
+            except FileNotFoundError:
+                return -1
+            return max(ids, default=-1)
+
+        return latest("offsets") == latest("commits")
+
+    def _settle_inflight(self) -> None:
+        """Replay the interrupted (planned-but-uncommitted) micro-batch
+        under the CURRENT pipeline config and stop — a single
+        trigger-once run re-executes exactly the batch in the offset
+        log (the lake batch-id gates make the re-merge idempotent),
+        leaving offsets == commits so a route patch cannot re-route an
+        in-flight batch mid-replay."""
+        stream = read_feed_stream(
+            self.spark, self.feed_dir, self.max_files_per_trigger
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
     def run_continuous(
         self,
         trigger_sec: float = 1.0,
@@ -401,7 +450,22 @@ class CdcStreamDriver:
                 # paused = the update-task window: the full patch
                 # surface (filters + routes) applies here, before any
                 # batch can run under the new rules — the reference's
-                # pause-task -> update-task -> resume-task flow
+                # pause-task -> update-task -> resume-task flow.
+                # A pause can interrupt a micro-batch AFTER its lake
+                # commit but BEFORE Spark's commit log — that batch
+                # replays on resume, and under NEW routes the redirected
+                # rows would land in a second lake whose batch-id gate
+                # has never seen them (double-apply). Settle the
+                # interrupted batch under the OLD routes first
+                # (review r5).
+                patch = ctl.get("config_patch")
+                if (
+                    patch
+                    and "routes" in patch
+                    and patch != getattr(self, "_applied_patch", None)
+                    and not self._checkpoint_settled()
+                ):
+                    self._settle_inflight()
                 self._apply_config_patch(ctl, paused=True)
                 time.sleep(poll_sec)
                 continue

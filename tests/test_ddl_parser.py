@@ -291,6 +291,53 @@ def test_conditional_comment_contents_survive():
     assert [(e.action, e.column) for e in evs] == [("add_column", "r")]
 
 
+def test_string_literals_cannot_fool_structural_scans():
+    """Review r5: structural scans (paren balancing, clause splitting,
+    tail heuristics, generated-column detection) run over a
+    string-masked copy — literals containing ')', ',', 'as (' or
+    keywords must neither truncate the body, split a clause, reject a
+    valid table option, nor classify a data column as generated."""
+    # unbalanced ')' inside a DEFAULT literal: all three columns survive
+    (e,) = parse_ddl(
+        "CREATE TABLE t (a INT, note VARCHAR(20) DEFAULT 'end)', flag INT)", 0, 1
+    )
+    assert [c[0] for c in e.columns] == ["a", "note", "flag"]
+    # COMMENT table options with parens / keywords parse clean
+    (e,) = parse_ddl(
+        "CREATE TABLE t (a INT) ENGINE=InnoDB COMMENT='user accounts (active)'",
+        0, 1,
+    )
+    assert e.columns == [("a", "int")]
+    (e,) = parse_ddl("CREATE TABLE t (a INT) COMMENT='as is'", 0, 1)
+    assert e.columns == [("a", "int")]
+    # a literal containing 'as (x)' is NOT a generated column
+    (e,) = parse_ddl(
+        "CREATE TABLE t (a INT, note VARCHAR(20) DEFAULT 'as (x)')", 0, 1
+    )
+    assert [c[0] for c in e.columns] == ["a", "note"] and not e.generated
+    # commas inside literals don't split clauses
+    (e,) = parse_ddl(
+        "CREATE TABLE t (a INT, b VARCHAR(9) DEFAULT 'x,y', c INT)", 0, 1
+    )
+    assert [c[0] for c in e.columns] == ["a", "b", "c"]
+    # partition tails still reject loudly (the mask must not hide them)
+    with pytest.raises(UnsupportedDdl):
+        parse_ddl(
+            "CREATE TABLE t (a INT) PARTITION BY RANGE (a) "
+            "(PARTITION p0 VALUES LESS THAN (10))", 0, 1,
+        )
+
+
+def test_bare_as_expr_generated_form():
+    """Review r5: MySQL's bare `col type AS (expr)` form (no GENERATED
+    ALWAYS, no VIRTUAL/STORED) is a generated column — it must register,
+    not parse as a data column that would hold permanent NULLs."""
+    (e,) = parse_ddl("CREATE TABLE t (id INT PRIMARY KEY, g INT AS (id+1))", 0, 1)
+    assert e.columns == [("id", "int")] and e.generated == ["g"]
+    evs = parse_ddl("ALTER TABLE t ADD COLUMN g INT AS (id+1)", 0, 1)
+    assert [ev.action for ev in evs] == ["add_generated_column"]
+
+
 def test_enum_set_types_map_to_string():
     """ENUM/SET columns replicate by value as strings (the member list
     constrains upstream writes, not the downstream type — the

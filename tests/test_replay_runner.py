@@ -855,6 +855,16 @@ def test_generated_column_add_registers_and_dmls_keep_applying(spark, tmp_path):
     )
     # upstream declares `tool` generated at (0,5): the parser output
     # feeds straight into the runner (no error operator needed)
+    # images CARRY a tool value — it must never land downstream
+    import pyspark.sql.functions as F
+
+    feed = feed.withColumn(
+        "after",
+        F.when(
+            F.col("after").isNotNull(),
+            F.col("after").withField("tool", F.lit("SHOULD_NOT_LAND")),
+        ),
+    )
     ddls = parse_ddl(
         "ALTER TABLE shard_0.t ADD COLUMN tool VARCHAR(64) "
         "GENERATED ALWAYS AS (upper(role)) STORED",
@@ -862,18 +872,73 @@ def test_generated_column_add_registers_and_dmls_keep_applying(spark, tmp_path):
     )
     assert [e.action for e in ddls] == ["add_generated_column"]
     runner.replay(feed, ddls)
-    assert "tool" in runner.pipeline.config.generated_columns
-    # post-DDL transforms PRUNE the generated column from the images
-    assert "tool" not in runner.pipeline.transform(feed).columns
-    # ...and every DML applied (replication never halted)
+    # registration is scoped to the declaring table's TARGET — a
+    # name-global registration would prune same-named DATA columns on
+    # every other table in the task (review r5)
+    assert runner.dynamic_generated == {"transcripts": ["tool"]}
+    # the target-shaped merge frame PRUNES the generated column
+    flat = runner.pipeline.transform(feed)
+    assert "tool" not in runner._to_target_shape(flat, "transcripts").columns
+    # ...every DML applied (replication never halted), value withheld
     assert rows(lake) == [("a", 1, "v2"), ("b", 1, "v1")]
+    tools = {r.tool for r in lake.read().select("tool").collect()}
+    assert tools == {None}
     # crash durability: a fresh runner restores the registration
     state = runner.state_json()
-    assert state["generated_columns"] == ["tool"]
+    assert state["generated_columns"] == {"transcripts": ["tool"]}
     cfg2 = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
     runner2 = ReplayRunner(pipeline=ApplyPipeline(cfg2), lake=lake)
     runner2.restore_state(state)
-    assert "tool" in runner2.pipeline.config.generated_columns
+    assert runner2.dynamic_generated == {"transcripts": ["tool"]}
+    # legacy (pre-scoping) list-form state still restores, to the old
+    # name-global semantics it was written under
+    runner3 = ReplayRunner(
+        pipeline=ApplyPipeline(
+            TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+        ),
+        lake=lake,
+    )
+    runner3.restore_state({**state, "generated_columns": ["tool"]})
+    assert "tool" in runner3.pipeline.config.generated_columns
+
+
+def test_generated_column_prune_is_target_scoped(spark, tmp_path):
+    """Review r5: a generated-column DDL on ONE table must not prune a
+    same-named DATA column from a table routed to a DIFFERENT target —
+    that would silently null-fill real data on every upsert."""
+    from dm_spark.schema.ddl_parser import parse_ddl
+
+    cfg = TaskConfig(
+        routes=[
+            RouteRule(pattern="shard_*.t", target="transcripts"),
+            RouteRule(pattern="db.users", target="users"),
+        ]
+    )
+    lakes = {
+        "transcripts": LakeTable.create(
+            spark, str(tmp_path / "lk_t"), SCHEMA, KEY, n_buckets=2
+        ),
+        "users": LakeTable.create(
+            spark, str(tmp_path / "lk_u"), SCHEMA, KEY, n_buckets=2
+        ),
+    }
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lakes=lakes)
+    # upstream declares `text` generated on shard_0.t ONLY
+    ddls = parse_ddl(
+        "ALTER TABLE shard_0.t ADD COLUMN text TEXT GENERATED ALWAYS "
+        "AS ('x') STORED", 0, 1,
+    )
+    feed = ev(
+        spark,
+        [
+            ("I", "a", 1, "gen-value", "shard_0.t", 0, 2),
+            ("I", "u", 1, "real-data", "db.users", 0, 3),
+        ],
+    )
+    runner.replay(feed, ddls)
+    # declaring target: value withheld; other target: data intact
+    assert {r.text for r in lakes["transcripts"].read().collect()} == {None}
+    assert {r.text for r in lakes["users"].read().collect()} == {"real-data"}
 
 
 def test_create_table_with_generated_column_registers(spark, tmp_path):
@@ -894,7 +959,7 @@ def test_create_table_with_generated_column_registers(spark, tmp_path):
     )
     runner.handle_ddl(cev)
     assert runner.registry.get("db.t9") == [("id", "bigint"), ("v", "string")]
-    assert "v_up" in runner.pipeline.config.generated_columns
+    assert runner.dynamic_generated == {"db.t9": ["v_up"]}
     created = runner.lakes["db.t9"]
     assert [f["name"] for f in created.schema_fields()] == ["id", "v"]
 
