@@ -18,8 +18,16 @@ import re
 from dataclasses import dataclass, field
 
 
-def pattern_to_regex(p: str) -> str:
-    """'shard_*.transcripts_*' -> anchored regex."""
+def pattern_to_regex(p: str, case_sensitive: bool = False) -> str:
+    """'shard_*.transcripts_*' -> anchored regex.
+
+    Matching is case-INSENSITIVE by default, like the reference: every
+    matching surface (ba-list, binlog filter, column mapping, table
+    router) is built with `cfg.CaseSensitive` (syncer/syncer.go:
+    323-336), whose config default is false (dm/config/
+    source_config.go:94) — mirroring MySQL's usual
+    lower_case_table_names behavior. `TaskConfig(case_sensitive=True)`
+    opts into exact matching."""
     out = []
     for ch in p:
         if ch == "*":
@@ -28,7 +36,7 @@ def pattern_to_regex(p: str) -> str:
             out.append(".")
         else:
             out.append(re.escape(ch))
-    return "^" + "".join(out) + "$"
+    return ("" if case_sensitive else "(?i)") + "^" + "".join(out) + "$"
 
 
 @dataclass
@@ -107,6 +115,9 @@ class TaskConfig:
     generated_columns: list[str] = field(default_factory=list)  # pruned (dml.go:358)
     # drop gh-ost/pt-osc ghost & trash table DMLs (syncer/filter.go:74-78)
     online_ddl: bool = True
+    # exact-case pattern matching for ba-list/filters/router/mappings
+    # (source_config.go:94 `case-sensitive`; reference default false)
+    case_sensitive: bool = False
     # physical tuning (dm/config/task.go:70-73 analogs)
     n_buckets: int = 32
     shuffle_partitions: int | None = None
@@ -117,7 +128,7 @@ class TaskConfig:
         c = TaskConfig()
         for k in ("target_table", "key", "unique_keys", "allow_tables", "deny_tables",
                   "generated_columns", "n_buckets", "shuffle_partitions",
-                  "salt_hot_keys", "online_ddl"):
+                  "salt_hot_keys", "online_ddl", "case_sensitive"):
             if k in d:
                 setattr(c, k, d[k])
         c.routes = [RouteRule(**r) for r in d.get("routes", [])]
@@ -132,6 +143,6 @@ class TaskConfig:
         unrouted keeps the source name) — used to route DDL events to
         their target lake."""
         for r in self.routes:
-            if re.match(pattern_to_regex(r.pattern), source_table):
+            if re.match(pattern_to_regex(r.pattern, self.case_sensitive), source_table):
                 return r.target
         return source_table

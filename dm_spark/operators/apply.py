@@ -160,13 +160,14 @@ class ApplyPipeline:
             from dm_spark.schema.online_ddl import filter_online_ddl_tables
 
             df = filter_online_ddl_tables(df)
-        df = ba_list_filter(df, c.allow_tables, c.deny_tables)
-        df = event_type_filter(df, c.event_filters)
-        df = expression_filter(df, c.expr_filters)
-        df = apply_column_mappings(df, c.column_mappings)
+        cs = c.case_sensitive
+        df = ba_list_filter(df, c.allow_tables, c.deny_tables, case_sensitive=cs)
+        df = event_type_filter(df, c.event_filters, case_sensitive=cs)
+        df = expression_filter(df, c.expr_filters, case_sensitive=cs)
+        df = apply_column_mappings(df, c.column_mappings, case_sensitive=cs)
         if c.generated_columns:
             df = prune_generated_columns(df, c.generated_columns)
-        df = route_tables(df, c.routes)
+        df = route_tables(df, c.routes, case_sensitive=cs)
         # the configured key drives the key-changing-update split — a
         # task keyed differently from the feed default must still split
         # moved identities into DELETE(old)+upsert(new) (ADVICE r02);

@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from dm_spark.config import EventFilterRule, ExprFilterRule, pattern_to_regex
 
 
-def _matches(col: Column, pattern: str) -> Column:
-    return col.rlike(pattern_to_regex(pattern))
+def _matches(col: Column, pattern: str, case_sensitive: bool = False) -> Column:
+    # case-insensitive by default, like every reference matching
+    # surface (syncer/syncer.go:323-336 with cfg.CaseSensitive=false)
+    return col.rlike(pattern_to_regex(pattern, case_sensitive))
 
 
 def ba_list_filter(
@@ -29,6 +31,7 @@ def ba_list_filter(
     allow: list[str] | None = None,
     deny: list[str] | None = None,
     table_col: str = "source_table",
+    case_sensitive: bool = False,
 ) -> DataFrame:
     """Keep rows whose source table passes the allow list (if any) and
     is not denied. Allow is evaluated first, as in the reference's
@@ -37,27 +40,32 @@ def ba_list_filter(
     if allow:
         keep = F.lit(False)
         for p in allow:
-            keep = keep | _matches(c, p)
+            keep = keep | _matches(c, p, case_sensitive)
         df = df.filter(keep)
     for p in deny or []:
-        df = df.filter(~_matches(c, p))
+        df = df.filter(~_matches(c, p, case_sensitive))
     return df
 
 
 def event_type_filter(
-    df: DataFrame, rules: list[EventFilterRule], table_col: str = "source_table"
+    df: DataFrame, rules: list[EventFilterRule], table_col: str = "source_table",
+    case_sensitive: bool = False,
 ) -> DataFrame:
     """Drop event classes (I/U/D) per table pattern."""
     for r in rules:
         if r.ignore_ops:
             df = df.filter(
-                ~(_matches(F.col(table_col), r.pattern) & F.col("op").isin(list(r.ignore_ops)))
+                ~(
+                    _matches(F.col(table_col), r.pattern, case_sensitive)
+                    & F.col("op").isin(list(r.ignore_ops))
+                )
             )
     return df
 
 
 def expression_filter(
-    df: DataFrame, rules: list[ExprFilterRule], table_col: str = "source_table"
+    df: DataFrame, rules: list[ExprFilterRule], table_col: str = "source_table",
+    case_sensitive: bool = False,
 ) -> DataFrame:
     """Drop DMLs matching user SQL expressions over the row images.
 
@@ -67,7 +75,7 @@ def expression_filter(
     post-DDL DataFrame.
     """
     for r in rules:
-        tbl = _matches(F.col(table_col), r.pattern)
+        tbl = _matches(F.col(table_col), r.pattern, case_sensitive)
         drop = F.lit(False)
         if r.insert_expr:
             drop = drop | ((F.col("op") == "I") & F.expr(r.insert_expr))

@@ -18,10 +18,11 @@ from dm_spark.config import ColumnMappingRule, pattern_to_regex
 
 
 def apply_column_mappings(
-    df: DataFrame, rules: list[ColumnMappingRule], table_col: str = "source_table"
+    df: DataFrame, rules: list[ColumnMappingRule], table_col: str = "source_table",
+    case_sensitive: bool = False,
 ) -> DataFrame:
     for r in rules:
-        cond = F.col(table_col).rlike(pattern_to_regex(r.pattern))
+        cond = F.col(table_col).rlike(pattern_to_regex(r.pattern, case_sensitive))
         for img in ("before", "after"):
             scoped = r.expr.replace("IMG.", f"{img}.")
             new_img = F.col(img).withField(r.column, F.expr(scoped))

@@ -25,13 +25,14 @@ def route_tables(
     table_col: str = "source_table",
     target_col: str = "target_table",
     default_keep: bool = True,
+    case_sensitive: bool = False,
 ) -> DataFrame:
     """Add `target_col`; first matching rule wins (reference router
     precedence). Unrouted tables keep their source name when
     `default_keep`, else get NULL (caller may drop them)."""
     expr = None
     for r in routes:
-        cond = F.col(table_col).rlike(pattern_to_regex(r.pattern))
+        cond = F.col(table_col).rlike(pattern_to_regex(r.pattern, case_sensitive))
         expr = F.when(cond, F.lit(r.target)) if expr is None else expr.when(cond, F.lit(r.target))
     if expr is None:
         expr = F.col(table_col) if default_keep else F.lit(None).cast("string")

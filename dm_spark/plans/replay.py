@@ -183,7 +183,10 @@ class ReplayRunner:
             if action.get(k)
         )
         for r in self.pipeline.config.ddl_filters:
-            if not re.match(pattern_to_regex(r.pattern), source_table):
+            if not re.match(
+                pattern_to_regex(r.pattern, self.pipeline.config.case_sensitive),
+                source_table,
+            ):
                 continue
             if action["action"] in r.ignore_kinds:
                 return True
@@ -446,7 +449,10 @@ class ReplayRunner:
         gate makes the redelivered rename obsolete."""
         pat = re.compile(rf"\b{re.escape(old)}\b")
         for r in self.pipeline.config.expr_filters:
-            if not re.match(pattern_to_regex(r.pattern), source_table):
+            if not re.match(
+                pattern_to_regex(r.pattern, self.pipeline.config.case_sensitive),
+                source_table,
+            ):
                 continue
             exprs = [r.insert_expr, r.update_old_expr, r.update_new_expr, r.delete_expr]
             # match against column REFERENCES only: a data value inside

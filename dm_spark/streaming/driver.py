@@ -280,6 +280,79 @@ class CdcStreamDriver:
         if patch is not None:
             self._staged_patch = None
             self._apply_config_patch({"config_patch": patch})
+        sop = getattr(self, "_staged_schema_op", None)
+        if sop is not None:
+            self._staged_schema_op = None
+            self._apply_schema_op({"schema_op": sop})
+
+    def _stage_schema_op(self, ctl: dict) -> None:
+        """Poll-thread side of operate-schema: validate shape and stage;
+        the registry mutation happens at the next batch boundary (same
+        mid-batch hazard as config patches — runner mode consults the
+        registry repeatedly inside one replay)."""
+        op = ctl.get("schema_op")
+        if not op or op == getattr(self, "_applied_schema_op", None):
+            return
+        self._validate_schema_op(op)
+        self._staged_schema_op = op
+
+    def _validate_schema_op(self, op: dict) -> None:
+        if self.runner is None:
+            raise ValueError(
+                "schema_op needs runner mode — the schema tracker lives in "
+                "ReplayRunner (plain-pipeline tasks carry no per-table schemas)"
+            )
+        kind = op.get("op")
+        if kind not in ("set", "remove"):
+            raise ValueError(f"schema_op.op must be set|remove, got {kind!r}")
+        if not op.get("table"):
+            raise ValueError("schema_op needs a table ('db.table')")
+        if kind == "set" and not op.get("create"):
+            raise ValueError(
+                "schema_op set needs 'create': a CREATE TABLE statement "
+                "(the reference's operate-schema set takes a schema file "
+                "holding one, dm/ctl/master/operate_schema.go:30-40)"
+            )
+
+    def _apply_schema_op(self, ctl: dict) -> None:
+        """dmctl operate-schema set/remove (dm/ctl/master/
+        operate_schema.go; exercised by tests/tracker_ignored_ddl):
+        overwrite or drop the schema TRACKER's view of an upstream
+        table when it has diverged from reality — e.g. a DDL the task's
+        filters ignored upstream but whose shape the images now carry.
+        `set` takes a CREATE TABLE statement (parsed by the engine's
+        own DDL grammar — declared generated columns register for
+        pruning, exactly as an in-stream CREATE would); `remove` drops
+        the entry so the next CREATE TABLE / image re-seeds it. `get`
+        needs no driver round-trip: the runner state file next to the
+        checkpoint always holds the current schemas (main.py reads it).
+        Applied at a batch boundary and persisted immediately (the
+        reference's --flush)."""
+        op = ctl.get("schema_op")
+        if not op or op == getattr(self, "_applied_schema_op", None):
+            return
+        self._validate_schema_op(op)
+        from dm_spark.schema.ddl_parser import parse_ddl
+
+        table = op["table"]
+        if op["op"] == "set":
+            evs = parse_ddl(op["create"], 0, 0)
+            if len(evs) != 1 or evs[0].action != "create_table":
+                raise ValueError(
+                    "schema_op set: 'create' must be a single CREATE TABLE "
+                    f"statement, parsed to {[e.action for e in evs]}"
+                )
+            ev = evs[0]
+            # direct assignment, NOT registry.seed: seed is setdefault
+            # (first-seen wins), but operate-schema set exists precisely
+            # to OVERWRITE a diverged tracker view
+            self.runner.registry.schemas[table] = [tuple(c) for c in ev.columns or []]
+            if ev.generated:
+                self.runner._register_generated(list(ev.generated), table)
+        else:  # remove
+            self.runner.registry.schemas.pop(table, None)
+        self._save_runner_state()
+        self._applied_schema_op = op
 
     def _apply_config_patch(self, ctl: dict, paused: bool = False) -> None:
         import copy
@@ -467,6 +540,7 @@ class CdcStreamDriver:
                 ):
                     self._settle_inflight()
                 self._apply_config_patch(ctl, paused=True)
+                self._apply_schema_op(ctl)
                 time.sleep(poll_sec)
                 continue
             self.paused = False
@@ -492,6 +566,7 @@ class CdcStreamDriver:
                     if ctl.get("pause"):
                         break  # stop the query; outer loop idles until cleared
                     self._stage_config_patch(ctl)
+                    self._stage_schema_op(ctl)
                     time.sleep(poll_sec)
                 else:
                     done = True  # query died or overall timeout

@@ -43,6 +43,14 @@ def ctl(argv: list[str]) -> int:
         python main.py ctl <checkpoint_dir> resume
         python main.py ctl <checkpoint_dir> stop
         python main.py ctl <checkpoint_dir> patch '{"deny_tables": ["db.*"]}'
+        python main.py ctl <checkpoint_dir> schema get <db.table>
+        python main.py ctl <checkpoint_dir> schema set <db.table> 'CREATE TABLE ...'
+        python main.py ctl <checkpoint_dir> schema remove <db.table>
+
+    `schema` is the operate-schema analog (dm/ctl/master/
+    operate_schema.go, tests/tracker_ignored_ddl): get reads the
+    runner state file directly; set/remove stage through control.json
+    and apply at the next batch boundary (runner-mode tasks only).
     """
     import os
 
@@ -76,6 +84,37 @@ def ctl(argv: list[str]) -> int:
             body["config_patch"] = json.loads(argv[2])
         except json.JSONDecodeError as e:
             raise SystemExit(f"ctl patch: invalid JSON ({e}): {argv[2]!r}") from e
+    elif cmd == "schema":
+        if len(argv) < 4:
+            print(ctl.__doc__)
+            return 2
+        sub, table = argv[2], argv[3]
+        if sub == "get":
+            # no driver round-trip: the runner persists its state
+            # (schemas included) next to the checkpoint every batch
+            state_path = os.path.join(cp_dir, "runner_state.json")
+            try:
+                with open(state_path) as f:
+                    schemas = json.load(f).get("schemas", {})
+            except FileNotFoundError:
+                raise SystemExit(
+                    f"schema get: no runner state at {state_path} — the task "
+                    "has not committed a batch yet, or is not in runner mode"
+                ) from None
+            if table not in schemas:
+                raise SystemExit(f"schema get: no tracked schema for {table!r} "
+                                 f"(tracked: {sorted(schemas)})")
+            print(json.dumps({"table": table, "schema": schemas[table]}))
+            return 0
+        if sub == "set":
+            if len(argv) < 5:
+                print(ctl.__doc__)
+                return 2
+            body["schema_op"] = {"op": "set", "table": table, "create": argv[4]}
+        elif sub == "remove":
+            body["schema_op"] = {"op": "remove", "table": table}
+        else:
+            raise SystemExit(f"unknown schema subcommand {sub}")
     else:
         raise SystemExit(f"unknown ctl command {cmd}")
     os.makedirs(cp_dir, exist_ok=True)

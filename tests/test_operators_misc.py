@@ -292,3 +292,40 @@ def test_frame_sample_no_phantom_frame(spark):
         by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_off, r.frame_len))
     assert sorted(by_doc[1]) == [(0, 0, 64), (1, 64, 64)]  # no (2,128,0)
     assert sorted(by_doc[2]) == [(0, 0, 64), (1, 64, 36)]
+
+
+def test_pattern_matching_case_insensitive_by_default(spark):
+    """The reference builds every matching surface (ba-list, event
+    filter, router, column mapping) with cfg.CaseSensitive
+    (syncer/syncer.go:323-336), default FALSE (source_config.go:94) —
+    mirroring MySQL's usual lower_case_table_names. A mixed-case
+    upstream name must match lowercase patterns by default;
+    TaskConfig(case_sensitive=True) opts into exact matching."""
+    from dm_spark.config import RouteRule, TaskConfig
+    from dm_spark.operators.filters import ba_list_filter
+    from dm_spark.operators.router import route_tables
+
+    df = spark.createDataFrame(
+        [("Shard_0.Transcripts_A", 1), ("other.t", 2)],
+        "source_table string, x int",
+    )
+    # default: insensitive — the mixed-case table passes the allow list
+    # and routes
+    kept = ba_list_filter(df, allow=["shard_*.transcripts_*"]).collect()
+    assert [r.x for r in kept] == [1]
+    routed = route_tables(
+        df, [RouteRule(pattern="shard_*.transcripts_*", target="transcripts")],
+    ).collect()
+    assert {(r.x, r.target_table) for r in routed} == {
+        (1, "transcripts"), (2, "other.t"),
+    }
+    # opt-in exact matching: the mixed-case name no longer matches
+    kept = ba_list_filter(
+        df, allow=["shard_*.transcripts_*"], case_sensitive=True
+    ).collect()
+    assert kept == []
+    # driver-side twin agrees with the executor-side router
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    assert cfg.route_of("Shard_0.Transcripts_A") == "transcripts"
+    cfg.case_sensitive = True
+    assert cfg.route_of("Shard_0.Transcripts_A") == "Shard_0.Transcripts_A"

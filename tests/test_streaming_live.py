@@ -459,3 +459,78 @@ def test_route_patch_validation_paused_only(spark, tmp_path):
             {"config_patch": {"routes": [{"pattern": "b.*", "target": "nowhere"}]}},
             paused=True,
         )
+
+
+def test_operate_schema_ctl_get_set_remove(spark, tmp_path):
+    """dmctl operate-schema analog (dm/ctl/master/operate_schema.go;
+    tests/tracker_ignored_ddl): `main.py ctl <cp> schema get` reads the
+    persisted runner state; `set` overwrites the tracker's view of a
+    table from a CREATE TABLE statement (declared generated columns
+    register for pruning); `remove` drops the entry. set/remove stage
+    through control.json and apply at a batch boundary; a repeated
+    poll of the same control content must not re-apply."""
+    import json
+
+    import pytest
+
+    import main as mainmod
+    from dm_spark.plans import ReplayRunner
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="db.*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_os"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    runner.registry.seed("db.t", [("id", "bigint"), ("v", "string")])
+    cp = str(tmp_path / "cp")
+    os.makedirs(cp, exist_ok=True)
+    drv = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), cp, ApplyPipeline(cfg),
+        {"transcripts": lake}, runner=runner,
+    )
+    drv._save_runner_state()
+
+    # get: straight from the state file, no driver round-trip
+    assert mainmod.ctl([cp, "schema", "get", "db.t"]) == 0
+    with pytest.raises(SystemExit, match="no tracked schema"):
+        mainmod.ctl([cp, "schema", "get", "db.missing"])
+
+    # set: stage via control.json, apply at the batch boundary
+    mainmod.ctl([
+        cp, "schema", "set", "db.t",
+        "CREATE TABLE db.t (id BIGINT PRIMARY KEY, v TEXT, extra INT, "
+        "g INT AS (id+1))",
+    ])
+    ctl = drv._read_control()
+    drv._stage_schema_op(ctl)
+    drv._apply_staged_patch()
+    assert runner.registry.get("db.t") == [
+        ("id", "bigint"), ("v", "string"), ("extra", "int")
+    ]
+    # declared generated column registered exactly as an in-stream
+    # CREATE would register it
+    assert runner.dynamic_generated == {"transcripts": ["g"]}
+    # persisted immediately (the reference's --flush)
+    with open(os.path.join(cp, "runner_state.json")) as f:
+        assert f.read().find('"extra"') > 0
+    # idempotence: the same control content stages nothing
+    drv._stage_schema_op(ctl)
+    assert getattr(drv, "_staged_schema_op", None) is None
+
+    # remove
+    mainmod.ctl([cp, "schema", "remove", "db.t"])
+    ctl = drv._read_control()
+    drv._stage_schema_op(ctl)
+    drv._apply_staged_patch()
+    assert "db.t" not in runner.registry.schemas
+
+    # plain-pipeline tasks refuse loudly: no tracker to operate on
+    plain = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), str(tmp_path / "cp2"),
+        ApplyPipeline(cfg), {"transcripts": lake},
+    )
+    with pytest.raises(ValueError, match="runner mode"):
+        plain._validate_schema_op({"op": "set", "table": "db.t", "create": "x"})
+    # malformed ops refuse with the field named
+    with pytest.raises(ValueError, match="set|remove"):
+        drv._validate_schema_op({"op": "frobnicate", "table": "db.t"})
+    with pytest.raises(ValueError, match="CREATE TABLE"):
+        drv._validate_schema_op({"op": "set", "table": "db.t"})
