@@ -586,9 +586,13 @@ def _with_feed(body: str, feed_where: str = "TRUE", feed: str = FEED_SQL) -> str
     return f"WITH feed AS (SELECT * FROM ({feed}) WHERE {feed_where}), {body}"
 
 
+# ILIKE, not LIKE: the engine's pattern surfaces match
+# case-insensitively by default (source_config.go:94), so the oracle
+# twins must encode the same semantics — the corpus is lowercase today,
+# but a mixed-case fixture must diverge NEITHER side or BOTH
 _FILTER_MATRIX_WHERE = """
-  source_table NOT LIKE 'shard_3.%'
-  AND NOT (op = 'D' AND source_table LIKE '%.transcripts_1')
+  source_table NOT ILIKE 'shard_3.%'
+  AND NOT (op = 'D' AND source_table ILIKE '%.transcripts_1')
   AND NOT (op = 'I' AND role = 'tool' AND tool = 'tool_0')
 """
 
@@ -604,11 +608,11 @@ ORACLES = {
         "SELECT op, conv_id, turn_idx, role, text, file_seq, pos FROM m"
     ),
     "cdc_ba_list_filter": (
-        f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT} WHERE source_table NOT LIKE 'shard_3.%'"
+        f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT} WHERE source_table NOT ILIKE 'shard_3.%'"
     ),
     "cdc_event_type_filter": (
         f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT} "
-        "WHERE NOT (op = 'D' AND source_table LIKE '%.transcripts_1')"
+        "WHERE NOT (op = 'D' AND source_table ILIKE '%.transcripts_1')"
     ),
     "cdc_expr_filter": (
         f"WITH feed AS ({FEED_SQL}) {_ORACLE_FLAT} "
@@ -619,8 +623,8 @@ ORACLES = {
     "cdc_table_router": (
         f"WITH feed AS ({FEED_SQL}) "
         "SELECT source_table, "
-        "CASE WHEN source_table LIKE 'shard_3.%' THEN 'quarantine' "
-        "WHEN source_table LIKE 'shard_%.transcripts_%' THEN 'transcripts' "
+        "CASE WHEN source_table ILIKE 'shard_3.%' THEN 'quarantine' "
+        "WHEN source_table ILIKE 'shard_%.transcripts_%' THEN 'transcripts' "
         "ELSE source_table END AS target_table, count(*) AS n "
         "FROM feed GROUP BY 1, 2"
     ),

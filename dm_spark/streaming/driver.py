@@ -68,6 +68,17 @@ class CdcStreamDriver:
         if self.runner is not None and os.path.exists(self._runner_state_path):
             with open(self._runner_state_path) as f:
                 self.runner.restore_state(json.load(f))
+        # operate-schema ops are applied at most once per issued op: the
+        # last applied op is persisted beside the checkpoint so a driver
+        # restart does not re-apply the op still present in control.json
+        # (which would revert any schema evolution applied since)
+        self._applied_schema_op_path = os.path.join(
+            checkpoint_dir, "applied_schema_op.json"
+        )
+        self._applied_schema_op = None
+        if os.path.exists(self._applied_schema_op_path):
+            with open(self._applied_schema_op_path) as f:
+                self._applied_schema_op = json.load(f)
         # MoR maintenance: fold delta files back into base every N
         # batches (the rewrite_data_files scheduling a table service
         # would own on a real lakehouse)
@@ -296,7 +307,13 @@ class CdcStreamDriver:
         self._validate_schema_op(op)
         self._staged_schema_op = op
 
-    def _validate_schema_op(self, op: dict) -> None:
+    def _validate_schema_op(self, op: dict):
+        """Full validation — including parsing the CREATE — so a bad
+        statement is refused at stage time in the poll thread (or at
+        compose time in `main.py ctl`, which calls this grammar too),
+        never first discovered inside foreachBatch where it would kill
+        the live query and poison every restart. Returns the parsed
+        DdlEvent for `set`, None for `remove`."""
         if self.runner is None:
             raise ValueError(
                 "schema_op needs runner mode — the schema tracker lives in "
@@ -307,12 +324,33 @@ class CdcStreamDriver:
             raise ValueError(f"schema_op.op must be set|remove, got {kind!r}")
         if not op.get("table"):
             raise ValueError("schema_op needs a table ('db.table')")
-        if kind == "set" and not op.get("create"):
+        if kind != "set":
+            return None
+        if not op.get("create"):
             raise ValueError(
                 "schema_op set needs 'create': a CREATE TABLE statement "
                 "(the reference's operate-schema set takes a schema file "
                 "holding one, dm/ctl/master/operate_schema.go:30-40)"
             )
+        from dm_spark.schema.ddl_parser import parse_ddl
+
+        evs = parse_ddl(op["create"], 0, 0)
+        if len(evs) != 1 or evs[0].action != "create_table":
+            raise ValueError(
+                "schema_op set: 'create' must be a single CREATE TABLE "
+                f"statement, parsed to {[e.action for e in evs]}"
+            )
+        ev = evs[0]
+        # a statement naming a DIFFERENT table (copy-paste of another
+        # shard's DDL) would silently install that table's shape under
+        # this op's key — refuse instead of trusting the op key
+        if ev.source_table and ev.source_table != op["table"]:
+            raise ValueError(
+                f"schema_op set: the CREATE TABLE statement names "
+                f"{ev.source_table!r} but the op targets {op['table']!r} — "
+                "refusing to install one table's schema under another's key"
+            )
+        return ev
 
     def _apply_schema_op(self, ctl: dict) -> None:
         """dmctl operate-schema set/remove (dm/ctl/master/
@@ -331,28 +369,42 @@ class CdcStreamDriver:
         op = ctl.get("schema_op")
         if not op or op == getattr(self, "_applied_schema_op", None):
             return
-        self._validate_schema_op(op)
-        from dm_spark.schema.ddl_parser import parse_ddl
-
+        ev = self._validate_schema_op(op)
         table = op["table"]
         if op["op"] == "set":
-            evs = parse_ddl(op["create"], 0, 0)
-            if len(evs) != 1 or evs[0].action != "create_table":
-                raise ValueError(
-                    "schema_op set: 'create' must be a single CREATE TABLE "
-                    f"statement, parsed to {[e.action for e in evs]}"
-                )
-            ev = evs[0]
+            cols = [tuple(c) for c in ev.columns or []]
             # direct assignment, NOT registry.seed: seed is setdefault
             # (first-seen wins), but operate-schema set exists precisely
             # to OVERWRITE a diverged tracker view
-            self.runner.registry.schemas[table] = [tuple(c) for c in ev.columns or []]
+            self.runner.registry.schemas[table] = cols
+            # mirror the in-stream create_table path (plans/replay.py
+            # _handle_table_ddl) exactly: columns the new CREATE declares
+            # as DATA columns must stop being generated-pruned, and a
+            # previously dropped table becomes live again — otherwise the
+            # set reports success while merges keep pruning the column /
+            # the dropped_tables gate keeps eating every DML
+            target = self.runner.pipeline.config.route_of(table)
+            cur = self.runner.dynamic_generated.get(target)
+            if cur:
+                data_cols = {c for c, _t in cols}
+                cur[:] = [g for g in cur if g not in data_cols]
+                if not cur:
+                    self.runner.dynamic_generated.pop(target, None)
             if ev.generated:
                 self.runner._register_generated(list(ev.generated), table)
+            self.runner.dropped_tables.discard(table)
         else:  # remove
             self.runner.registry.schemas.pop(table, None)
         self._save_runner_state()
         self._applied_schema_op = op
+        # persisted guard: schema ops are NOT idempotent (a later
+        # in-stream ALTER legitimately diverges the tracker from the op's
+        # snapshot), so a restart must not re-apply the op still sitting
+        # in control.json — the sidecar survives the process
+        tmp = f"{self._applied_schema_op_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(op, f)
+        os.replace(tmp, self._applied_schema_op_path)
 
     def _apply_config_patch(self, ctl: dict, paused: bool = False) -> None:
         import copy
@@ -532,12 +584,18 @@ class CdcStreamDriver:
                 # interrupted batch under the OLD routes first
                 # (review r5).
                 patch = ctl.get("config_patch")
-                if (
+                sop = ctl.get("schema_op")
+                needs_settle = (
                     patch
                     and "routes" in patch
                     and patch != getattr(self, "_applied_patch", None)
-                    and not self._checkpoint_settled()
-                ):
+                ) or (
+                    # schema ops mutate the registry the replayed batch
+                    # reads — same hazard as a route change (review r5)
+                    sop
+                    and sop != self._applied_schema_op
+                )
+                if needs_settle and not self._checkpoint_settled():
                     self._settle_inflight()
                 self._apply_config_patch(ctl, paused=True)
                 self._apply_schema_op(ctl)

@@ -106,13 +106,44 @@ def ctl(argv: list[str]) -> int:
                                  f"(tracked: {sorted(schemas)})")
             print(json.dumps({"table": table, "schema": schemas[table]}))
             return 0
+        # each issued op carries a fresh id: the driver applies an op at
+        # most once (persisted guard beside the checkpoint), so two
+        # intentional issues of byte-identical content must still be
+        # distinguishable
+        import uuid
+
         if sub == "set":
             if len(argv) < 5:
                 print(ctl.__doc__)
                 return 2
-            body["schema_op"] = {"op": "set", "table": table, "create": argv[4]}
+            # refuse malformed statements HERE, before they reach
+            # control.json — the driver validates again at stage time,
+            # but a bad op written to the control file would loudly kill
+            # the poll loop on every restart until hand-removed
+            from dm_spark.schema.ddl_parser import UnsupportedDdl, parse_ddl
+
+            try:
+                evs = parse_ddl(argv[4], 0, 0)
+            except UnsupportedDdl as e:
+                raise SystemExit(f"schema set: statement rejected: {e}") from e
+            if len(evs) != 1 or evs[0].action != "create_table":
+                raise SystemExit(
+                    "schema set: need a single CREATE TABLE statement, "
+                    f"parsed to {[e.action for e in evs]}"
+                )
+            if evs[0].source_table and evs[0].source_table != table:
+                raise SystemExit(
+                    f"schema set: statement names {evs[0].source_table!r} "
+                    f"but the op targets {table!r}"
+                )
+            body["schema_op"] = {
+                "op": "set", "table": table, "create": argv[4],
+                "id": uuid.uuid4().hex,
+            }
         elif sub == "remove":
-            body["schema_op"] = {"op": "remove", "table": table}
+            body["schema_op"] = {
+                "op": "remove", "table": table, "id": uuid.uuid4().hex,
+            }
         else:
             raise SystemExit(f"unknown schema subcommand {sub}")
     else:

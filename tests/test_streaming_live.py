@@ -534,3 +534,91 @@ def test_operate_schema_ctl_get_set_remove(spark, tmp_path):
         drv._validate_schema_op({"op": "frobnicate", "table": "db.t"})
     with pytest.raises(ValueError, match="CREATE TABLE"):
         drv._validate_schema_op({"op": "set", "table": "db.t"})
+
+
+def test_operate_schema_set_mirrors_in_stream_create(spark, tmp_path):
+    """The set path must behave exactly like an in-stream CREATE
+    (plans/replay.py _handle_table_ddl): columns the new CREATE declares
+    as DATA columns stop being generated-pruned, a previously dropped
+    table becomes live again, a statement naming a different table
+    refuses (at ctl compose time AND driver validate time), an
+    unparseable statement never reaches control.json, and an applied op
+    is not re-applied after a driver restart (the control file still
+    holds it)."""
+    import pytest
+
+    import main as mainmod
+    from dm_spark.plans import ReplayRunner
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="db.*", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_ms"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    # diverged tracker state the op exists to correct: g was generated,
+    # the table was dropped in-stream
+    runner.registry.seed("db.t", [("id", "bigint"), ("v", "string")])
+    runner._register_generated(["g"], "db.t")
+    runner.dropped_tables.add("db.t")
+    cp = str(tmp_path / "cp")
+    os.makedirs(cp, exist_ok=True)
+    drv = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), cp, ApplyPipeline(cfg),
+        {"transcripts": lake}, runner=runner,
+    )
+
+    # upstream converted g to a stored DATA column; the set must both
+    # install it as data AND un-register the stale generated pruning
+    mainmod.ctl([
+        cp, "schema", "set", "db.t",
+        "CREATE TABLE db.t (id BIGINT PRIMARY KEY, v TEXT, g INT)",
+    ])
+    drv._stage_schema_op(drv._read_control())
+    drv._apply_staged_patch()
+    assert runner.registry.get("db.t") == [
+        ("id", "bigint"), ("v", "string"), ("g", "int")
+    ]
+    assert runner.dynamic_generated == {}  # stale pruning cleared
+    assert "db.t" not in runner.dropped_tables  # table live again
+
+    # mismatched table name refuses at compose time AND validate time
+    with pytest.raises(SystemExit, match="names 'db.u'"):
+        mainmod.ctl([
+            cp, "schema", "set", "db.t",
+            "CREATE TABLE db.u (id BIGINT PRIMARY KEY, v TEXT)",
+        ])
+    with pytest.raises(ValueError, match="names 'db.u'"):
+        drv._validate_schema_op({
+            "op": "set", "table": "db.t",
+            "create": "CREATE TABLE db.u (id BIGINT PRIMARY KEY)",
+        })
+
+    # unparseable / rejected DDL never reaches control.json
+    before = drv._read_control()
+    with pytest.raises(SystemExit, match="rejected"):
+        mainmod.ctl([
+            cp, "schema", "set", "db.t",
+            "CREATE TABLE db.t (v TEXT) PARTITION BY RANGE (id) "
+            "(PARTITION p0 VALUES LESS THAN (10))",
+        ])
+    assert drv._read_control() == before
+
+    # restart guard: a new driver over the SAME checkpoint sees the op
+    # still in control.json but must not re-apply it — an ALTER applied
+    # since would otherwise be silently reverted
+    runner.registry.apply("db.t", {"action": "add_column", "column": "late", "new_type": "int"})
+    drv._save_runner_state()  # drv2 restores runner state from this file
+    drv2 = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), cp, ApplyPipeline(cfg),
+        {"transcripts": lake}, runner=runner,
+    )
+    drv2._stage_schema_op(drv2._read_control())
+    drv2._apply_staged_patch()
+    assert ("late", "int") in runner.registry.get("db.t")
+    # a FRESH issue of byte-identical content carries a new id and
+    # applies again (that is the operator's intent)
+    mainmod.ctl([
+        cp, "schema", "set", "db.t",
+        "CREATE TABLE db.t (id BIGINT PRIMARY KEY, v TEXT, g INT)",
+    ])
+    drv2._stage_schema_op(drv2._read_control())
+    drv2._apply_staged_patch()
+    assert ("late", "int") not in runner.registry.get("db.t")
