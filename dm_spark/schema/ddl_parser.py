@@ -309,10 +309,6 @@ def parse_ddl(
     SET-like options) return []; statements whose effect exists but is
     out of surface raise UnsupportedDdl and route to the error-operator
     escape hatch."""
-    # deferred: plans.replay imports the schema package back (online-DDL
-    # classify / registry), so a top-level import here is a cycle
-    from dm_spark.plans.replay import DdlEvent
-
     # MySQL conditional comments /*!50100 ... */ carry EXECUTABLE
     # content (mysqldump stamps partition clauses and index options in
     # them): keep the contents and strip only the markers, so a hidden
@@ -326,6 +322,83 @@ def parse_ddl(
     if ansi_quotes:
         s = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"\1", s)
     s = re.sub(r"\s+", " ", s.strip().rstrip(";")).strip()
+    # backtick-quoted identifiers whose contents fall outside the plain
+    # grammar (`my-db`.`t`, `a/b` — legal MySQL, common in the wild)
+    # are masked to safe tokens before parsing and restored in the
+    # returned events; the span scan runs on the string-masked copy so
+    # a backtick inside a '...' literal cannot open a span
+    s, bq = _mask_special_idents(s)
+    evs = _parse_normalized(s, sql, file_seq, pos)
+    if bq:
+        evs = [_restore_idents(ev, bq) for ev in evs]
+    return evs
+
+
+_PLAIN_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _mask_special_idents(s: str) -> tuple[str, dict]:
+    """Replace backtick-quoted identifiers the plain `_IDENT` grammar
+    cannot carry (hyphens, slashes, dots, spaces, leading digits,
+    doubled-backtick escapes) with `__bqN__` tokens, returning the
+    rewritten statement and the token -> original-name mapping. Plain
+    quoted identifiers pass through untouched."""
+    mapping: dict = {}
+    masked = _mask_strings(s)
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        if masked[i] == "`":
+            j = i + 1
+            while j < n and masked[j] != "`":
+                j += 1
+            if j >= n:  # unbalanced quote: leave as-is, parser rejects
+                out.append(s[i:])
+                break
+            body = s[i + 1 : j].replace("``", "`")
+            if _PLAIN_IDENT_RE.fullmatch(body):
+                out.append(s[i : j + 1])
+            else:
+                tok = f"__bq{len(mapping)}__"
+                mapping[tok] = body
+                out.append(f"`{tok}`")
+            i = j + 1
+            continue
+        out.append(s[i])
+        i += 1
+    return "".join(out), mapping
+
+
+def _restore_idents(ev, bq: dict):
+    """Swap `__bqN__` tokens back to the original identifier text in
+    every string field of a DdlEvent (tables, columns, key lists,
+    generated-column names, expressions)."""
+    import dataclasses
+
+    def fix(v):
+        if isinstance(v, str):
+            for tok, orig in bq.items():
+                if tok in v:
+                    v = v.replace(tok, orig)
+            return v
+        if isinstance(v, list):
+            return [fix(x) for x in v]
+        if isinstance(v, tuple):
+            return tuple(fix(x) for x in v)
+        return v
+
+    return dataclasses.replace(
+        ev, **{f.name: fix(getattr(ev, f.name)) for f in dataclasses.fields(ev)}
+    )
+
+
+def _parse_normalized(s: str, sql: str, file_seq: int, pos: int) -> list:
+    """Grammar body over one normalized, identifier-masked statement
+    (`sql` is the caller's original text, used verbatim in
+    UnsupportedDdl messages)."""
+    # deferred: plans.replay imports the schema package back (online-DDL
+    # classify / registry), so a top-level import here is a cycle
+    from dm_spark.plans.replay import DdlEvent
 
     # the reference's built-in skip families (checked FIRST, like
     # syncer/filter.go:31 — e.g. DROP TEMPORARY TABLE must skip before

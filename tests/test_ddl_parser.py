@@ -474,3 +474,43 @@ def test_add_unique_key_is_an_explicit_event():
         "add_unique_key", "db.t", [["uid"]],
     )
     assert parse_ddl("alter table db.t add index i(uid)", 0, 1) == []
+
+
+def test_backtick_identifiers_with_special_characters():
+    """MySQL backtick-quoted identifiers may contain nearly any
+    character (hyphens, slashes, spaces, leading digits, doubled
+    backticks); the grammar masks them to safe tokens and restores the
+    originals in the returned events, so `my-db`.`t` replicates instead
+    of detouring to the error-operator. A backtick inside a string
+    literal must NOT open an identifier span."""
+    (e,) = parse_ddl("drop database if exists `database-placeholder`", 0, 1)
+    assert (e.action, e.source_table) == ("drop_database", "database-placeholder")
+
+    (e,) = parse_ddl(
+        "CREATE TABLE `my-db`.`t-1` (id INT PRIMARY KEY, `v-col` TEXT)", 0, 1
+    )
+    assert e.source_table == "my-db.t-1"
+    assert e.columns == [("id", "int"), ("v-col", "string")]
+    assert e.key == ["id"]
+
+    (e,) = parse_ddl("ALTER TABLE `my-db`.`t-1` ADD COLUMN `2nd col` INT", 0, 1)
+    assert (e.source_table, e.column, e.new_type) == ("my-db.t-1", "2nd col", "int")
+
+    (e,) = parse_ddl("RENAME TABLE `a-b`.t TO `a-b`.`t-new`", 0, 1)
+    assert (e.source_table, e.target_table) == ("a-b.t", "a-b.t-new")
+
+    # doubled-backtick escape inside the identifier
+    (e,) = parse_ddl("CREATE TABLE `weird``name` (id INT PRIMARY KEY)", 0, 1)
+    assert e.source_table == "weird`name"
+
+    # backtick inside a '...' literal is data, not a span opener — the
+    # statement still parses and the literal is untouched
+    (e,) = parse_ddl(
+        "CREATE TABLE db.t (v TEXT DEFAULT 'with ` tick', id INT PRIMARY KEY)",
+        0, 1,
+    )
+    assert e.columns == [("v", "string"), ("id", "int")]
+
+    # data-moving DDL on a special-char table still rejects loudly
+    with pytest.raises(UnsupportedDdl):
+        parse_ddl("ALTER TABLE `my-db`.`t-1` DROP PRIMARY KEY", 0, 1)
