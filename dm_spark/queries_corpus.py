@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dm_spark.functions.dedup import (
+    dup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -171,6 +172,27 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3, max_df=100)
 
 
+def q_doc_dup_clusters(spark, sf_dir):
+    """Pair graph -> duplicate clusters: every document labeled with
+    the min doc_id of its near-dup connected component (transitive
+    closure over the same jaccard>=0.5 pairs as doc_ngram_jaccard)
+    plus the cluster size. Iterative min-label propagation with
+    pointer jumping (see dup_clusters); the oracle is a recursive CTE
+    computing min reachable id."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3, max_df=100)
+    comp = dup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    lab = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
 def q_doc_minhash_lsh(spark, sf_dir):  # rows-only (numpy hash law)
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -291,6 +313,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_dup_clusters": q_doc_dup_clusters,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "multimodal_decode": q_multimodal_decode,
@@ -407,6 +430,36 @@ ORACLES = {
         GROUP BY 1, 2)
       SELECT id_a, id_b, inter, size_a, size_b FROM pairs
       WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.5
+    """,
+    "doc_dup_clusters": f"""
+      WITH RECURSIVE {_SHINGLES},
+      ex0 AS (
+        SELECT doc_id AS id, len(shingles) AS sz, unnest(shingles) AS s
+        FROM docs_sh),
+      hot AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 100),
+      ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter,
+               any_value(a.sz) AS size_a, any_value(b.sz) AS size_b
+        FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2),
+      jp AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM jp
+        UNION SELECT id_b, id_a FROM jp),
+      reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      lab AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+      SELECT doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM lab
     """,
     "doc_bpe_tokens": """
       WITH t AS (

@@ -132,3 +132,25 @@ def test_simhash_empty_and_identical(spark):
     out = {r.id: r.simhash for r in simhash64(_docs_df(spark)).collect()}
     assert out[4] == 0 and out[5] == 0
     assert out[1] == out[6] != 0
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """Pair graph -> connected components with min-id labels: a
+    diameter-7 chain (exercises pointer jumping past one-hop
+    propagation), a triangle clique, a lone pair, and the empty
+    graph. A~B, B~C must collapse A,B,C even though A~C was never
+    emitted."""
+    from dm_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)]
+        + [(10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = sorted((r.id, r.cluster_id) for r in dup_clusters(pairs).collect())
+    assert got == (
+        [(i, 1) for i in range(1, 9)]
+        + [(10, 10), (11, 10), (12, 10), (20, 20), (21, 20)]
+    )
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters(empty).collect() == []
