@@ -489,7 +489,14 @@ class ReplayRunner:
                 applied += self._handle_table_ddl(
                     DdlEvent(
                         kind,
-                        act.get("table", ev.source_table),
+                        # replacement actions composed from SQL (`ctl
+                        # binlog replace`) carry the table the statement
+                        # NAMES as `source_table`; hand-written action
+                        # dicts may use `table`; else the original
+                        # event's table
+                        act.get("table")
+                        or act.get("source_table")
+                        or ev.source_table,
                         act.get("file_seq", ev.file_seq),
                         act.get("pos", ev.pos),
                         suffix=act.get("suffix", 0),
@@ -500,13 +507,16 @@ class ReplayRunner:
                     )
                 )
             else:
-                applied += self._apply_one(ev.source_table, act)
+                applied += self._apply_one(
+                    act.get("source_table") or ev.source_table, act
+                )
         return applied
 
     def _apply_resolved(self, source_table: str, action: dict) -> list[dict]:
         applied = []
         for act in self.error_ops.resolve(action):
-            applied += self._apply_one(source_table, act)
+            # a replacement composed from SQL names its own table
+            applied += self._apply_one(act.get("source_table") or source_table, act)
         return applied
 
     def _apply_one(self, source_table: str, act: dict) -> list[dict]:

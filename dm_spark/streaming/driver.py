@@ -79,6 +79,16 @@ class CdcStreamDriver:
         if os.path.exists(self._applied_schema_op_path):
             with open(self._applied_schema_op_path) as f:
                 self._applied_schema_op = json.load(f)
+        # handle-error ops (binlog skip/replace/revert) share the same
+        # at-most-once-per-issued-op contract: each ctl issue carries a
+        # fresh id, the last applied op persists beside the checkpoint
+        self._applied_binlog_op_path = os.path.join(
+            checkpoint_dir, "applied_binlog_op.json"
+        )
+        self._applied_binlog_op = None
+        if os.path.exists(self._applied_binlog_op_path):
+            with open(self._applied_binlog_op_path) as f:
+                self._applied_binlog_op = json.load(f)
         # MoR maintenance: fold delta files back into base every N
         # batches (the rewrite_data_files scheduling a table service
         # would own on a real lakehouse)
@@ -232,6 +242,10 @@ class CdcStreamDriver:
     #                                config at a batch boundary; route
     #                                rules additionally swap while PAUSED
     #                                (pause -> patch -> resume)
+    #   {"binlog_op": {...}}         handle-error: register a skip/
+    #                                replace/revert error operator at a
+    #                                binlog location on the running task
+    #                                (dmctl binlog, syncer/handle_error.go)
     def control_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "control.json")
 
@@ -295,6 +309,10 @@ class CdcStreamDriver:
         if sop is not None:
             self._staged_schema_op = None
             self._apply_schema_op({"schema_op": sop})
+        bop = getattr(self, "_staged_binlog_op", None)
+        if bop is not None:
+            self._staged_binlog_op = None
+            self._apply_binlog_op({"binlog_op": bop})
 
     def _stage_schema_op(self, ctl: dict) -> None:
         """Poll-thread side of operate-schema: validate shape and stage;
@@ -406,6 +424,99 @@ class CdcStreamDriver:
             json.dump(op, f)
         os.replace(tmp, self._applied_schema_op_path)
 
+    def _stage_binlog_op(self, ctl: dict) -> None:
+        """Poll-thread side of `ctl binlog skip|replace|revert`: validate
+        and stage; the error-operator registration happens at the next
+        batch boundary (runner mode consults error_ops repeatedly inside
+        one replay — same mid-batch hazard as config patches)."""
+        op = ctl.get("binlog_op")
+        if not op or op == self._applied_binlog_op:
+            return
+        self._validate_binlog_op(op)
+        self._staged_binlog_op = op
+
+    def _validate_binlog_op(self, op: dict):
+        """Full validation — including parsing every replacement SQL —
+        so a bad op is refused at stage time (or at compose time in
+        `main.py ctl`, which runs the same grammar), never first
+        discovered inside foreachBatch. Returns the parsed replacement
+        action dicts for `replace`, None otherwise."""
+        if self.runner is None:
+            raise ValueError(
+                "binlog_op needs runner mode — error operators live in "
+                "ReplayRunner (plain-pipeline tasks have no DDL/skip surface)"
+            )
+        kind = op.get("op")
+        if kind not in ("skip", "replace", "revert"):
+            raise ValueError(f"binlog_op.op must be skip|replace|revert, got {kind!r}")
+        fs, pos = op.get("file_seq"), op.get("pos")
+        if not (isinstance(fs, int) and isinstance(pos, int) and fs >= 0 and pos >= 0):
+            raise ValueError(
+                f"binlog_op needs integer file_seq/pos >= 0, got ({fs!r}, {pos!r})"
+            )
+        if kind != "replace":
+            return None
+        sqls = op.get("sqls")
+        if not sqls or not isinstance(sqls, list):
+            raise ValueError(
+                "binlog_op replace needs 'sqls': a non-empty list of DDL "
+                "statements to inject at the location (the reference's "
+                "handle-error replace, syncer/handle_error.go:32-73)"
+            )
+        from dm_spark.schema.ddl_parser import UnsupportedDdl, parse_ddl
+
+        actions = []
+        for sql in sqls:
+            try:
+                evs = parse_ddl(sql, fs, pos)
+            except UnsupportedDdl as e:
+                raise ValueError(
+                    f"binlog_op replace: statement rejected by the DDL "
+                    f"grammar ({e}): {sql!r}"
+                ) from e
+            for ev in evs:
+                act = {"action": ev.action, "source_table": ev.source_table}
+                for k in ("column", "new_name", "new_type", "target_table",
+                          "columns", "key", "unique_keys", "generated"):
+                    v = getattr(ev, k)
+                    if v is not None:
+                        act[k] = v
+                actions.append(act)
+        if not actions:
+            raise ValueError("binlog_op replace: sqls parsed to zero actions")
+        return actions
+
+    def _apply_binlog_op(self, ctl: dict) -> None:
+        """dmctl `binlog skip|replace|revert` (handle-error,
+        syncer/handle_error.go:32-73; match/apply
+        syncer/err-operator/operator.go:60-173): register a user
+        override at a binlog location on the RUNNING task, so a task
+        blocked on an unsupported DDL or a poison DML is unblocked
+        without a restart — the replayed micro-batch consults the
+        operator at the failing location (skip drops the event, replace
+        injects the supplied statements with suffix ordinals). Applied
+        at a batch boundary, persisted in the runner state (error_ops
+        survive restarts) plus an at-most-once sidecar keyed by the op
+        id (a later in-stream revert must not be undone by the stale op
+        still sitting in control.json after a driver restart)."""
+        op = ctl.get("binlog_op")
+        if not op or op == self._applied_binlog_op:
+            return
+        actions = self._validate_binlog_op(op)
+        fs, pos = op["file_seq"], op["pos"]
+        if op["op"] == "skip":
+            self.runner.error_ops.set_skip(fs, pos)
+        elif op["op"] == "replace":
+            self.runner.error_ops.set_replace(fs, pos, actions)
+        else:  # revert
+            self.runner.error_ops.revert(fs, pos)
+        self._save_runner_state()
+        self._applied_binlog_op = op
+        tmp = f"{self._applied_binlog_op_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(op, f)
+        os.replace(tmp, self._applied_binlog_op_path)
+
     def _apply_config_patch(self, ctl: dict, paused: bool = False) -> None:
         import copy
 
@@ -479,7 +590,14 @@ class CdcStreamDriver:
 
     def run_available_now(self, timeout_sec: int = 600) -> list[dict]:
         """Drain everything currently in the relay dir, then stop
-        (Trigger.AvailableNow — the incremental-catchup mode)."""
+        (Trigger.AvailableNow — the incremental-catchup mode). Ops
+        already pending in control.json (schema_op / binlog_op issued
+        against a stopped task) stage before the first batch, so a
+        crashed task relaunched in drain mode replays its failed batch
+        under the new operators."""
+        ctl = self._read_control()
+        self._stage_schema_op(ctl)
+        self._stage_binlog_op(ctl)
         stream = read_feed_stream(self.spark, self.feed_dir, self.max_files_per_trigger)
         q = (
             stream.writeStream.foreachBatch(self._apply)
@@ -544,6 +662,7 @@ class CdcStreamDriver:
         timeout_sec: int = 600,
         stop_when=None,
         poll_sec: float = 0.25,
+        block_on_error: bool = False,
     ) -> list[dict]:
         """Live-tail mode: the forever-tailing syncer loop
         (syncer/syncer.go:1280 `Run`) as a processing-time-triggered
@@ -562,9 +681,21 @@ class CdcStreamDriver:
         intact) and idles until cleared, then restarts from the same
         checkpoint — dmctl pause-task/resume-task without killing the
         process; `stop` exits gracefully; `config_patch` swaps the
-        filter family of the task config at a batch boundary."""
+        filter family of the task config at a batch boundary.
+
+        `block_on_error=True` is the reference's paused-on-error task
+        state (a failed subtask stays resumable, dm/worker/subtask.go):
+        when a micro-batch fails (unsupported DDL, poison DML), the
+        driver records the error on `self.last_error`, sets
+        `self.blocked`, and idles polling control.json instead of
+        propagating — the operator unblocks it with `main.py ctl <cp>
+        binlog skip|replace <loc>` (the handle-error flow) or any other
+        control change, and the failed batch replays from checkpoint
+        under the new operators. Default False keeps failures loud."""
         t0 = time.time()
         self.paused = False
+        self.blocked = False
+        self.last_error = None
         done = False
         while not done and time.time() - t0 < timeout_sec:
             ctl = self._read_control()
@@ -583,6 +714,11 @@ class CdcStreamDriver:
                 # has never seen them (double-apply). Settle the
                 # interrupted batch under the OLD routes first
                 # (review r5).
+                # binlog ops apply BEFORE any settle: the in-flight
+                # batch may be the poison one the op exists to fix —
+                # settling it first would just crash again (error ops
+                # are location-surgical; applying early never harms)
+                self._apply_binlog_op(ctl)
                 patch = ctl.get("config_patch")
                 sop = ctl.get("schema_op")
                 needs_settle = (
@@ -603,6 +739,14 @@ class CdcStreamDriver:
                 continue
             self.paused = False
             self._apply_config_patch(ctl)
+            # ops already sitting in control.json are staged BEFORE the
+            # stream starts, so the FIRST (possibly replayed) micro-batch
+            # sees them — the restart half of the handle-error flow: a
+            # task that crashed on a poison location, got a `ctl binlog
+            # skip` issued, and was relaunched must not crash again on
+            # the replay racing the poll thread's first stage
+            self._stage_schema_op(ctl)
+            self._stage_binlog_op(ctl)
             stream = read_feed_stream(
                 self.spark, self.feed_dir, self.max_files_per_trigger
             )
@@ -612,23 +756,51 @@ class CdcStreamDriver:
                 .trigger(processingTime=f"{max(trigger_sec, 0.1)} seconds")
                 .start()
             )
+            err = None
+            stop_req = False
             try:
                 while q.isActive and time.time() - t0 < timeout_sec:
                     if stop_when is not None and stop_when(self):
-                        done = True
+                        stop_req = True
                         break
                     ctl = self._read_control()
                     if ctl.get("stop"):
-                        done = True
+                        stop_req = True
                         break
                     if ctl.get("pause"):
                         break  # stop the query; outer loop idles until cleared
                     self._stage_config_patch(ctl)
                     self._stage_schema_op(ctl)
+                    self._stage_binlog_op(ctl)
                     time.sleep(poll_sec)
                 else:
                     done = True  # query died or overall timeout
             finally:
                 q.stop()
-                q.awaitTermination(60)
+                try:
+                    q.awaitTermination(60)
+                except Exception as e:  # StreamingQueryException
+                    if not block_on_error or stop_req:
+                        raise
+                    err = e
+            if stop_req:
+                done = True
+            elif err is not None:
+                # paused-on-error: idle until the operator intervenes
+                # (any control.json change — typically `ctl binlog
+                # skip|replace`), then retry the batch from checkpoint
+                done = False
+                self.last_error = str(err)
+                self.blocked = True
+                try:
+                    snap = self._read_control()
+                    while True:
+                        if time.time() - t0 >= timeout_sec:
+                            raise err  # nobody intervened — stay loud
+                        ctl = self._read_control()
+                        if ctl.get("stop") or ctl != snap:
+                            break
+                        time.sleep(poll_sec)
+                finally:
+                    self.blocked = False
         return self.batch_stats

@@ -46,11 +46,23 @@ def ctl(argv: list[str]) -> int:
         python main.py ctl <checkpoint_dir> schema get <db.table>
         python main.py ctl <checkpoint_dir> schema set <db.table> 'CREATE TABLE ...'
         python main.py ctl <checkpoint_dir> schema remove <db.table>
+        python main.py ctl <checkpoint_dir> binlog skip <file_seq>:<pos>
+        python main.py ctl <checkpoint_dir> binlog replace <file_seq>:<pos> 'DDL' ['DDL'...]
+        python main.py ctl <checkpoint_dir> binlog revert <file_seq>:<pos>
 
     `schema` is the operate-schema analog (dm/ctl/master/
     operate_schema.go, tests/tracker_ignored_ddl): get reads the
     runner state file directly; set/remove stage through control.json
     and apply at the next batch boundary (runner-mode tasks only).
+
+    `binlog` is the handle-error analog (dmctl binlog skip/replace/
+    revert, syncer/handle_error.go:32-73; tests/handle_error): register
+    a user override at a binlog location on the running task — a task
+    blocked on an unsupported DDL or poison DML (run with
+    block_on_error) replays its failed batch under the new operator
+    instead of needing a restart. `replace` statements are parsed by
+    the engine's DDL grammar at compose time; injected actions get
+    suffix ordinals at the location (Location.Suffix analog).
     """
     import os
 
@@ -146,6 +158,48 @@ def ctl(argv: list[str]) -> int:
             }
         else:
             raise SystemExit(f"unknown schema subcommand {sub}")
+    elif cmd == "binlog":
+        if len(argv) < 4:
+            print(ctl.__doc__)
+            return 2
+        sub, loc = argv[2], argv[3]
+        if sub not in ("skip", "replace", "revert"):
+            raise SystemExit(f"unknown binlog subcommand {sub} (skip|replace|revert)")
+        try:
+            fs_s, pos_s = loc.split(":", 1)
+            fs, pos = int(fs_s), int(pos_s)
+            if fs < 0 or pos < 0:
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                f"binlog {sub}: location must be <file_seq>:<pos> "
+                f"(non-negative integers), got {loc!r}"
+            ) from None
+        import uuid
+
+        op = {"op": sub, "file_seq": fs, "pos": pos, "id": uuid.uuid4().hex}
+        if sub == "replace":
+            sqls = argv[4:]
+            if not sqls:
+                print(ctl.__doc__)
+                return 2
+            # refuse statements the engine's grammar rejects HERE,
+            # before they reach control.json (the driver validates
+            # again at stage time, but a bad op in the control file
+            # would loudly kill the poll loop until hand-removed)
+            from dm_spark.schema.ddl_parser import UnsupportedDdl, parse_ddl
+
+            for s in sqls:
+                try:
+                    if not parse_ddl(s, fs, pos):
+                        raise SystemExit(
+                            f"binlog replace: statement parses to no schema "
+                            f"action (nothing to inject): {s!r}"
+                        )
+                except UnsupportedDdl as e:
+                    raise SystemExit(f"binlog replace: statement rejected: {e}") from e
+            op["sqls"] = list(sqls)
+        body["binlog_op"] = op
     else:
         raise SystemExit(f"unknown ctl command {cmd}")
     os.makedirs(cp_dir, exist_ok=True)
