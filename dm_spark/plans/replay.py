@@ -519,9 +519,11 @@ class ReplayRunner:
             applied += self._apply_one(act.get("source_table") or source_table, act)
         return applied
 
-    def _apply_one(self, source_table: str, act: dict) -> list[dict]:
+    def _apply_one(self, source_table: str, act: dict, force: bool = False) -> list[dict]:
         """Apply ONE already-resolved column-level action (barrier
-        announce -> lake catalog -> rename map -> registry)."""
+        announce -> lake catalog -> rename map -> registry). `force`
+        bypasses the barrier entirely (the unlock-ddl-lock path: the
+        operator has decided the group will never sync)."""
         applied = []
         lake = self._lake_for(source_table)
         if act["action"] in ("rename_column", "drop_column"):
@@ -531,7 +533,7 @@ class ReplayRunner:
             # same silent-NULL failure mode as rename)
             self._check_expr_filters_after_rename(source_table, act["column"])
         ready = True
-        if self.barrier is not None:
+        if self.barrier is not None and not force:
             ready = self.barrier.announce(source_table, act)
         if not ready:
             return applied  # group not in sync yet; DMLs of announced tables spill
@@ -766,6 +768,90 @@ class ReplayRunner:
             self.spill.spill(still)
         self.spill.clear_dirs(old_dirs)
         return n
+
+    def pending_locks(self) -> list[dict]:
+        """show-ddl-locks analog (dm/ctl/master/show_ddl_locks.go): the
+        pessimistic barrier's unresolved shard-DDL locks, one entry per
+        (target, ddl) with synced/unsynced member lists. Also derivable
+        offline from runner_state.json (main.py ctl ddl-locks reads
+        that); this is the live view."""
+        import json as _json
+
+        if self.barrier is None:
+            return []
+        out = []
+        for tgt, per in sorted(self.barrier.announced.items()):
+            members = set(self.barrier.groups.get(tgt, []))
+            for k, seen in sorted(per.items()):
+                out.append({
+                    "lock_id": f"{tgt}#{k}",
+                    "target": tgt,
+                    "ddl": _json.loads(k),
+                    "synced": sorted(seen),
+                    "unsynced": sorted(members - seen),
+                })
+        return out
+
+    def force_unlock(
+        self,
+        target: str,
+        ident: dict,
+        file_seq: int,
+        pos: int,
+        exec_ddl: bool = True,
+    ) -> dict:
+        """unlock-ddl-lock analog (dm/ctl/master/unlock_ddl_lock.go;
+        tests/dmctl_advance): force-resolve a pessimistic shard-DDL
+        lock whose laggard members will never announce (shard host
+        dead, table abandoned without a DROP). `exec_ddl=True` (the
+        reference's default exec action) applies the locked DDL to the
+        target lake NOW, stamped at the operator-supplied location,
+        updates every synced member's tracked schema, and releases the
+        barrier — the next drain merges the spilled DMLs;
+        `exec_ddl=False` (skip action) releases without applying (the
+        DDL is abandoned; spilled rows drain under the old schema).
+        Raises if no such lock is pending — force-applying a DDL nobody
+        announced is operate-schema/error-op territory, not unlock."""
+        import json as _json
+
+        if self.barrier is None:
+            raise ValueError(
+                "unlock needs a pessimistic shard-DDL barrier on this task "
+                "(optimistic mode has no locks; see operate-schema instead)"
+            )
+        ident = {
+            k: ident.get(k) for k in ("action", "column", "new_name", "new_type")
+        }
+        key = _json.dumps(ident, sort_keys=True)
+        per = self.barrier.announced.get(target) or {}
+        if key not in per:
+            known = [f"{t}#{k}" for t, p in self.barrier.announced.items() for k in p]
+            raise ValueError(
+                f"no pending shard-DDL lock {ident} on {target!r} "
+                f"(pending locks: {known or 'none'})"
+            )
+        synced = sorted(per[key])
+        act = {**ident, "file_seq": int(file_seq), "pos": int(pos), "suffix": 0}
+        applied: list = []
+        if exec_ddl:
+            # mirror the natural last-announcer apply exactly (expr-filter
+            # rename guard, lake catalog, rename chain, applied-DDL log,
+            # release) via the forced path...
+            applied = self._apply_one(synced[0], act, force=True)
+            # ...plus the tracked schemas of the OTHER synced members:
+            # their own announce already consumed their delivery of this
+            # DDL, so nothing will ever re-apply it to their registry
+            for m in synced[1:]:
+                if m in self.registry.schemas:
+                    self.registry.apply(m, act)
+        else:
+            self.barrier.release(target, act)
+        return {
+            "target": target,
+            "ddl": ident,
+            "synced": synced,
+            "applied": bool(applied),
+        }
 
     # ------------------------------------------------------ crash state
     def state_json(self) -> dict:

@@ -89,6 +89,14 @@ class CdcStreamDriver:
         if os.path.exists(self._applied_binlog_op_path):
             with open(self._applied_binlog_op_path) as f:
                 self._applied_binlog_op = json.load(f)
+        # unlock-ddl-lock ops: same at-most-once contract
+        self._applied_unlock_op_path = os.path.join(
+            checkpoint_dir, "applied_unlock_op.json"
+        )
+        self._applied_unlock_op = None
+        if os.path.exists(self._applied_unlock_op_path):
+            with open(self._applied_unlock_op_path) as f:
+                self._applied_unlock_op = json.load(f)
         # MoR maintenance: fold delta files back into base every N
         # batches (the rewrite_data_files scheduling a table service
         # would own on a real lakehouse)
@@ -246,6 +254,9 @@ class CdcStreamDriver:
     #                                replace/revert error operator at a
     #                                binlog location on the running task
     #                                (dmctl binlog, syncer/handle_error.go)
+    #   {"unlock_op": {...}}         force-resolve a stuck pessimistic
+    #                                shard-DDL lock (dmctl
+    #                                unlock-ddl-lock) and drain its spill
     def control_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "control.json")
 
@@ -313,6 +324,10 @@ class CdcStreamDriver:
         if bop is not None:
             self._staged_binlog_op = None
             self._apply_binlog_op({"binlog_op": bop})
+        uop = getattr(self, "_staged_unlock_op", None)
+        if uop is not None:
+            self._staged_unlock_op = None
+            self._apply_unlock_op({"unlock_op": uop})
 
     def _stage_schema_op(self, ctl: dict) -> None:
         """Poll-thread side of operate-schema: validate shape and stage;
@@ -517,6 +532,71 @@ class CdcStreamDriver:
             json.dump(op, f)
         os.replace(tmp, self._applied_binlog_op_path)
 
+    def _stage_unlock_op(self, ctl: dict) -> None:
+        op = ctl.get("unlock_op")
+        if not op or op == self._applied_unlock_op:
+            return
+        self._validate_unlock_op(op)
+        self._staged_unlock_op = op
+
+    def _validate_unlock_op(self, op: dict) -> None:
+        """Shape-only validation: the LOCK's existence is checked at
+        apply time (it may resolve naturally between stage and apply —
+        a stale unlock is recorded, not fatal)."""
+        if self.runner is None or self.runner.barrier is None:
+            raise ValueError(
+                "unlock_op needs a runner with a pessimistic shard-DDL "
+                "barrier (no locks exist on this task)"
+            )
+        if not op.get("target"):
+            raise ValueError("unlock_op needs a target table")
+        ident = op.get("ident")
+        if not isinstance(ident, dict) or not ident.get("action"):
+            raise ValueError(
+                "unlock_op needs 'ident': the locked DDL's identity dict "
+                "(the `ddl` field of a ctl ddl-locks entry)"
+            )
+        fs, pos = op.get("file_seq"), op.get("pos")
+        if not (isinstance(fs, int) and isinstance(pos, int) and fs >= 0 and pos >= 0):
+            raise ValueError(
+                f"unlock_op needs integer file_seq/pos >= 0 (where the "
+                f"forced DDL is stamped), got ({fs!r}, {pos!r})"
+            )
+
+    def _apply_unlock_op(self, ctl: dict) -> None:
+        """dmctl unlock-ddl-lock (dm/ctl/master/unlock_ddl_lock.go):
+        force-resolve a stuck pessimistic shard-DDL lock at a batch
+        boundary — exec (default) applies the DDL now and releases;
+        skip releases without applying. A lock that resolved naturally
+        between issue and apply is recorded in batch_stats instead of
+        failing the task (the op is then spent)."""
+        op = ctl.get("unlock_op")
+        if not op or op == self._applied_unlock_op:
+            return
+        self._validate_unlock_op(op)
+        try:
+            res = self.runner.force_unlock(
+                op["target"], op["ident"], op["file_seq"], op["pos"],
+                exec_ddl=op.get("exec", True),
+            )
+            # drain NOW: on an idle tail no micro-batch may fire for a
+            # while, and the whole point of the unlock is releasing the
+            # spilled DMLs the lock was holding back
+            res["drained"] = self.runner.drain_pending()
+            self.batch_stats.append({"unlock_op": op.get("id"), **res})
+        except ValueError as e:
+            if "no pending shard-DDL lock" not in str(e):
+                raise
+            self.batch_stats.append(
+                {"unlock_op": op.get("id"), "result": "lock_already_resolved"}
+            )
+        self._save_runner_state()
+        self._applied_unlock_op = op
+        tmp = f"{self._applied_unlock_op_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(op, f)
+        os.replace(tmp, self._applied_unlock_op_path)
+
     def _apply_config_patch(self, ctl: dict, paused: bool = False) -> None:
         import copy
 
@@ -598,6 +678,7 @@ class CdcStreamDriver:
         ctl = self._read_control()
         self._stage_schema_op(ctl)
         self._stage_binlog_op(ctl)
+        self._stage_unlock_op(ctl)
         stream = read_feed_stream(self.spark, self.feed_dir, self.max_files_per_trigger)
         q = (
             stream.writeStream.foreachBatch(self._apply)
@@ -719,6 +800,7 @@ class CdcStreamDriver:
                 # settling it first would just crash again (error ops
                 # are location-surgical; applying early never harms)
                 self._apply_binlog_op(ctl)
+                self._apply_unlock_op(ctl)
                 patch = ctl.get("config_patch")
                 sop = ctl.get("schema_op")
                 needs_settle = (
@@ -747,6 +829,7 @@ class CdcStreamDriver:
             # the replay racing the poll thread's first stage
             self._stage_schema_op(ctl)
             self._stage_binlog_op(ctl)
+            self._stage_unlock_op(ctl)
             stream = read_feed_stream(
                 self.spark, self.feed_dir, self.max_files_per_trigger
             )
@@ -772,6 +855,7 @@ class CdcStreamDriver:
                     self._stage_config_patch(ctl)
                     self._stage_schema_op(ctl)
                     self._stage_binlog_op(ctl)
+                    self._stage_unlock_op(ctl)
                     time.sleep(poll_sec)
                 else:
                     done = True  # query died or overall timeout

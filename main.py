@@ -35,6 +35,112 @@ def load_task_file(path: str) -> dict:
     return yaml.safe_load(text)
 
 
+def _runner_state(cp_dir: str) -> dict:
+    import os
+
+    try:
+        with open(os.path.join(cp_dir, "runner_state.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _pending_locks(cp_dir: str) -> list[dict]:
+    """show-ddl-locks from the persisted runner state (written
+    atomically after every batch) — same shape as
+    ReplayRunner.pending_locks, no driver round-trip."""
+    state = _runner_state(cp_dir)
+    groups = state.get("barrier_groups") or {}
+    out = []
+    for tgt, per in sorted((state.get("barrier") or {}).items()):
+        members = set(groups.get(tgt, []))
+        for k, seen in sorted(per.items()):
+            out.append({
+                "lock_id": f"{tgt}#{k}",
+                "target": tgt,
+                "ddl": json.loads(k),
+                "synced": sorted(seen),
+                "unsynced": sorted(members - set(seen)),
+            })
+    return out
+
+
+def _task_status(cp_dir: str, control: dict, lake_dirs: list[str]) -> dict:
+    """query-status analog (dm/ctl/master/query_status.go) from files
+    alone: control flags, Spark offset-vs-commit settledness, runner
+    coordination summary, and each lake manifest's totals / checkpoint
+    / replication lag (the secondsBehindMaster analog: now - max
+    applied event ts)."""
+    import datetime
+    import os
+
+    def latest(sub: str) -> int:
+        d = os.path.join(cp_dir, sub)
+        try:
+            return max((int(f) for f in os.listdir(d) if f.isdigit()), default=-1)
+        except FileNotFoundError:
+            return -1
+
+    offsets, commits = latest("offsets"), latest("commits")
+    stage = "paused" if control.get("pause") else (
+        "stopping" if control.get("stop") else "running-or-stopped"
+    )
+    state = _runner_state(cp_dir)
+    applied_ops = {}
+    for name in ("applied_schema_op", "applied_binlog_op", "applied_unlock_op"):
+        try:
+            with open(os.path.join(cp_dir, f"{name}.json")) as f:
+                applied_ops[name] = json.load(f).get("id")
+        except FileNotFoundError:
+            pass
+    status = {
+        "stage": stage,
+        "stream": {
+            "last_planned_batch": offsets,
+            "last_committed_batch": commits,
+            "settled": offsets == commits,
+        },
+        "control": {k: v for k, v in control.items()},
+        "applied_ops": applied_ops,
+        "runner": {
+            "tracked_tables": sorted(state.get("schemas", {})),
+            "error_ops": state.get("error_ops", []),
+            "unresolved_locks": [lk["lock_id"] for lk in _pending_locks(cp_dir)],
+            "rename_map": state.get("rename_map", {}),
+            "dropped_tables": state.get("dropped_tables", []),
+        } if state else None,
+        "lakes": {},
+    }
+    for lake_dir in lake_dirs:
+        meta_dir = os.path.join(lake_dir, "_meta")
+        try:
+            with open(os.path.join(meta_dir, "HEAD")) as f:
+                v = int(f.read().strip())
+            with open(os.path.join(meta_dir, f"v{v}.json")) as f:
+                m = json.load(f)
+        except (FileNotFoundError, ValueError) as e:
+            status["lakes"][lake_dir] = {"error": f"unreadable lake meta: {e}"}
+            continue
+        cp = m.get("checkpoint") or {}
+        lag = None
+        if cp.get("max_applied_ts"):
+            # same law as LakeTable.replication_lag_sec (UTC-naive
+            # arithmetic, clamped at 0, 3 decimals) so the two
+            # surfaces can never drift
+            applied = datetime.datetime.fromisoformat(cp["max_applied_ts"])
+            now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+            lag = round(max(0.0, (now - applied).total_seconds()), 3)
+        status["lakes"][lake_dir] = {
+            "version": m["version"],
+            "last_batch_id": m.get("last_batch_id"),
+            "totals": m.get("totals"),
+            "checkpoint": cp,
+            "lag_sec": lag,
+            "write_mode": m.get("write_mode"),
+        }
+    return status
+
+
 def ctl(argv: list[str]) -> int:
     """dmctl analog for a RUNNING tail/incremental task (no Spark, no
     restart — the driver polls control.json between micro-batches):
@@ -49,6 +155,9 @@ def ctl(argv: list[str]) -> int:
         python main.py ctl <checkpoint_dir> binlog skip <file_seq>:<pos>
         python main.py ctl <checkpoint_dir> binlog replace <file_seq>:<pos> 'DDL' ['DDL'...]
         python main.py ctl <checkpoint_dir> binlog revert <file_seq>:<pos>
+        python main.py ctl <checkpoint_dir> status [lake_dir ...]
+        python main.py ctl <checkpoint_dir> ddl-locks
+        python main.py ctl <checkpoint_dir> unlock '<lock_id>' <file_seq>:<pos> [skip]
 
     `schema` is the operate-schema analog (dm/ctl/master/
     operate_schema.go, tests/tracker_ignored_ddl): get reads the
@@ -63,6 +172,21 @@ def ctl(argv: list[str]) -> int:
     instead of needing a restart. `replace` statements are parsed by
     the engine's DDL grammar at compose time; injected actions get
     suffix ordinals at the location (Location.Suffix analog).
+
+    `status` is the query-status analog (dm/ctl/master/query_status.go)
+    — read-only, no Spark, no driver round-trip: control flags, stream
+    offsets-vs-commits settledness, runner coordination summary
+    (tracked schemas, error ops, unresolved shard-DDL locks, rename
+    chains), and for each optional lake_dir the manifest's version /
+    totals / global checkpoint / replication lag.
+
+    `ddl-locks` / `unlock` are the show-ddl-locks / unlock-ddl-lock
+    analogs (dm/ctl/master/{show,unlock}_ddl_lock.go): ddl-locks lists
+    unresolved pessimistic shard-DDL locks from the runner state;
+    unlock force-resolves one on the RUNNING task — default exec
+    (apply the locked DDL now, stamped at the supplied location,
+    release, drain the spilled DMLs), `skip` releases without
+    applying.
     """
     import os
 
@@ -200,6 +324,54 @@ def ctl(argv: list[str]) -> int:
                     raise SystemExit(f"binlog replace: statement rejected: {e}") from e
             op["sqls"] = list(sqls)
         body["binlog_op"] = op
+    elif cmd == "status":
+        print(json.dumps(_task_status(cp_dir, body, argv[2:])))
+        return 0
+    elif cmd == "ddl-locks":
+        print(json.dumps({"locks": _pending_locks(cp_dir)}))
+        return 0
+    elif cmd == "unlock":
+        if len(argv) < 4:
+            print(ctl.__doc__)
+            return 2
+        lock_id, loc = argv[2], argv[3]
+        if "#" not in lock_id:
+            raise SystemExit(
+                f"unlock: lock id must be '<target>#<ddl-json>' exactly as "
+                f"printed by ctl ddl-locks, got {lock_id!r}"
+            )
+        target, key = lock_id.split("#", 1)
+        try:
+            ident = json.loads(key)
+        except json.JSONDecodeError as e:
+            raise SystemExit(f"unlock: lock id carries invalid DDL JSON ({e})") from e
+        try:
+            fs_s, pos_s = loc.split(":", 1)
+            fs, pos = int(fs_s), int(pos_s)
+            if fs < 0 or pos < 0:
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                f"unlock: location must be <file_seq>:<pos> (non-negative "
+                f"integers, where the forced DDL is stamped), got {loc!r}"
+            ) from None
+        # catch operator typos at compose time: the lock must exist in
+        # the last persisted runner state (the driver re-checks live
+        # state at apply time; a lock that resolved in between is
+        # recorded as spent, not fatal)
+        known = [lk["lock_id"] for lk in _pending_locks(cp_dir)]
+        if lock_id not in known:
+            raise SystemExit(
+                f"unlock: no pending lock {lock_id!r} in the runner state "
+                f"(pending: {known or 'none'})"
+            )
+        import uuid
+
+        body["unlock_op"] = {
+            "target": target, "ident": ident, "file_seq": fs, "pos": pos,
+            "exec": not (len(argv) > 4 and argv[4] == "skip"),
+            "id": uuid.uuid4().hex,
+        }
     else:
         raise SystemExit(f"unknown ctl command {cmd}")
     os.makedirs(cp_dir, exist_ok=True)
