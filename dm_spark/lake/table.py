@@ -1432,22 +1432,30 @@ class LakeTable:
     def replication_lag_sec(self, now=None) -> float | None:
         """secondsBehindMaster analog (syncer/syncer.go:802-845): now
         minus the max applied event timestamp recorded in the committed
-        checkpoint (a local manifest read). THE single implementation —
-        task.replication_lag_sec and CdcStreamDriver's per-batch
-        lag_sec gauge both delegate here, so the two surfaces can never
+        checkpoint (a local manifest read). Delegates to the module
+        helper :func:`checkpoint_lag_sec` — THE single implementation;
+        task.replication_lag_sec, CdcStreamDriver's per-batch lag_sec
+        gauge, and `main.py ctl status` (which reads manifests without
+        a SparkSession) all use the same law, so the surfaces can never
         drift (UTC-naive arithmetic, clamped at 0, 3 decimals)."""
-        import datetime as _dt
-
-        cp = self.global_checkpoint()
-        ts = (cp or {}).get("max_applied_ts")
-        if not ts:
-            return None
-        applied = _dt.datetime.fromisoformat(ts)
-        if now is None:
-            now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-        return round(max(0.0, (now - applied).total_seconds()), 3)
+        return checkpoint_lag_sec(self.global_checkpoint(), now)
 
     def table_checkpoints(self) -> dict:
         """source_table -> [file_seq, pos] applied high water (the
         reference's per-table checkpoint, syncer/checkpoint.go)."""
         return self._load_meta().table_points
+
+
+def checkpoint_lag_sec(cp: dict | None, now=None) -> float | None:
+    """Replication lag from a checkpoint dict (needs no SparkSession —
+    callable on a raw manifest read): now minus max_applied_ts,
+    UTC-naive, clamped at 0, 3 decimals. The one lag law."""
+    import datetime as _dt
+
+    ts = (cp or {}).get("max_applied_ts")
+    if not ts:
+        return None
+    applied = _dt.datetime.fromisoformat(ts)
+    if now is None:
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    return round(max(0.0, (now - applied).total_seconds()), 3)

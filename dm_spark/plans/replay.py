@@ -812,7 +812,7 @@ class ReplayRunner:
         DDL is abandoned; spilled rows drain under the old schema).
         Raises if no such lock is pending — force-applying a DDL nobody
         announced is operate-schema/error-op territory, not unlock."""
-        import json as _json
+        from dm_spark.streaming.ddl_coordinator import _ddl_key
 
         if self.barrier is None:
             raise ValueError(
@@ -822,7 +822,9 @@ class ReplayRunner:
         ident = {
             k: ident.get(k) for k in ("action", "column", "new_name", "new_type")
         }
-        key = _json.dumps(ident, sort_keys=True)
+        # the barrier's own key law (one owner): a drifted re-encoding
+        # here would silently stop matching any lock
+        key = _ddl_key(ident)
         per = self.barrier.announced.get(target) or {}
         if key not in per:
             known = [f"{t}#{k}" for t, p in self.barrier.announced.items() for k in p]
@@ -833,18 +835,24 @@ class ReplayRunner:
         synced = sorted(per[key])
         act = {**ident, "file_seq": int(file_seq), "pos": int(pos), "suffix": 0}
         applied: list = []
-        if exec_ddl:
+        if exec_ddl and synced:
             # mirror the natural last-announcer apply exactly (expr-filter
             # rename guard, lake catalog, rename chain, applied-DDL log,
             # release) via the forced path...
             applied = self._apply_one(synced[0], act, force=True)
-            # ...plus the tracked schemas of the OTHER synced members:
+            # ...plus the tracked schemas of the OTHER synced members —
             # their own announce already consumed their delivery of this
-            # DDL, so nothing will ever re-apply it to their registry
-            for m in synced[1:]:
-                if m in self.registry.schemas:
-                    self.registry.apply(m, act)
+            # DDL — but ONLY if the lake actually applied it: when the
+            # ddl_high_water gate refused the forced location as
+            # obsolete, evolving member registries anyway would diverge
+            # them from the lake AND from synced[0] (review r5)
+            if applied:
+                for m in synced[1:]:
+                    if m in self.registry.schemas:
+                        self.registry.apply(m, act)
         else:
+            # skip action, or a lock restored from older state with an
+            # empty announce set (nobody is waiting): release only
             self.barrier.release(target, act)
         return {
             "target": target,

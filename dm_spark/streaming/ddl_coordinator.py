@@ -89,6 +89,12 @@ class ShardDdlBarrier:
             if members and seen >= members:
                 done.append(json.loads(k))
                 self.announced[tgt].pop(k)
+            elif not seen:
+                # the departed member was the only announcer: a lock
+                # nobody is waiting on is not a lock — leaving the empty
+                # entry would show a synced=[] ghost in ddl-locks and
+                # block nothing (review r5)
+                self.announced[tgt].pop(k)
         return tgt, done
 
     def to_json(self) -> dict:

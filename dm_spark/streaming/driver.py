@@ -585,11 +585,19 @@ class CdcStreamDriver:
             res["drained"] = self.runner.drain_pending()
             self.batch_stats.append({"unlock_op": op.get("id"), **res})
         except ValueError as e:
-            if "no pending shard-DDL lock" not in str(e):
-                raise
-            self.batch_stats.append(
-                {"unlock_op": op.get("id"), "result": "lock_already_resolved"}
+            # EVERY designed refusal spends the op: a lock that resolved
+            # naturally, OR an apply-time refusal (key-column rename,
+            # expr-filter collision). Letting the refusal escape
+            # foreachBatch would kill the query with the op still in
+            # control.json — every restart would re-crash until it was
+            # hand-removed (review r5). Recorded loudly instead; the
+            # operator re-issues a corrected op (fresh id).
+            why = (
+                "lock_already_resolved"
+                if "no pending shard-DDL lock" in str(e)
+                else f"refused: {e}"
             )
+            self.batch_stats.append({"unlock_op": op.get("id"), "result": why})
         self._save_runner_state()
         self._applied_unlock_op = op
         tmp = f"{self._applied_unlock_op_path}.tmp-{uuid.uuid4().hex[:8]}"
@@ -800,9 +808,9 @@ class CdcStreamDriver:
                 # settling it first would just crash again (error ops
                 # are location-surgical; applying early never harms)
                 self._apply_binlog_op(ctl)
-                self._apply_unlock_op(ctl)
                 patch = ctl.get("config_patch")
                 sop = ctl.get("schema_op")
+                uop = ctl.get("unlock_op")
                 needs_settle = (
                     patch
                     and "routes" in patch
@@ -812,11 +820,20 @@ class CdcStreamDriver:
                     # reads — same hazard as a route change (review r5)
                     sop
                     and sop != self._applied_schema_op
+                ) or (
+                    # unlock ops must run AFTER the interrupted batch
+                    # settles: replaying it afterwards would re-announce
+                    # the just-unlocked DDL and resurrect the lock, with
+                    # the spent at-most-once op unable to re-fire
+                    # (review r5)
+                    uop
+                    and uop != self._applied_unlock_op
                 )
                 if needs_settle and not self._checkpoint_settled():
                     self._settle_inflight()
                 self._apply_config_patch(ctl, paused=True)
                 self._apply_schema_op(ctl)
+                self._apply_unlock_op(ctl)
                 time.sleep(poll_sec)
                 continue
             self.paused = False
@@ -870,21 +887,60 @@ class CdcStreamDriver:
             if stop_req:
                 done = True
             elif err is not None:
-                # paused-on-error: idle until the operator intervenes
-                # (any control.json change — typically `ctl binlog
-                # skip|replace`), then retry the batch from checkpoint
+                # paused-on-error: idle until the operator intervenes,
+                # then retry the batch from checkpoint. Wakes on any
+                # control.json CHANGE, and also on an op already sitting
+                # there unapplied — one issued while the batch was
+                # failing (before the snapshot below) must not be missed
+                # until timeout (review r5)
                 done = False
                 self.last_error = str(err)
                 self.blocked = True
+                self._write_blocked_sidecar(str(err))
                 try:
                     snap = self._read_control()
                     while True:
                         if time.time() - t0 >= timeout_sec:
                             raise err  # nobody intervened — stay loud
                         ctl = self._read_control()
-                        if ctl.get("stop") or ctl != snap:
+                        if (
+                            ctl.get("stop")
+                            or ctl != snap
+                            or self._pending_intervention(ctl)
+                        ):
                             break
                         time.sleep(poll_sec)
                 finally:
                     self.blocked = False
+                    self._write_blocked_sidecar(None)
         return self.batch_stats
+
+    def _pending_intervention(self, ctl: dict) -> bool:
+        """An op present in control.json that this driver has not yet
+        applied — the blocked-task wake condition."""
+        return bool(
+            (ctl.get("binlog_op") and ctl["binlog_op"] != self._applied_binlog_op)
+            or (ctl.get("unlock_op") and ctl["unlock_op"] != self._applied_unlock_op)
+            or (ctl.get("schema_op") and ctl["schema_op"] != self._applied_schema_op)
+            or (
+                ctl.get("config_patch")
+                and ctl["config_patch"] != getattr(self, "_applied_patch", None)
+            )
+        )
+
+    def _write_blocked_sidecar(self, error: str | None) -> None:
+        """Persist the blocked-on-error state beside the checkpoint so
+        `main.py ctl status` can tell a blocked task (and the failing
+        error) apart from a slow or dead one — the state the whole
+        handle-error flow pivots on (review r5). None clears it."""
+        path = os.path.join(self.checkpoint_dir, "blocked.json")
+        if error is None:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+            return
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"blocked": True, "error": error, "at": time.time()}, f)
+        os.replace(tmp, path)

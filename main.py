@@ -71,7 +71,6 @@ def _task_status(cp_dir: str, control: dict, lake_dirs: list[str]) -> dict:
     coordination summary, and each lake manifest's totals / checkpoint
     / replication lag (the secondsBehindMaster analog: now - max
     applied event ts)."""
-    import datetime
     import os
 
     def latest(sub: str) -> int:
@@ -82,8 +81,17 @@ def _task_status(cp_dir: str, control: dict, lake_dirs: list[str]) -> dict:
             return -1
 
     offsets, commits = latest("offsets"), latest("commits")
-    stage = "paused" if control.get("pause") else (
-        "stopping" if control.get("stop") else "running-or-stopped"
+    blocked = None
+    try:
+        with open(os.path.join(cp_dir, "blocked.json")) as f:
+            blocked = json.load(f)
+    except FileNotFoundError:
+        pass
+    stage = (
+        "blocked-on-error" if blocked
+        else "paused" if control.get("pause")
+        else "stopping" if control.get("stop")
+        else "running-or-stopped"
     )
     state = _runner_state(cp_dir)
     applied_ops = {}
@@ -95,6 +103,10 @@ def _task_status(cp_dir: str, control: dict, lake_dirs: list[str]) -> dict:
             pass
     status = {
         "stage": stage,
+        # the paused-on-error detail the handle-error flow pivots on:
+        # which error blocked the task (the remedy is `ctl binlog
+        # skip|replace <loc>` / `ctl unlock`)
+        "blocked": blocked,
         "stream": {
             "last_planned_batch": offsets,
             "last_committed_batch": commits,
@@ -111,6 +123,8 @@ def _task_status(cp_dir: str, control: dict, lake_dirs: list[str]) -> dict:
         } if state else None,
         "lakes": {},
     }
+    from dm_spark.lake.table import checkpoint_lag_sec
+
     for lake_dir in lake_dirs:
         meta_dir = os.path.join(lake_dir, "_meta")
         try:
@@ -122,14 +136,7 @@ def _task_status(cp_dir: str, control: dict, lake_dirs: list[str]) -> dict:
             status["lakes"][lake_dir] = {"error": f"unreadable lake meta: {e}"}
             continue
         cp = m.get("checkpoint") or {}
-        lag = None
-        if cp.get("max_applied_ts"):
-            # same law as LakeTable.replication_lag_sec (UTC-naive
-            # arithmetic, clamped at 0, 3 decimals) so the two
-            # surfaces can never drift
-            applied = datetime.datetime.fromisoformat(cp["max_applied_ts"])
-            now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
-            lag = round(max(0.0, (now - applied).total_seconds()), 3)
+        lag = checkpoint_lag_sec(cp)
         status["lakes"][lake_dir] = {
             "version": m["version"],
             "last_batch_id": m.get("last_batch_id"),
@@ -335,12 +342,16 @@ def ctl(argv: list[str]) -> int:
             print(ctl.__doc__)
             return 2
         lock_id, loc = argv[2], argv[3]
-        if "#" not in lock_id:
+        # split at the JSON boundary, not the first '#': backtick
+        # identifiers make '#' legal inside a target table name
+        # (`t#1`), while the ddl-json always starts with '{'
+        sep = lock_id.find("#{")
+        if sep < 0:
             raise SystemExit(
                 f"unlock: lock id must be '<target>#<ddl-json>' exactly as "
                 f"printed by ctl ddl-locks, got {lock_id!r}"
             )
-        target, key = lock_id.split("#", 1)
+        target, key = lock_id[:sep], lock_id[sep + 1:]
         try:
             ident = json.loads(key)
         except json.JSONDecodeError as e:

@@ -91,6 +91,62 @@ def test_force_unlock_skip_releases_without_apply(spark, runner):
     assert ("a", 2, "post-ddl-0") in rows(runner.lake)
 
 
+def test_force_unlock_obsolete_location_gates_member_registries(spark, runner):
+    """When the lake's ddl_high_water gate refuses the forced location
+    as obsolete, NO member registry may evolve either — otherwise
+    synced members' tracked schemas diverge from the lake (review r5)."""
+    runner.lake.apply_ddl({
+        "action": "add_column", "column": "zz", "new_type": "int",
+        "file_seq": 9, "pos": 9, "suffix": 0,
+    })  # high water now (9,9,0)
+    _stick_lock(spark, runner)
+    lk = runner.pending_locks()[0]
+    res = runner.force_unlock("transcripts", lk["ddl"], 0, 9)  # obsolete loc
+    assert not res["applied"]
+    assert "rating" not in runner.lake.read().columns
+    assert ("rating", "int") not in runner.registry.get("shard_0.t")
+    assert runner.pending_locks() == []  # still released (reference-exact)
+
+
+def test_shrink_drops_lock_whose_only_announcer_left(spark, runner):
+    """DROP TABLE of the only announcer must not leave a synced=[]
+    ghost lock behind — a lock nobody waits on is not a lock, and
+    unlock of one would have nothing to attribute the DDL to."""
+    runner.barrier.announce(
+        "shard_0.t", {"action": "add_column", "column": "r", "new_type": "int"}
+    )
+    assert len(runner.pending_locks()) == 1
+    runner.barrier.shrink("shard_0.t")
+    assert runner.pending_locks() == []
+
+
+def test_refused_unlock_is_recorded_not_fatal(spark, runner, tmp_path):
+    """An unlock whose forced DDL the lake REFUSES (rename of a key
+    column) must spend the op and record the refusal instead of
+    escaping foreachBatch — an escaped refusal with the op still in
+    control.json would re-crash every restart (review r5)."""
+    feed = ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)])
+    ddls = [DdlEvent("rename_column", "shard_0.t", 0, 2,
+                     column="conv_id", new_name="cid")]
+    runner.replay(feed, ddls)  # shard_0 announces; shard_1 never does
+    lk = runner.pending_locks()[0]
+    cp = str(tmp_path / "cp_refused")
+    os.makedirs(cp, exist_ok=True)
+    drv = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), cp, runner.pipeline,
+        {"transcripts": runner.lake}, runner=runner,
+    )
+    op = {"target": "transcripts", "ident": lk["ddl"], "file_seq": 0,
+          "pos": 9, "exec": True, "id": "refused-op"}
+    drv._apply_unlock_op({"unlock_op": op})
+    rec = [s for s in drv.batch_stats if s.get("unlock_op") == "refused-op"]
+    assert rec and "key column" in rec[0]["result"]
+    assert drv._applied_unlock_op == op  # spent: restarts will not re-fire
+    # the lock survives the refusal — the operator re-issues a corrected
+    # op (e.g. skip action) with a fresh id
+    assert runner.pending_locks() == [lk]
+
+
 def test_unlock_and_status_via_ctl(spark, runner, tmp_path):
     """The full ctl plumbing: ddl-locks reads the persisted runner
     state; unlock stages through control.json and applies at a batch

@@ -209,8 +209,18 @@ def test_blocked_task_unblocked_by_ctl_binlog_skip(spark, sf_dir, tmp_path):
             time.sleep(0.2)
         assert drv.blocked, f"driver never blocked (thread errors: {err})"
         assert "DROP PRIMARY KEY" in (drv.last_error or "")
+        # while blocked, the state is OBSERVABLE from files alone: the
+        # sidecar feeds `ctl status` so the operator can tell a blocked
+        # task (and the failing error) from a slow or dead one
+        st = mainmod._task_status(cp, drv._read_control(), [])
+        assert st["stage"] == "blocked-on-error"
+        assert "DROP PRIMARY KEY" in st["blocked"]["error"]
+        # an op already sitting in control.json unapplied wakes the
+        # blocked loop even without a further file change
+        assert not drv._pending_intervention(drv._read_control())
         # the dmctl intervention — no restart, no direct driver access
         assert mainmod.ctl([cp, "binlog", "skip", "0:500"]) == 0
+        assert drv._pending_intervention(drv._read_control())
         t.join(240)
         assert not t.is_alive(), "driver did not finish after the skip"
     finally:
@@ -222,6 +232,9 @@ def test_blocked_task_unblocked_by_ctl_binlog_skip(spark, sf_dir, tmp_path):
     assert not err, err
     # the op is registered, persisted, and the final state is exact
     assert runner.error_ops.ops.get((0, 500)) == {"kind": "skip"}
+    # unblocked: the sidecar is cleared, status no longer says blocked
+    assert not os.path.exists(os.path.join(cp, "blocked.json"))
+    assert mainmod._task_status(cp, {}, [])["stage"] != "blocked-on-error"
     assert_tables_equal(
         spark_final(lake),
         duck_replay(sf_dir, where="NOT (file_seq = 0 AND pos = 500)"),
