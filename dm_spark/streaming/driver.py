@@ -727,23 +727,42 @@ class CdcStreamDriver:
 
         return latest("offsets") == latest("commits")
 
+    _STAGED_ATTRS = ("_staged_patch", "_staged_schema_op",
+                     "_staged_binlog_op", "_staged_unlock_op")
+
     def _settle_inflight(self) -> None:
         """Replay the interrupted (planned-but-uncommitted) micro-batch
         under the CURRENT pipeline config and stop — a single
         trigger-once run re-executes exactly the batch in the offset
         log (the lake batch-id gates make the re-merge idempotent),
         leaving offsets == commits so a route patch cannot re-route an
-        in-flight batch mid-replay."""
-        stream = read_feed_stream(
-            self.spark, self.feed_dir, self.max_files_per_trigger
-        )
-        q = (
-            stream.writeStream.foreachBatch(self._apply)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(once=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        in-flight batch mid-replay.
+
+        Ops STAGED by the poll loop before the pause are suspended for
+        the duration: the settle batch's own `_apply_staged_patch`
+        would otherwise consume them FIRST, replaying the batch under
+        the new schema/filters/operators — the exact hazard settling
+        exists to prevent (review r5; an op genuinely needed to get the
+        settle batch through — a binlog skip on a poison event — was
+        already applied directly from control.json by the paused
+        branch)."""
+        staged = [getattr(self, a, None) for a in self._STAGED_ATTRS]
+        for a in self._STAGED_ATTRS:
+            setattr(self, a, None)
+        try:
+            stream = read_feed_stream(
+                self.spark, self.feed_dir, self.max_files_per_trigger
+            )
+            q = (
+                stream.writeStream.foreachBatch(self._apply)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(once=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        finally:
+            for a, v in zip(self._STAGED_ATTRS, staged):
+                setattr(self, a, v)
 
     def run_continuous(
         self,

@@ -324,8 +324,17 @@ def test_settle_inflight_replays_interrupted_batch_idempotently(spark, sf_dir, t
     if os.path.exists(crc):
         os.remove(crc)
     assert not drv._checkpoint_settled()
+    # ops STAGED by the poll loop before the pause must NOT be consumed
+    # by the settle batch's own _apply_staged_patch — that would replay
+    # the interrupted batch under the new schema/filters, the exact
+    # hazard settling exists to prevent (review r5). Sentinel patch: a
+    # deny filter that would visibly change the replayed row set.
+    drv._staged_patch = {"deny_tables": ["shard_*.transcripts_*"]}
     drv._settle_inflight()
     assert drv._checkpoint_settled()
+    # the staged op survived untouched (applies at the NEXT real batch)
+    assert drv._staged_patch == {"deny_tables": ["shard_*.transcripts_*"]}
+    assert getattr(drv, "_applied_patch", None) is None
     # the replayed batch was gated: nothing double-applied
     assert lake.totals() == totals
 
