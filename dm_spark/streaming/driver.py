@@ -158,11 +158,20 @@ class CdcStreamDriver:
         for r in sorted(qrows, key=lambda r: (r["file_seq"], r["pos"])):
             try:
                 out.extend(parse_ddl(r["sql"], r["file_seq"], r["pos"]))
-            except UnsupportedDdl:
+            except UnsupportedDdl as e:
                 ops = self.runner.error_ops.ops if self.runner is not None else {}
                 ov = ops.get((r["file_seq"], r["pos"]))
                 if ov is None:
-                    raise
+                    # name the LOCATION and the remedy: the handle-error
+                    # flow needs file_seq:pos to compose the ctl command,
+                    # and this message is what `ctl status` surfaces to
+                    # a blocked task's operator
+                    raise UnsupportedDdl(
+                        f"{e} — at binlog location "
+                        f"{r['file_seq']}:{r['pos']}; skip or replace it: "
+                        f"main.py ctl <checkpoint_dir> binlog skip "
+                        f"{r['file_seq']}:{r['pos']}"
+                    ) from e
                 if ov["kind"] == "replace":
                     for i, rep in enumerate(ov["actions"]):
                         from dm_spark.plans import DdlEvent
@@ -683,6 +692,7 @@ class CdcStreamDriver:
         against a stopped task) stage before the first batch, so a
         crashed task relaunched in drain mode replays its failed batch
         under the new operators."""
+        self._write_blocked_sidecar(None)  # stale from a killed blocked run
         ctl = self._read_control()
         self._stage_schema_op(ctl)
         self._stage_binlog_op(ctl)
@@ -804,6 +814,10 @@ class CdcStreamDriver:
         self.paused = False
         self.blocked = False
         self.last_error = None
+        # a SIGKILL while blocked skips the finally that clears the
+        # sidecar — a restarted task must not report blocked-on-error
+        # from a previous life
+        self._write_blocked_sidecar(None)
         done = False
         while not done and time.time() - t0 < timeout_sec:
             ctl = self._read_control()

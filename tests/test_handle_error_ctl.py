@@ -209,6 +209,9 @@ def test_blocked_task_unblocked_by_ctl_binlog_skip(spark, sf_dir, tmp_path):
             time.sleep(0.2)
         assert drv.blocked, f"driver never blocked (thread errors: {err})"
         assert "DROP PRIMARY KEY" in (drv.last_error or "")
+        # the error NAMES the failing location and the ctl remedy — the
+        # operator composes `binlog skip F:P` from this message alone
+        assert "binlog skip 0:500" in drv.last_error
         # while blocked, the state is OBSERVABLE from files alone: the
         # sidecar feeds `ctl status` so the operator can tell a blocked
         # task (and the failing error) from a slow or dead one
