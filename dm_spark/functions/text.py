@@ -77,6 +77,46 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: word-bigram
+    duplication. Returns (doc_id, n_bigrams, n_distinct_bigrams,
+    top_bigram_n, dup_bigram_n, flagged) — dup_bigram_n counts bigram
+    OCCURRENCES beyond the first of each distinct bigram (the "fraction
+    of tokens inside repeated n-grams" rule, Rae et al. 2021 §A1.1),
+    top_bigram_n the most frequent single bigram's count; flagged when
+    duplicated occurrences exceed 20% of all bigrams (integer law:
+    dup * 5 >= total, shared with the SQL oracle).
+
+    Shape: explode(bigrams) -> two-level map-side-combinable count agg,
+    one shuffle keyed (doc_id, bigram) then (doc_id) — no per-doc
+    quadratic lambda work (Catalyst does no CSE inside lambdas), no
+    Python. Docs with <2 tokens report zero bigrams, unflagged."""
+    toks = tokens(F.col(text_col))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    ex = df.select("doc_id", F.explode_outer(bigrams).alias("bg"))
+    per_bigram = ex.groupBy("doc_id", "bg").agg(F.count("bg").alias("c"))
+    return per_bigram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.when(F.col("bg").isNotNull(), 1).otherwise(0)).alias(
+            "n_distinct_bigrams"
+        ),
+        F.max(F.coalesce("c", F.lit(0))).alias("top_bigram_n"),
+        (F.sum("c") - F.sum(F.when(F.col("bg").isNotNull(), 1).otherwise(0))).alias(
+            "dup_bigram_n"
+        ),
+        (
+            (F.sum("c") > 0)
+            & (
+                (F.sum("c") - F.sum(F.when(F.col("bg").isNotNull(), 1).otherwise(0))) * 5
+                >= F.sum("c")
+            )
+        ).alias("flagged"),
+    )
+
+
 # NOTE: a word_shingles helper built as slice-inside-transform used to
 # live here — deleted: Catalyst does no common-subexpression
 # elimination inside lambda bodies, so that shape re-evaluates the

@@ -193,6 +193,47 @@ def q_doc_dup_clusters(spark, sf_dir):
     )
 
 
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 37 == 0 stand in
+    for the held-out eval set; every other doc reports how many of its
+    distinct 3-gram shingles appear anywhere in that set. The benchmark
+    shingle set is broadcast — no corpus-side shuffle."""
+    from dm_spark.functions.dedup import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return contamination_check(corpus, bench, k=3, flag_pct=10)
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style bigram-repetition quality signals (integer laws
+    shared with the oracle)."""
+    from dm_spark.functions.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling: en kept at 40%, zh at
+    70%, the rest at 100% — the rebalancing step of a corpus mix. Knuth
+    multiplicative hash => engine-neutral, reproducible, shuffle-free."""
+    from dm_spark.functions.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir), {"en": 400, "zh": 700}, strat_col="lang"
+    )
+    return out.select("doc_id", "lang", "source", "h_bucket")
+
+
+def q_doc_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing into 256-token windows over 8
+    deterministic shards (see pack_sequences for the 100-TB shape)."""
+    from dm_spark.functions.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=256, n_shards=8)
+
+
 def q_doc_minhash_lsh(spark, sf_dir):  # rows-only (numpy hash law)
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -314,6 +355,10 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_dup_clusters": q_doc_dup_clusters,
+    "doc_contamination": q_doc_contamination,
+    "doc_repetition": q_doc_repetition,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "multimodal_decode": q_multimodal_decode,
@@ -460,6 +505,71 @@ ORACLES = {
       SELECT doc_id, cluster_id,
              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM lab
+    """,
+    "doc_contamination": f"""
+      WITH {_SHINGLES},
+      bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM docs_sh WHERE doc_id % 37 = 0),
+      corpus AS (
+        SELECT doc_id, len(shingles) AS n_shingles FROM docs_sh WHERE doc_id % 37 <> 0),
+      ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM docs_sh WHERE doc_id % 37 <> 0),
+      hits AS (
+        SELECT ex.doc_id, count(*) AS n_cont
+        FROM ex JOIN bench USING (s) GROUP BY 1)
+      SELECT c.doc_id, c.n_shingles,
+             CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+             c.n_shingles > 0 AND coalesce(h.n_cont, 0) * 100 >= c.n_shingles * 10
+               AS flagged
+      FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+    """,
+    "doc_repetition": f"""
+      WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+      bg AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) >= 2 THEN
+            list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+          ELSE [] END AS bgs
+        FROM t),
+      ex AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+      cnt AS (SELECT doc_id, b, count(*) AS c FROM ex GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               count(*) AS n_distinct_bigrams, max(c) AS top_bigram_n,
+               CAST(sum(c) - count(*) AS BIGINT) AS dup_bigram_n
+        FROM cnt GROUP BY 1)
+      SELECT t.doc_id,
+             coalesce(a.n_bigrams, 0) AS n_bigrams,
+             coalesce(a.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+             coalesce(a.top_bigram_n, 0) AS top_bigram_n,
+             coalesce(a.dup_bigram_n, 0) AS dup_bigram_n,
+             coalesce(a.n_bigrams, 0) > 0
+               AND coalesce(a.dup_bigram_n, 0) * 5 >= coalesce(a.n_bigrams, 0)
+               AS flagged
+      FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+    "doc_stratified_sample": """
+      WITH h AS (
+        SELECT doc_id, lang, source,
+               ((doc_id * 2654435761) % 4294967296) % 1000 AS h_bucket
+        FROM documents)
+      SELECT doc_id, lang, source, h_bucket FROM h
+      WHERE h_bucket < CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 700
+                       ELSE 1000 END
+    """,
+    "doc_pack_sequences": f"""
+      WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard, len({_TOKS}) AS n_tok
+        FROM documents),
+      s AS (
+        SELECT doc_id, shard, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+        FROM t)
+      SELECT doc_id, shard, n_tok, start_off,
+             CAST(start_off // 256 AS BIGINT) AS pack_id,
+             start_off % 256 AS pack_off
+      FROM s
     """,
     "doc_bpe_tokens": """
       WITH t AS (
