@@ -78,6 +78,47 @@ FROM latest WHERE rn = 1 AND op <> 'D'
 """
 )
 
+# _REPLAY's final state as a reusable CTE, for queries that aggregate
+# OVER the replayed table (the corpus-off-the-lake composites)
+_FINAL_CTE = (
+    _SPLIT
+    + """,
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn
+  FROM split
+),
+fin AS (
+  SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+  FROM latest WHERE rn = 1 AND op <> 'D'
+)"""
+)
+
+_N_TOKENS = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+
+_ASSEMBLY = (
+    _FINAL_CTE
+    + f"""
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_turns,
+       CAST(sum({_N_TOKENS}) AS BIGINT) AS n_tokens,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS convo_fp,
+       min(ts_us) AS first_ts_us, max(ts_us) AS last_ts_us
+FROM fin GROUP BY 1
+"""
+)
+
+_TOOL_USAGE = (
+    _FINAL_CTE
+    + f"""
+SELECT tool, count(*) AS n_calls, count(DISTINCT conv_id) AS n_convs,
+       CAST(sum({_N_TOKENS}) AS BIGINT) AS n_tokens
+FROM fin WHERE role = 'tool' GROUP BY 1
+"""
+)
+
 
 def _flat(df: DataFrame) -> DataFrame:
     return df.selectExpr(*_FLAT_COLS)
@@ -394,6 +435,62 @@ def q_uk_identity_replay(spark, sf_dir):
     )
 
 
+def q_conversation_assembly(spark, sf_dir):
+    """Transcript-native composite: replay the change feed into the
+    lake (the CDC axis), then assemble per-conversation training units
+    from the FINAL table state (the corpus axis) — turn/tool counts,
+    whitespace-token totals, and an order-stable conversation
+    fingerprint (md5 over turn_idx-ordered texts; turn_idx is the PK's
+    second component so the order is total). The reference stops at
+    table state (syncer/syncer.go applies and exits); this is the step
+    a training pipeline runs next, straight off the ingested lake.
+
+    Scale shape: one hash-agg keyed conv_id over the bucketed lake
+    read; collect_list is bounded by conversation length, never by
+    corpus size."""
+    from dm_spark.functions.text import token_count
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    fin = _final_us(_replay_through_lake(spark, batch))
+    return fin.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias("n_tool_turns"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda x: x["text"],
+                ),
+                "\n",
+            )
+        ).alias("convo_fp"),
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("ts_us").alias("last_ts_us"),
+    )
+
+
+def q_tool_usage(spark, sf_dir):
+    """Tool-call extraction off the ingested lake: per tool, call and
+    conversation counts plus token volume from the final-state tool
+    turns — the filter+agg a tool-use training mix starts from."""
+    from dm_spark.functions.text import token_count
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    fin = _final_us(_replay_through_lake(spark, batch))
+    return (
+        fin.where(F.col("role") == "tool")
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        )
+    )
+
+
 def q_validator_checksum(spark, sf_dir):
     """sync_diff checksum law end-to-end (tests/sharding/run.sh:9-18
     BIT_XOR(CRC32) analog): replay the feed into the lake, then reduce
@@ -573,6 +670,8 @@ QUERIES = {
     "cdc_safe_mode_replay": q_safe_mode_replay,
     "cdc_key_change_replay": q_key_change_replay,
     "cdc_uk_identity_replay": q_uk_identity_replay,
+    "cdc_conversation_assembly": q_conversation_assembly,
+    "cdc_tool_usage": q_tool_usage,
     "cdc_validator_checksum": q_validator_checksum,
     "cdc_lineage_counts": q_lineage_counts,
     "cdc_checkpoint_locations": q_checkpoint_locations,
@@ -691,6 +790,8 @@ ORACLES = {
         f"WITH feed AS ({FEED_SQL}) "
         "SELECT source_table, op, count(*) AS n FROM feed GROUP BY 1, 2"
     ),
+    "cdc_conversation_assembly": _with_feed(_ASSEMBLY),
+    "cdc_tool_usage": _with_feed(_TOOL_USAGE),
     "cdc_validator_checksum": _with_feed(
         _SPLIT
         + """,

@@ -97,6 +97,43 @@ def test_sample_hash_matches_python_law(spark):
         assert r["h"] == ((r["doc_id"] * 2654435761) % (1 << 32)) % 1000
 
 
+def test_conversation_fp_is_ingestion_order_invariant(spark):
+    """The conversation fingerprint (md5 over turn_idx-ordered texts,
+    q_conversation_assembly) must not depend on row arrival order —
+    array_sort over (turn_idx, text) structs makes the concat total-
+    ordered. Pin it against a hand-computed md5 on shuffled input."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    turns = [("c1", i, f"turn number {i}") for i in range(20)]
+    expected = hashlib.md5(
+        "\n".join(t[2] for t in sorted(turns, key=lambda t: t[1])).encode()
+    ).hexdigest()
+    df = (
+        spark.createDataFrame(
+            list(reversed(turns)), "conv_id string, turn_idx int, text string"
+        )
+        .repartition(7)  # scramble physical order
+    )
+    got = (
+        df.groupBy("conv_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                        lambda x: x["text"],
+                    ),
+                    "\n",
+                )
+            ).alias("fp")
+        )
+        .collect()[0]["fp"]
+    )
+    assert got == expected
+
+
 def test_pack_sequences_invariants(spark):
     rows = [(i, " ".join(["tok"] * (7 + i % 90)), "en") for i in range(500)]
     df = _docs(spark, rows)
