@@ -85,6 +85,48 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of (point-in-time) join: each purchase attaches the latest
+    view by the same user at or before it — ONE shuffle on user_id via
+    the union-and-window composition (see functions/temporal.asof_join;
+    a naive SQL formulation is a per-key quadratic join). The DuckDB
+    oracle uses its native ASOF JOIN as an independent implementation."""
+    from dm_spark.functions.temporal import asof_join
+
+    base = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    left = base.where(F.col("event_type") == "purchase").drop("event_type")
+    right = base.where(F.col("event_type") == "view").drop("event_type")
+    out = asof_join(
+        left, right, on=["user_id"], right_payload=["event_id"], tiebreak="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("event_id_r").alias("view_event_id"),
+        F.col("ts_us_r").alias("view_ts_us"),
+    )
+
+
+def q_events_range_join(spark, sf_dir):
+    """Bounded range join: clicks in the 10 minutes before each error,
+    per user — time-bucketed equi-join (2 probe buckets per row, exact
+    refine) instead of the cartesian plan a range predicate naively
+    produces. Independent naive range-join oracle in DuckDB."""
+    from dm_spark.functions.temporal import range_count_join
+
+    base = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    err = base.where(F.col("event_type") == "error").drop("event_type")
+    clk = base.where(F.col("event_type") == "click").select("user_id", "ts_us")
+    return range_count_join(
+        err, clk, on=["user_id"], window_us=600_000_000, count_col="n_clicks_10m"
+    )
+
+
 # ----------------------------------------------- relational baselines
 # The reference is not a query engine (SURVEY §2.6), but the rebuild's
 # pipeline composes Spark's relational primitives — these exercise the
@@ -350,6 +392,8 @@ QUERIES = {
     "nation_revenue": q_nation_revenue,
     "events_tumbling_agg": q_events_tumbling_agg,
     "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -435,6 +479,33 @@ ORACLES = {
       SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
              max(n_events) AS max_session_events
       FROM per GROUP BY 1
+    """,
+    "events_asof_join": """
+      WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'),
+      v AS (
+        SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS view_ts_us
+        FROM events WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, p.ts_us, v.view_event_id, v.view_ts_us
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
+    """,
+    "events_range_join": """
+      WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'error'),
+      c AS (
+        SELECT user_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click'),
+      j AS (
+        SELECT e.event_id, count(*) AS n
+        FROM e JOIN c ON c.user_id = e.user_id
+          AND c.c_us > e.ts_us - 600000000 AND c.c_us <= e.ts_us
+        GROUP BY 1)
+      SELECT e.event_id, e.user_id, e.ts_us,
+             CAST(coalesce(j.n, 0) AS BIGINT) AS n_clicks_10m
+      FROM e LEFT JOIN j ON j.event_id = e.event_id
     """,
     "doc_exact_dedup": """
       SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes

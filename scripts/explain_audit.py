@@ -16,6 +16,8 @@ Checks (prints PASS/FAIL lines + the formatted plans):
 6. wire decode: exactly one Python node (the mapInPandas JSON
    kernel); struct re-assembly and image-timestamp parsing stay
    JVM-side and the decode introduces no exchange.
+7. temporal joins: the as-of join plan contains NO join operator
+   (union-and-window), the bounded range join only equi-joins.
 """
 
 from __future__ import annotations
@@ -171,6 +173,27 @@ def main() -> int:
     if not ok6:
         failures.append("decode-plan")
         print(p6)
+
+    # 7. temporal joins keep their scale shapes: as-of is join-FREE
+    # (union + one window shuffle), the bounded range join is
+    # equi-join-only (bucket probe), never BNLJ/cartesian
+    from dm_spark.queries_corpus import q_events_asof_join, q_events_range_join
+
+    p7a = plan_of(q_events_asof_join(spark, sf), "simple")
+    p7b = plan_of(q_events_range_join(spark, sf), "simple")
+    ok7 = (
+        "Join" not in p7a
+        and "CartesianProduct" not in p7b
+        and "BroadcastNestedLoopJoin" not in p7b
+    )
+    print(
+        f"{'PASS' if ok7 else 'FAIL'} temporal joins: asof join-free "
+        f"(joins={p7a.count('Join')}), range equi-join-only"
+    )
+    if not ok7:
+        failures.append("temporal-joins")
+        print(p7a)
+        print(p7b)
 
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
