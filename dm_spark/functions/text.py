@@ -65,6 +65,17 @@ def fingerprint(col: Column) -> Column:
     return F.md5(col)
 
 
+def normalized_text(col: Column) -> Column:
+    """Canonical form for fuzzy-exact dedup: lowercase, punctuation
+    stripped, whitespace collapsed and trimmed — the standard
+    normalization before fingerprinting (catches case/spacing/punct
+    near-copies that byte-exact dedup misses). Regex law shared with
+    the SQL oracle."""
+    out = F.lower(col)
+    out = F.regexp_replace(out, r"[\.,;:!\?]", "")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return (

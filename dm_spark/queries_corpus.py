@@ -190,6 +190,16 @@ def q_doc_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def q_doc_exact_dedup_norm(spark, sf_dir):
+    """Exact dedup over the CANONICAL text form (lowercase, punct
+    stripped, whitespace collapsed) — what production exact dedup
+    actually keys on; catches case/spacing near-copies."""
+    from dm_spark.functions.text import normalized_text
+
+    docs = _docs(spark, sf_dir).withColumn("text", normalized_text(F.col("text")))
+    return exact_dedup(docs)
+
+
 def q_doc_quality(spark, sf_dir):
     return quality_columns(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "n_stopwords", "n_punct", "n_chars_calc", "is_en_pred", "fp"
@@ -395,6 +405,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_exact_dedup_norm": q_doc_exact_dedup_norm,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -509,6 +520,13 @@ ORACLES = {
     """,
     "doc_exact_dedup": """
       SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dupes
+      FROM documents GROUP BY 1
+    """,
+    "doc_exact_dedup_norm": """
+      SELECT md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[\\.,;:!\\?]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_dupes
       FROM documents GROUP BY 1
     """,
     "doc_quality": f"""

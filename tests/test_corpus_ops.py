@@ -97,6 +97,30 @@ def test_sample_hash_matches_python_law(spark):
         assert r["h"] == ((r["doc_id"] * 2654435761) % (1 << 32)) % 1000
 
 
+def test_normalized_dedup_collapses_near_copies(spark):
+    """Canonical-form dedup must merge case/punctuation/whitespace
+    variants that byte-exact dedup keeps apart (the synthetic corpus
+    has none, so the law is pinned here)."""
+    from dm_spark.functions.dedup import exact_dedup
+    from dm_spark.functions.text import normalized_text
+
+    df = _docs(
+        spark,
+        [
+            (1, "Hello, World!  How are you?", "en"),
+            (2, "hello world how are you", "en"),
+            (3, "HELLO  WORLD. how ARE you", "en"),
+            (4, "something else entirely", "en"),
+        ],
+    )
+    byte_exact = exact_dedup(df).count()
+    norm = exact_dedup(df.withColumn("text", normalized_text(F.col("text")))).collect()
+    assert byte_exact == 4  # byte-exact sees 4 distinct docs
+    assert len(norm) == 2  # canonical form collapses 1/2/3
+    merged = next(r for r in norm if r["n_dupes"] == 3)
+    assert merged["keep_id"] == 1
+
+
 def test_conversation_fp_is_ingestion_order_invariant(spark):
     """The conversation fingerprint (md5 over turn_idx-ordered texts,
     q_conversation_assembly) must not depend on row arrival order —
