@@ -286,6 +286,50 @@ def q_doc_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), seq_len=256, n_shards=8)
 
 
+def q_doc_vocab_topk(spark, sf_dir):
+    """Vocabulary induction: corpus-wide top-200 tokens by occurrence
+    (total order: count DESC, token ASC — boundary ties can't split
+    engines). One map-side-combinable shuffle on the token, then
+    Spark's TakeOrdered top-k — NO global sort or single-partition
+    window at any corpus size."""
+    from dm_spark.functions.text import tokens
+
+    ex = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    agg = ex.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occ"), F.count_distinct("doc_id").alias("n_docs")
+    )
+    return agg.orderBy(F.col("n_occ").desc(), F.col("tok").asc()).limit(200)
+
+
+def q_doc_mix_report(spark, sf_dir):
+    """Corpus-mix report around the sampling step: per language, doc
+    and token volumes before vs after the deterministic stratified
+    rates (en 400‰, zh 700‰, rest keep-all) — the table a data-mix
+    review reads. Pure aggregation over the same Knuth-hash law as
+    doc_stratified_sample."""
+    from dm_spark.functions.sampling import sample_hash
+    from dm_spark.functions.text import token_count
+
+    rate = (
+        F.when(F.col("lang") == "en", 400)
+        .when(F.col("lang") == "zh", 700)
+        .otherwise(1000)
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("n_tok", token_count(F.col("text")))
+        .withColumn("kept", (sample_hash(F.col("doc_id")) < rate).cast("int"))
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("kept").alias("n_docs_sampled"),
+        F.sum(F.col("kept") * F.col("n_tok")).alias("n_tokens_sampled"),
+    )
+
+
 def q_doc_minhash_lsh(spark, sf_dir):  # rows-only (numpy hash law)
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -414,6 +458,8 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_vocab_topk": q_doc_vocab_topk,
+    "doc_mix_report": q_doc_mix_report,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "multimodal_decode": q_multimodal_decode,
@@ -659,6 +705,29 @@ ORACLES = {
              CAST(start_off // 256 AS BIGINT) AS pack_id,
              start_off % 256 AS pack_off
       FROM s
+    """,
+    "doc_vocab_topk": f"""
+      WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+      a AS (
+        SELECT tok, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        FROM t GROUP BY 1)
+      SELECT tok, n_occ, n_docs FROM a
+      ORDER BY n_occ DESC, tok ASC LIMIT 200
+    """,
+    "doc_mix_report": f"""
+      WITH d AS (
+        SELECT lang, len({_TOKS}) AS n_tok,
+               CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000 <
+                 CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 700
+                 ELSE 1000 END
+               THEN 1 ELSE 0 END AS kept
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(kept) AS BIGINT) AS n_docs_sampled,
+             CAST(sum(kept * n_tok) AS BIGINT) AS n_tokens_sampled
+      FROM d GROUP BY 1
     """,
     "doc_bpe_tokens": """
       WITH t AS (

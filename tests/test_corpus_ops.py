@@ -158,6 +158,36 @@ def test_conversation_fp_is_ingestion_order_invariant(spark):
     assert got == expected
 
 
+def test_vocab_topk_boundary_is_totally_ordered(spark):
+    """Top-k vocab with count ties crossing the k boundary: the
+    (count DESC, token ASC) total order must pick the same set any
+    engine would — pinned against a Python-computed reference (the
+    31-token fixture corpus never exercises the boundary)."""
+    from collections import Counter
+
+    # 300 distinct tokens; tok_000..tok_299, token i appears (i // 100 + 1)
+    # times -> large tie groups crossing k=200
+    words = []
+    for i in range(300):
+        words += [f"tok_{i:03d}"] * (i // 100 + 1)
+    df = _docs(spark, [(1, " ".join(words), "en")])
+    from pyspark.sql import functions as F
+
+    from dm_spark.functions.text import tokens
+
+    ex = df.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    got = (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("tok").asc())
+        .limit(200)
+        .collect()
+    )
+    counts = Counter(words)
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    assert [(r["tok"], r["n_occ"]) for r in got] == expect
+
+
 def test_pack_sequences_invariants(spark):
     rows = [(i, " ".join(["tok"] * (7 + i % 90)), "en") for i in range(500)]
     df = _docs(spark, rows)
