@@ -286,6 +286,31 @@ def q_doc_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), seq_len=256, n_shards=8)
 
 
+def q_doc_incremental_dedup(spark, sf_dir):
+    """Incremental dedup equivalence law: folding the corpus through
+    the fingerprint index in 5 id-ordered batches must equal ONE global
+    exact dedup (same fp -> min doc_id survivor). This is the 100-TB
+    shape — per-batch cost O(batch), no corpus rescan — proven against
+    the global-aggregation oracle."""
+    import tempfile
+
+    from dm_spark.functions.incremental import (
+        create_fp_index,
+        incremental_dedup_batch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    index = create_fp_index(spark, tempfile.mkdtemp(prefix="dm_q_fpidx_"), n_buckets=16)
+    step = hi // 5 + 1
+    for i in range(5):
+        batch = docs.where(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+        incremental_dedup_batch(index, batch, batch_seq=i)
+    return index.read().select("fp", "keep_id")
+
+
 def q_doc_vocab_topk(spark, sf_dir):
     """Vocabulary induction: corpus-wide top-200 tokens by occurrence
     (total order: count DESC, token ASC — boundary ties can't split
@@ -458,6 +483,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_incremental_dedup": q_doc_incremental_dedup,
     "doc_vocab_topk": q_doc_vocab_topk,
     "doc_mix_report": q_doc_mix_report,
     "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -705,6 +731,10 @@ ORACLES = {
              CAST(start_off // 256 AS BIGINT) AS pack_id,
              start_off % 256 AS pack_off
       FROM s
+    """,
+    "doc_incremental_dedup": """
+      SELECT md5(text) AS fp, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1
     """,
     "doc_vocab_topk": f"""
       WITH t AS (
