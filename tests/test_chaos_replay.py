@@ -84,13 +84,19 @@ def test_random_dml_ddl_interleaving_matches_oracle(
         ))
     feed = spark.createDataFrame(data, ENVELOPE_DDL)
 
+    # two generated DDLs may collide on the same odd position — the
+    # engine contract (parse_ddl split ordinals) is that same-location
+    # DDLs carry distinct suffix ordinals; identical (file_seq, pos,
+    # suffix) triples are indistinguishable from redelivery and are
+    # idempotently dropped by the high-water gate, so the generator
+    # must stamp suffixes exactly like the parser would
     ddls = []
-    for ddl, loc in zip((tool_op, role_op, add_op), locs):
+    for j, (ddl, loc) in enumerate(zip((tool_op, role_op, add_op), locs)):
         if ddl is None:
             continue
         kind, col, extra = ddl
         ddls.append(DdlEvent(
-            kind, "shard_0.t", 0, 2 * loc + 1,
+            kind, "shard_0.t", 0, 2 * loc + 1, suffix=j,
             column=col,
             new_name=extra if kind == "rename_column" else None,
             new_type=extra if kind == "add_column" else None,
