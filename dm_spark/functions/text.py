@@ -128,6 +128,117 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns shared verbatim with the DuckDB oracle (both Java regex
+# and RE2 interpret these identically: no lookaround, no backrefs,
+# greedy quantifiers over disjoint character classes).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9 \-]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: emails, IPv4 addresses and
+    phone-shaped digit runs are replaced with typed placeholder tokens
+    (<EMAIL>/<IP>/<PHONE>), applied in that order so an earlier
+    replacement cannot create or destroy a later match on the synthetic
+    shapes (emails carry no dotted quads; dotted quads are excluded
+    from the phone class by the '.'). Match COUNTS are computed per
+    pattern on the ORIGINAL text (independent laws, shared with the
+    SQL oracle). Pure Catalyst regexp_replace/regexp_count — JVM
+    codegen, no Python, no shuffle: the op is a stateless projection
+    that scales embarrassingly at 100 TB."""
+    c = F.col(text_col)
+    red = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IP_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    n_em = F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("bigint")
+    n_ip = F.regexp_count(c, F.lit(PII_IP_RE)).cast("bigint")
+    n_ph = F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("bigint")
+    return (
+        df.withColumn("n_emails", n_em)
+        .withColumn("n_ips", n_ip)
+        .withColumn("n_phones", n_ph)
+        .withColumn("has_pii", (n_em + n_ip + n_ph) > 0)
+        .withColumn("redacted", red)
+    )
+
+
+# quality_filter reason bits (reasons == 0 <=> keep)
+QF_TOKENS_OUT_OF_RANGE = 1  # token count outside [min_tokens, max_tokens]
+QF_WORDLEN_OUT_OF_RANGE = 2  # mean token length outside [3, 10]
+QF_PUNCT_HEAVY = 4  # punctuation >= 10% of characters
+QF_FEW_STOPWORDS = 8  # fewer than 2 stopword tokens (C4 rule analog)
+QF_REPETITIVE = 16  # duplicated bigram occurrences >= 20% of bigrams
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Composite C4/Gopher-style document quality filter: one keep/drop
+    verdict per document plus a reason BITMASK (so a pipeline can report
+    *why* volume was dropped, not just how much — the "no silent caps"
+    rule applied to filtering). Rules (Raffel et al. 2020 §2.2, Rae et
+    al. 2021 §A1.1), all integer laws shared with the SQL oracle:
+
+      bit 1  token count outside [min_tokens, max_tokens]
+      bit 2  mean token length outside [3, 10]   (3n <= sum_len <= 10n)
+      bit 4  punctuation >= 10% of characters    (10 * punct >= chars)
+      bit 8  fewer than 2 stopword tokens
+      bit 16 duplicated-bigram occurrences >= 20% of bigrams
+             (only when the doc has bigrams at all)
+
+    sum_len is length(replace(text,' ','')) — exactly the sum of token
+    lengths under whitespace tokenization regardless of repeated/edge
+    spaces. Shape: a stateless projection joined with the
+    repetition_signals aggregate on doc_id — the only shuffles are the
+    bigram count-agg (map-side combinable) and the doc_id join, both
+    key-bounded at 100 TB."""
+    c = F.col(text_col)
+    base = df.select(
+        "doc_id",
+        token_count(c).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace(c, " ", "")).cast("bigint").alias("sum_tok_len"),
+        punct_count(c).cast("bigint").alias("n_punct"),
+        char_count(c).cast("bigint").alias("n_chars_q"),
+        stopword_count(c).cast("bigint").alias("n_stopwords"),
+    )
+    rep = repetition_signals(df, text_col).select(
+        "doc_id", "n_bigrams", "dup_bigram_n"
+    )
+    j = base.join(rep, "doc_id")
+    r1 = ~F.col("n_tokens").between(min_tokens, max_tokens)
+    r2 = ~(
+        (F.col("sum_tok_len") >= 3 * F.col("n_tokens"))
+        & (F.col("sum_tok_len") <= 10 * F.col("n_tokens"))
+    )
+    r3 = F.col("n_punct") * 10 >= F.col("n_chars_q")
+    r4 = F.col("n_stopwords") < 2
+    r5 = (F.col("n_bigrams") > 0) & (
+        F.col("dup_bigram_n") * 5 >= F.col("n_bigrams")
+    )
+    reasons = (
+        r1.cast("int") * QF_TOKENS_OUT_OF_RANGE
+        + r2.cast("int") * QF_WORDLEN_OUT_OF_RANGE
+        + r3.cast("int") * QF_PUNCT_HEAVY
+        + r4.cast("int") * QF_FEW_STOPWORDS
+        + r5.cast("int") * QF_REPETITIVE
+    ).cast("bigint")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "sum_tok_len",
+        "n_punct",
+        "n_stopwords",
+        "n_bigrams",
+        "dup_bigram_n",
+        reasons.alias("reasons"),
+        (reasons == 0).alias("keep"),
+    )
+
+
 # NOTE: a word_shingles helper built as slice-inside-transform used to
 # live here — deleted: Catalyst does no common-subexpression
 # elimination inside lambda bodies, so that shape re-evaluates the

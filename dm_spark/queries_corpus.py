@@ -21,7 +21,13 @@ from dm_spark.functions.similarity import (
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
 )
-from dm_spark.functions.text import EN_STOPWORDS, quality_columns
+from dm_spark.functions.text import (
+    EN_STOPWORDS,
+    PII_EMAIL_RE,
+    PII_IP_RE,
+    PII_PHONE_RE,
+    quality_columns,
+)
 
 
 def _docs(spark, sf_dir):
@@ -465,6 +471,104 @@ def q_emb_ann_lsh(spark, sf_dir):  # rows-only (recall < 1 by design)
     )
 
 
+# deterministic PII-injection laws for q_doc_pii_redact (the synthetic
+# corpus carries no organic PII; the query plants typed PII at known
+# doc_id residues so redaction is exercised — same trick as
+# q_doc_contamination's doc_id % 37 eval split). Shared with the oracle.
+_PII_HEADER_DOC = 7  # every 7th doc gets an email appended
+_PII_IP_DOC = 11  # every 11th doc gets an IPv4
+_PII_PHONE_DOC = 13  # every 13th doc gets a phone-shaped run
+
+
+def q_doc_pii_redact(spark, sf_dir):
+    """PII scrub over the corpus: per-doc counts of each PII class plus
+    the md5 of the redacted text. Stateless JVM projection — the 100-TB
+    plan is scan -> project -> (downstream), zero shuffles."""
+    from dm_spark.functions.text import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            d % _PII_HEADER_DOC == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % _PII_IP_DOC == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (d % 256).cast("string"),
+                F.lit(".0."),
+                (d % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % _PII_PHONE_DOC == 0,
+            F.concat(
+                F.lit(" call +1 555 01"),
+                F.lpad((d % 100).cast("string"), 2, "0"),
+                F.lit(" 99"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = redact_pii(docs.withColumn("text", injected))
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        "has_pii",
+        F.md5("redacted").alias("red_fp"),
+    )
+
+
+def q_doc_quality_filter(spark, sf_dir):
+    """Composite keep/drop verdict with a reason bitmask — the corpus
+    pipeline's gate stage (C4/Gopher rules; see
+    functions/text.quality_filter)."""
+    from dm_spark.functions.text import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir))
+
+
+# line law for q_doc_line_dedup: the synthetic corpus is single-line, so
+# the query decomposes each doc into fixed 64-char segments and plants
+# boilerplate — a shared header on every doc and a footer on every 5th —
+# exactly the nav-bar/license-footer shapes CCNet line-dedup removes.
+# Real corpora pass split(text, '\n') instead; the law is shared with
+# the oracle verbatim.
+_LD_HEADER = "subscribe to our newsletter terms of service apply all rights reserved"
+_LD_FOOTER = "copyright example corp all rights reserved contact us for details"
+_LD_WIDTH = 64
+_LD_FOOTER_DOC = 5
+
+
+def q_doc_line_dedup(spark, sf_dir):
+    from dm_spark.functions.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    d = F.col("doc_id")
+    n_chunks = F.greatest(
+        F.floor((F.length(c) - 1) / _LD_WIDTH).cast("int"), F.lit(0)
+    )
+    # substr over the raw attribute inside the lambda is per-element
+    # free (the O(n^2) trap is DERIVED arrays inside lambdas — CLAUDE.md)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: c.substr(i * _LD_WIDTH + 1, F.lit(_LD_WIDTH)),
+    )
+    lines = F.concat(
+        F.array(F.lit(_LD_HEADER)),
+        chunks,
+        F.when(d % _LD_FOOTER_DOC == 0, F.array(F.lit(_LD_FOOTER))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    return line_dedup(docs, lines)
+
+
 QUERIES = {
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -481,6 +585,9 @@ QUERIES = {
     "doc_dup_clusters": q_doc_dup_clusters,
     "doc_contamination": q_doc_contamination,
     "doc_repetition": q_doc_repetition,
+    "doc_pii_redact": q_doc_pii_redact,
+    "doc_quality_filter": q_doc_quality_filter,
+    "doc_line_dedup": q_doc_line_dedup,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_incremental_dedup": q_doc_incremental_dedup,
@@ -708,6 +815,104 @@ ORACLES = {
                AND coalesce(a.dup_bigram_n, 0) * 5 >= coalesce(a.n_bigrams, 0)
                AS flagged
       FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+    "doc_pii_redact": f"""
+      WITH d AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % {_PII_HEADER_DOC} = 0
+               THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+          || CASE WHEN doc_id % {_PII_IP_DOC} = 0
+               THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+               ELSE '' END
+          || CASE WHEN doc_id % {_PII_PHONE_DOC} = 0
+               THEN ' call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' 99'
+               ELSE '' END
+          AS text
+        FROM documents),
+      n AS (
+        SELECT doc_id, text,
+          CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+          CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones
+        FROM d)
+      SELECT doc_id, n_emails, n_ips, n_phones,
+             (n_emails + n_ips + n_phones) > 0 AS has_pii,
+             md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_IP_RE}', '<IP>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g')) AS red_fp
+      FROM n
+    """,
+    "doc_quality_filter": f"""
+      WITH base AS (
+        SELECT doc_id,
+          CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_tok_len,
+          CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS n_punct,
+          CAST(length(text) AS BIGINT) AS n_chars_q,
+          CAST(len(list_filter({_TOKS}, x -> lower(x) IN ({_SW}))) AS BIGINT) AS n_stopwords
+        FROM documents),
+      t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+      bg AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) >= 2 THEN
+            list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+          ELSE [] END AS bgs
+        FROM t),
+      ex AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+      cnt AS (SELECT doc_id, b, count(*) AS c FROM ex GROUP BY 1, 2),
+      rep0 AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(sum(c) - count(*) AS BIGINT) AS dup_bigram_n
+        FROM cnt GROUP BY 1),
+      j AS (
+        SELECT b.*, coalesce(r.n_bigrams, 0) AS n_bigrams,
+               coalesce(r.dup_bigram_n, 0) AS dup_bigram_n
+        FROM base b LEFT JOIN rep0 r ON r.doc_id = b.doc_id),
+      v AS (
+        SELECT *,
+          CAST(
+            CASE WHEN NOT (n_tokens BETWEEN 5 AND 100000) THEN 1 ELSE 0 END
+          + CASE WHEN NOT (sum_tok_len >= 3 * n_tokens
+                           AND sum_tok_len <= 10 * n_tokens) THEN 2 ELSE 0 END
+          + CASE WHEN n_punct * 10 >= n_chars_q THEN 4 ELSE 0 END
+          + CASE WHEN n_stopwords < 2 THEN 8 ELSE 0 END
+          + CASE WHEN n_bigrams > 0 AND dup_bigram_n * 5 >= n_bigrams
+                 THEN 16 ELSE 0 END AS BIGINT) AS reasons
+        FROM j)
+      SELECT doc_id, n_tokens, sum_tok_len, n_punct, n_stopwords,
+             n_bigrams, dup_bigram_n, reasons, reasons = 0 AS keep
+      FROM v
+    """,
+    "doc_line_dedup": f"""
+      WITH d AS (
+        SELECT doc_id,
+          ['{_LD_HEADER}']
+          || list_transform(range(0, greatest((length(text) - 1) // {_LD_WIDTH}, 0) + 1),
+                            i -> substr(text, i * {_LD_WIDTH} + 1, {_LD_WIDTH}))
+          || CASE WHEN doc_id % {_LD_FOOTER_DOC} = 0
+               THEN ['{_LD_FOOTER}'] ELSE [] END AS lines
+        FROM documents),
+      ex AS (
+        SELECT doc_id, struct_extract(u, 'pos') AS pos,
+               struct_extract(u, 'line') AS line
+        FROM (
+          SELECT doc_id, unnest(list_transform(range(0, len(lines)),
+                 i -> struct_pack(pos := i, line := lines[i+1]))) AS u
+          FROM d)),
+      surv AS (
+        SELECT line, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+        FROM ex GROUP BY line),
+      k AS (
+        SELECT e.doc_id, e.pos, e.line,
+               (struct_extract(s.w, 'doc_id') = e.doc_id
+                AND struct_extract(s.w, 'pos') = e.pos) AS keep
+        FROM ex e JOIN surv s ON s.line = e.line)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+             md5(coalesce(string_agg(CASE WHEN keep THEN line END,
+                 chr(10) ORDER BY pos), '')) AS kept_fp
+      FROM k GROUP BY doc_id
     """,
     "doc_stratified_sample": """
       WITH h AS (

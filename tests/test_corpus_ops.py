@@ -204,3 +204,118 @@ def test_pack_sequences_invariants(spark):
         for r in rows_:  # contiguous concat stream: no gaps, no overlap
             assert r["start_off"] == off
             off += r["n_tok"]
+
+
+def test_redact_pii_counts_and_replacement_order(spark):
+    from dm_spark.functions.text import redact_pii
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or bob@x.io", "en"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up", "en"),
+            (3, "call +44 20 7946 0958 today", "en"),
+            # counts are INDEPENDENT per pattern (documented law): the
+            # 10-digit run inside the email also counts phone-shaped,
+            # but sequential redaction still consumes it as <EMAIL>
+            (4, "user1234567890@example.com at 1.2.3.4", "en"),
+            (5, "plain text no pii here", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (2, 0, 0)
+    assert out[1]["redacted"] == "mail me at <EMAIL> or <EMAIL>"
+    assert (out[2]["n_ips"], out[2]["n_phones"]) == (2, 0)
+    assert out[2]["redacted"] == "server <IP> and <IP> up"
+    assert out[3]["n_phones"] == 1
+    assert out[3]["redacted"] == "call <PHONE> today"
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (1, 1, 1)
+    assert out[4]["redacted"] == "<EMAIL> at <IP>"
+    assert out[5]["has_pii"] is False and out[5]["redacted"] == out[5]["text"]
+
+
+def test_quality_filter_reason_bits(spark):
+    from dm_spark.functions.text import (
+        QF_FEW_STOPWORDS,
+        QF_PUNCT_HEAVY,
+        QF_REPETITIVE,
+        QF_TOKENS_OUT_OF_RANGE,
+        QF_WORDLEN_OUT_OF_RANGE,
+        quality_filter,
+    )
+
+    df = _docs(
+        spark,
+        [
+            # clean: 10 tokens, mean word length 4.3, 2 stopwords
+            (1, "the quick brown fox jumps over the lazy sleeping dog", "en"),
+            (2, "too short", "en"),  # <5 tokens, no stopwords x2? 'too short' 0 sw
+            (3, "aaaaaaaaaaaaaaa bbbbbbbbbbbbbbbb cccccccccccc dddddddddddd eeeeeeeeeeee", "en"),
+            (4, "the cat... sat;; on!! the... mat... the;; cat!!", "en"),
+            (5, "the cat the cat the cat the cat the cat and a dog", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert out[1]["reasons"] == 0 and out[1]["keep"] is True
+    # doc 2: 2 tokens (<5) and zero stopwords
+    assert out[2]["reasons"] & QF_TOKENS_OUT_OF_RANGE
+    assert out[2]["reasons"] & QF_FEW_STOPWORDS
+    # doc 3: 5 long tokens -> mean wordlen > 10, token count ok
+    assert out[3]["reasons"] & QF_WORDLEN_OUT_OF_RANGE
+    assert not out[3]["reasons"] & QF_TOKENS_OUT_OF_RANGE
+    # doc 4: punctuation-heavy
+    assert out[4]["reasons"] & QF_PUNCT_HEAVY
+    # doc 5: 'the cat' repeated -> duplicated bigrams >= 20%
+    assert out[5]["reasons"] & QF_REPETITIVE
+    assert out[5]["keep"] is False
+
+
+def test_line_dedup_first_occurrence_and_fp(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dm_spark.functions.dedup import line_dedup
+
+    rows = [
+        (1, "header\nunique one\nfooter", "en"),
+        (2, "header\nunique two\nfooter", "en"),
+        (3, "header\nfooter", "en"),  # every line boilerplate
+    ]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, F.split(F.col("text"), "\n")).collect()
+    }
+    # doc 1 is the first occurrence of header+footer: keeps everything
+    assert (out[1]["n_lines"], out[1]["kept_lines"]) == (3, 3)
+    assert out[1]["kept_fp"] == hashlib.md5(
+        b"header\nunique one\nfooter"
+    ).hexdigest()
+    # doc 2 keeps only its unique middle line
+    assert (out[2]["n_lines"], out[2]["kept_lines"]) == (3, 1)
+    assert out[2]["kept_fp"] == hashlib.md5(b"unique two").hexdigest()
+    # doc 3 loses every line -> md5 of empty string, not NULL
+    assert (out[3]["n_lines"], out[3]["kept_lines"]) == (2, 0)
+    assert out[3]["kept_fp"] == hashlib.md5(b"").hexdigest()
+
+
+def test_convo_hygiene_edge_laws(spark):
+    from dm_spark.queries_cdc import convo_hygiene
+
+    fin = spark.createDataFrame(
+        [
+            # c1: clean user -> assistant -> tool
+            ("c1", 1, "user"), ("c1", 2, "assistant"), ("c1", 3, "tool"),
+            # c2: starts with assistant, adjacent repeat
+            ("c2", 1, "assistant"), ("c2", 2, "assistant"), ("c2", 3, "user"),
+            # c3: orphan tool at turn 1 AND tool-after-user
+            ("c3", 1, "tool"), ("c3", 2, "user"), ("c3", 3, "tool"),
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    out = {r["conv_id"]: r for r in convo_hygiene(fin).collect()}
+    assert out["c1"]["valid"] is True and out["c1"]["n_orphan_tools"] == 0
+    assert out["c2"]["starts_with_user"] is False
+    assert out["c2"]["n_role_repeats"] == 1 and out["c2"]["valid"] is False
+    assert out["c3"]["n_orphan_tools"] == 2 and out["c3"]["valid"] is False
