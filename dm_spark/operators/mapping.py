@@ -47,6 +47,48 @@ def shard_prefix_rule(pattern: str, column: str = "conv_id") -> ColumnMappingRul
     )
 
 
+def pii_scrub_rule(
+    pattern: str,
+    column: str = "text",
+    classes: tuple[str, ...] = ("email", "ip", "phone"),
+    extra: list[tuple[str, str]] | None = None,
+) -> ColumnMappingRule:
+    """Ingest-time PII scrub as a column mapping (the reference's
+    column-mapping hook generalized to content rewriting,
+    syncer/dml.go:331-352): emails / IPv4s / phone-shaped runs in image
+    field `column` are replaced with typed placeholders BEFORE the row
+    ever lands in the lake — the compliance-grade shape for transcript
+    pipelines (scrub-at-rest leaves a PII-bearing version in history;
+    scrub-at-ingest never persists one). `extra` appends custom
+    (regex, replacement) pairs — e.g. ('#[0-9]+', '<ID>') to strip
+    numeric user/session identifiers.
+
+    Applied to BOTH images by apply_column_mappings, so tombstones and
+    key-change splits carry scrubbed payloads too. Runs AFTER the
+    filter stages in ApplyPipeline.transform — expression filters match
+    on the original values (same order as the reference's mapping
+    stage). Pure nested regexp_replace in codegen: a stateless
+    projection, zero shuffle cost at any scale. Scrub-rule changes are
+    NOT runtime-patchable (content rewriting mid-stream would make the
+    lake a mix of scrubbed and raw rows with no marker) — change them
+    via task restart, where redelivery + LWW re-scrubs overlaps."""
+    from dm_spark.functions.text import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+    pats = {
+        "email": (PII_EMAIL_RE, "<EMAIL>"),
+        "ip": (PII_IP_RE, "<IP>"),
+        "phone": (PII_PHONE_RE, "<PHONE>"),
+    }
+    unknown = [c for c in classes if c not in pats]
+    if unknown:
+        raise ValueError(f"pii_scrub_rule: unknown classes {unknown}")
+    expr = f"IMG.{column}"
+    for regex, repl in [pats[c] for c in classes] + list(extra or []):
+        q = regex.replace("\\", "\\\\").replace("'", "\\'")
+        expr = f"regexp_replace({expr}, '{q}', '{repl}')"
+    return ColumnMappingRule(pattern=pattern, column=column, expr=expr)
+
+
 def unsigned_reinterpret(df: DataFrame, columns: dict[str, int]) -> DataFrame:
     """Reinterpret signed-decoded integers as unsigned, widened into
     long (syncer/dml.go:185-212 `castUnsigned`): a negative value wraps

@@ -24,6 +24,11 @@ from dm_spark.feed import FEED_SQL, change_feed, feed_sql
 from dm_spark.lake import LakeTable
 from dm_spark.operators import ApplyPipeline, flatten_changes, lww_latest
 from dm_spark.operators.filters import ba_list_filter, event_type_filter, expression_filter
+from dm_spark.functions.text import (
+    PII_EMAIL_RE as _PII_EMAIL_RE,
+    PII_IP_RE as _PII_IP_RE,
+    PII_PHONE_RE as _PII_PHONE_RE,
+)
 from dm_spark.operators.mapping import apply_column_mappings, shard_prefix_rule
 from dm_spark.operators.router import route_tables
 
@@ -282,6 +287,92 @@ def q_replay_merge(spark, sf_dir):
     cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
     batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
     return _final_us(_replay_through_lake(spark, batch))
+
+
+def q_replay_scrubbed(spark, sf_dir):
+    """Ingest-time PII/identifier scrub through the full replay path:
+    a pii_scrub_rule column mapping rewrites image `text` (emails /
+    IPv4s / phone runs -> typed placeholders, plus '#<digits>' ->
+    '<ID>' for the feed's numeric event identifiers) BEFORE the merge,
+    so no unscrubbed row version ever lands in the lake. The oracle
+    scrubs the replayed final state instead — equivalent because text
+    participates in neither identity nor LWW ordering, and it proves
+    exactly that: ingest-time scrubbing commutes with replay."""
+    from dm_spark.operators.mapping import pii_scrub_rule
+
+    cfg = TaskConfig(
+        routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")],
+        column_mappings=[
+            pii_scrub_rule(
+                "shard_*.transcripts_*", "text", extra=[("#[0-9]+", "<ID>")]
+            )
+        ],
+    )
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    return _final_us(_replay_through_lake(spark, batch))
+
+
+def q_convo_hygiene(spark, sf_dir):
+    """Transcript hygiene QA off the ingested lake: per-conversation
+    structural validation of the FINAL table state — does it start with
+    a user turn, are there adjacent same-role turns, does every tool
+    turn follow an assistant turn (the orphan-tool check; a tool result
+    with no preceding call is corrupt data a trainer must not see).
+    This is the transcript analog of the reference's continuous
+    validation idea: the replicated table is checked for STRUCTURE, not
+    just row parity.
+
+    Scale shape: one exchange keyed conv_id — the lag/row_number window
+    and the groupBy reuse the same hash partitioning; no second
+    shuffle, no collect, bounded by conversation length nowhere."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    fin = _final_us(_replay_through_lake(spark, batch))
+    return convo_hygiene(fin)
+
+
+def convo_hygiene(fin):
+    """The hygiene law over any (conv_id, turn_idx, role) frame — see
+    q_convo_hygiene. Factored so tests can pin the edge cases (orphan
+    tool at turn 1, adjacent repeats) on crafted conversations."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = fin.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lag("role").over(w).alias("prev_role"),
+        F.row_number().over(w).alias("rn"),
+    )
+    agg = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.bool_or((F.col("rn") == 1) & (F.col("role") == "user")).alias(
+            "starts_with_user"
+        ),
+        F.sum(
+            F.when(F.col("role") == F.col("prev_role"), 1).otherwise(0)
+        ).cast("bigint").alias("n_role_repeats"),
+        F.sum(
+            F.when(
+                (F.col("role") == "tool")
+                & (F.coalesce(F.col("prev_role"), F.lit("")) != "assistant"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_orphan_tools"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "starts_with_user",
+        "n_role_repeats",
+        "n_orphan_tools",
+        (
+            F.col("starts_with_user")
+            & (F.col("n_role_repeats") == 0)
+            & (F.col("n_orphan_tools") == 0)
+        ).alias("valid"),
+    )
 
 
 def q_change_feed_chain(spark, sf_dir):
@@ -661,6 +752,7 @@ QUERIES = {
     "cdc_dedup_lww": q_dedup_lww,
     "cdc_dedup_lww_salted": q_dedup_lww_salted,
     "cdc_replay_merge": q_replay_merge,
+    "cdc_replay_scrubbed": q_replay_scrubbed,
     "cdc_change_feed_chain": q_change_feed_chain,
     "cdc_change_feed_chain_mor": q_change_feed_chain_mor,
     "cdc_replay_merge_salted": q_replay_merge_salted,
@@ -672,6 +764,7 @@ QUERIES = {
     "cdc_uk_identity_replay": q_uk_identity_replay,
     "cdc_conversation_assembly": q_conversation_assembly,
     "cdc_tool_usage": q_tool_usage,
+    "cdc_convo_hygiene": q_convo_hygiene,
     "cdc_validator_checksum": q_validator_checksum,
     "cdc_lineage_counts": q_lineage_counts,
     "cdc_checkpoint_locations": q_checkpoint_locations,
@@ -751,6 +844,19 @@ ORACLES = {
            FROM latest WHERE rn = 1"""
     ),
     "cdc_replay_merge": _with_feed(_REPLAY),
+    "cdc_replay_scrubbed": _with_feed(
+        _FINAL_CTE
+        + f"""
+SELECT conv_id, turn_idx, role,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PII_IP_RE}', '<IP>', 'g'),
+           '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+           '#[0-9]+', '<ID>', 'g') AS text,
+       tool, ts_us
+FROM fin
+"""
+    ),
     "cdc_change_feed_chain": _with_feed(_REPLAY),
     "cdc_change_feed_chain_mor": _with_feed(_REPLAY),
     "cdc_replay_merge_salted": _with_feed(_REPLAY),
@@ -792,6 +898,28 @@ ORACLES = {
     ),
     "cdc_conversation_assembly": _with_feed(_ASSEMBLY),
     "cdc_tool_usage": _with_feed(_TOOL_USAGE),
+    "cdc_convo_hygiene": _with_feed(
+        _FINAL_CTE
+        + """,
+t AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM fin),
+agg AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         bool_or(rn = 1 AND role = 'user') AS starts_with_user,
+         CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_role_repeats,
+         CAST(sum(CASE WHEN role = 'tool'
+                        AND coalesce(prev_role, '') <> 'assistant'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_tools
+  FROM t GROUP BY conv_id)
+SELECT conv_id, n_turns, starts_with_user, n_role_repeats, n_orphan_tools,
+       starts_with_user AND n_role_repeats = 0 AND n_orphan_tools = 0 AS valid
+FROM agg
+"""
+    ),
     "cdc_validator_checksum": _with_feed(
         _SPLIT
         + """,

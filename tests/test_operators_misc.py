@@ -329,3 +329,41 @@ def test_pattern_matching_case_insensitive_by_default(spark):
     assert cfg.route_of("Shard_0.Transcripts_A") == "transcripts"
     cfg.case_sensitive = True
     assert cfg.route_of("Shard_0.Transcripts_A") == "Shard_0.Transcripts_A"
+
+
+def test_pii_scrub_rule_scrubs_both_images_by_table_pattern(spark):
+    from dm_spark.operators.mapping import apply_column_mappings, pii_scrub_rule
+
+    df = spark.createDataFrame(
+        [
+            ("U", ("a", 1, "old bob@x.io"), ("a", 1, "mail jo@x.io or 1.2.3.4"),
+             "shard_0.t"),
+            ("U", ("b", 1, "keep ann@x.io"), ("b", 1, "call +1 555 0100 99"),
+             "other.t"),
+            ("I", None, ("c", 1, "ref #12345 ok"), "shard_1.t"),
+        ],
+        "op string, before struct<conv_id string, turn_idx int, text string>, "
+        "after struct<conv_id string, turn_idx int, text string>, "
+        "source_table string",
+    )
+    rule = pii_scrub_rule("shard_*.t", "text", extra=[("#[0-9]+", "<ID>")])
+    out = {r.source_table: r for r in apply_column_mappings(df, [rule]).collect()}
+    # matching table: BOTH images scrubbed (tombstones/splits carry
+    # scrubbed payloads too)
+    assert out["shard_0.t"].before.text == "old <EMAIL>"
+    assert out["shard_0.t"].after.text == "mail <EMAIL> or <IP>"
+    # non-matching table untouched
+    assert out["other.t"].before.text == "keep ann@x.io"
+    assert out["other.t"].after.text == "call +1 555 0100 99"
+    # null image stays null; extra rule applies after the classes
+    assert out["shard_1.t"].before is None
+    assert out["shard_1.t"].after.text == "ref <ID> ok"
+
+
+def test_pii_scrub_rule_rejects_unknown_class(spark):
+    import pytest as _pytest
+
+    from dm_spark.operators.mapping import pii_scrub_rule
+
+    with _pytest.raises(ValueError, match="unknown classes"):
+        pii_scrub_rule("shard_*.t", "text", classes=("email", "ssn"))
