@@ -195,6 +195,39 @@ def main() -> int:
         print(p7a)
         print(p7b)
 
+    # 8. r5 additions keep their shapes: the hygiene window+agg share
+    # ONE conv_id exchange (lag/row_number partitioning feeds the
+    # groupBy), and the PII scrub is pure codegen — a scrubbed pipeline
+    # plan contains no Python node and no exchange beyond the plain
+    # pipeline's
+    from dm_spark.operators.mapping import pii_scrub_rule
+    from dm_spark.queries_cdc import convo_hygiene
+
+    fin = spark.createDataFrame(
+        [("c1", 1, "user")], "conv_id string, turn_idx int, role string"
+    )
+    p8a = plan_of(convo_hygiene(fin), "simple")
+    cfg_s = TaskConfig(
+        routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")],
+        column_mappings=[pii_scrub_rule("shard_*.transcripts_*", "text")],
+    )
+    p8b = plan_of(
+        ApplyPipeline(cfg_s).transform(feedmod.change_feed(spark, sf)), "simple"
+    )
+    ok8 = (
+        p8a.count("Exchange") == 1
+        and "Exchange" not in p8b
+        and not re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p8b)
+    )
+    print(
+        f"{'PASS' if ok8 else 'FAIL'} r5 shapes: hygiene single exchange "
+        f"(exchanges={p8a.count('Exchange')}), scrub codegen-only no shuffle"
+    )
+    if not ok8:
+        failures.append("r5-shapes")
+        print(p8a)
+        print(p8b)
+
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 
