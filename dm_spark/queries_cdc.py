@@ -124,6 +124,45 @@ FROM fin WHERE role = 'tool' GROUP BY 1
 """
 )
 
+_SFT = (
+    _FINAL_CTE
+    + f""",
+ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+         count(*) OVER w AS ctx_turns,
+         CAST(sum({_N_TOKENS}) OVER w AS BIGINT) AS ctx_tokens,
+         md5(string_agg(role || ': ' || text, chr(10)) OVER w) AS ctx_fp
+  FROM fin
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx, ctx_turns, ctx_tokens, ctx_fp,
+       CAST({_N_TOKENS} AS BIGINT) AS target_tokens
+FROM ctx WHERE role = 'assistant' AND ctx_turns >= 1
+"""
+)
+
+_CTX_BUDGET = 24
+
+_CTX_WINDOW = (
+    _FINAL_CTE
+    + f""",
+runs AS (
+  SELECT conv_id, turn_idx, {_N_TOKENS} AS tok,
+         sum({_N_TOKENS}) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM fin
+)
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(CASE WHEN run <= {_CTX_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_turns,
+       CAST(coalesce(sum(CASE WHEN run <= {_CTX_BUDGET} THEN tok END), 0)
+            AS BIGINT) AS kept_tokens,
+       min(CASE WHEN run <= {_CTX_BUDGET} THEN turn_idx END) AS first_kept_idx
+FROM runs GROUP BY 1
+"""
+)
+
 
 def _flat(df: DataFrame) -> DataFrame:
     return df.selectExpr(*_FLAT_COLS)
@@ -582,6 +621,110 @@ def q_tool_usage(spark, sf_dir):
     )
 
 
+def sft_examples(fin):
+    """SFT example-extraction law over any (conv_id, turn_idx, role,
+    text) frame: every assistant turn with at least one prior turn
+    becomes one training example whose context is the turn_idx-ordered
+    concatenation of ALL prior turns rendered as 'role: text' lines.
+    Emits the context as a fingerprint plus token/turn counts — the
+    shape a supervised-fine-tuning pair builder materializes straight
+    off the ingested lake (the reference stops at table state,
+    syncer/syncer.go; this is the next step a trainer runs).
+
+    Scale shape: one exchange keyed conv_id; the three window
+    aggregates share one frame spec over the same sort, and the
+    context array is bounded by conversation length, never corpus
+    size. The collect_list is struct-sorted by turn_idx so the
+    fingerprint is order-stable regardless of physical row order."""
+    from pyspark.sql import Window
+
+    from dm_spark.functions.text import token_count
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    ctx_arr = F.collect_list(
+        F.struct(F.col("turn_idx").alias("i"), line.alias("line"))
+    ).over(w)
+    t = fin.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.count(F.lit(1)).over(w).alias("ctx_turns"),
+        F.sum(token_count(F.col("text"))).over(w).cast("bigint").alias("ctx_tokens"),
+        F.md5(
+            F.array_join(F.transform(F.array_sort(ctx_arr), lambda x: x["line"]), "\n")
+        ).alias("ctx_fp"),
+    )
+    return t.where((F.col("role") == "assistant") & (F.col("ctx_turns") >= 1)).select(
+        "conv_id",
+        "turn_idx",
+        "ctx_turns",
+        "ctx_tokens",
+        "ctx_fp",
+        token_count(F.col("text")).cast("bigint").alias("target_tokens"),
+    )
+
+
+def q_sft_examples(spark, sf_dir):
+    """SFT example extraction off the ingested lake (see sft_examples):
+    replay the change feed (CDC axis), then build one example per
+    assistant turn from the FINAL state (corpus axis)."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    fin = _final_us(_replay_through_lake(spark, batch))
+    return sft_examples(fin)
+
+
+def context_window_stats(fin, budget: int = _CTX_BUDGET):
+    """Token-budget suffix-truncation law over any (conv_id, turn_idx,
+    text) frame: a trainer keeps the LONGEST SUFFIX of turns whose
+    running token total (counted from the newest turn backwards) fits
+    the context budget — the standard left-truncation a fixed-window
+    model applies to long conversations. Per conversation: total turns,
+    kept turns/tokens, and the first surviving turn_idx (null when even
+    the newest turn alone exceeds the budget).
+
+    Scale shape: one exchange keyed conv_id — the descending running
+    sum and the groupBy reuse the same hash partitioning (same plan
+    class as convo_hygiene, pinned by the explain audit)."""
+    from pyspark.sql import Window
+
+    from dm_spark.functions.text import token_count
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = fin.select(
+        "conv_id", "turn_idx", token_count(F.col("text")).alias("tok")
+    ).withColumn("run", F.sum("tok").over(w))
+    kept = F.col("run") <= budget
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(kept.cast("int")).cast("bigint").alias("kept_turns"),
+        F.coalesce(F.sum(F.when(kept, F.col("tok"))), F.lit(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.min(F.when(kept, F.col("turn_idx"))).alias("first_kept_idx"),
+    )
+
+
+def q_context_window(spark, sf_dir):
+    """Context-window truncation stats off the ingested lake (see
+    context_window_stats), budget fixed so the sf fixtures actually
+    truncate most conversations while keeping some whole."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    fin = _final_us(_replay_through_lake(spark, batch))
+    return context_window_stats(fin)
+
+
 def q_validator_checksum(spark, sf_dir):
     """sync_diff checksum law end-to-end (tests/sharding/run.sh:9-18
     BIT_XOR(CRC32) analog): replay the feed into the lake, then reduce
@@ -765,6 +908,8 @@ QUERIES = {
     "cdc_conversation_assembly": q_conversation_assembly,
     "cdc_tool_usage": q_tool_usage,
     "cdc_convo_hygiene": q_convo_hygiene,
+    "cdc_sft_examples": q_sft_examples,
+    "cdc_context_window": q_context_window,
     "cdc_validator_checksum": q_validator_checksum,
     "cdc_lineage_counts": q_lineage_counts,
     "cdc_checkpoint_locations": q_checkpoint_locations,
@@ -898,6 +1043,8 @@ FROM fin
     ),
     "cdc_conversation_assembly": _with_feed(_ASSEMBLY),
     "cdc_tool_usage": _with_feed(_TOOL_USAGE),
+    "cdc_sft_examples": _with_feed(_SFT),
+    "cdc_context_window": _with_feed(_CTX_WINDOW),
     "cdc_convo_hygiene": _with_feed(
         _FINAL_CTE
         + """,

@@ -18,6 +18,10 @@ Checks (prints PASS/FAIL lines + the formatted plans):
    JVM-side and the decode introduces no exchange.
 7. temporal joins: the as-of join plan contains NO join operator
    (union-and-window), the bounded range join only equi-joins.
+8. r5 shapes: convo-hygiene window+agg share ONE conv_id exchange;
+   the PII scrub pipeline is pure codegen (no Python, no shuffle).
+9. SFT example extraction + context-window truncation share the
+   hygiene plan class: one conv_id exchange each, JVM-only.
 """
 
 from __future__ import annotations
@@ -227,6 +231,33 @@ def main() -> int:
         failures.append("r5-shapes")
         print(p8a)
         print(p8b)
+
+    # 9. SFT example extraction and context-window truncation keep the
+    # hygiene plan class: all window aggregates + the final agg share
+    # ONE conv_id exchange, and everything stays JVM-side (no Python
+    # nodes — token counting and the context fingerprint are codegen
+    # expressions)
+    from dm_spark.queries_cdc import context_window_stats, sft_examples
+
+    fin2 = spark.createDataFrame(
+        [("c1", 1, "user", "hi")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    p9a = plan_of(sft_examples(fin2), "simple")
+    p9b = plan_of(context_window_stats(fin2), "simple")
+    ok9 = (
+        p9a.count("Exchange") == 1
+        and p9b.count("Exchange") == 1
+        and not re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p9a + p9b)
+    )
+    print(
+        f"{'PASS' if ok9 else 'FAIL'} sft/context-window single conv_id exchange "
+        f"(sft={p9a.count('Exchange')}, ctx={p9b.count('Exchange')}), JVM-only"
+    )
+    if not ok9:
+        failures.append("sft-ctx-shapes")
+        print(p9a)
+        print(p9b)
 
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0

@@ -319,3 +319,64 @@ def test_convo_hygiene_edge_laws(spark):
     assert out["c2"]["starts_with_user"] is False
     assert out["c2"]["n_role_repeats"] == 1 and out["c2"]["valid"] is False
     assert out["c3"]["n_orphan_tools"] == 2 and out["c3"]["valid"] is False
+
+
+def test_sft_examples_context_law(spark):
+    import hashlib
+
+    from dm_spark.queries_cdc import sft_examples
+
+    fin = spark.createDataFrame(
+        [
+            # c1: assistant at turns 2 and 4 -> two examples; the
+            # leading assistant in c2 has no context -> excluded
+            ("c1", 1, "user", "hi there"),
+            ("c1", 2, "assistant", "hello"),
+            ("c1", 3, "tool", "result 42"),
+            ("c1", 4, "assistant", "done ok"),
+            ("c2", 1, "assistant", "cold open"),
+            ("c2", 2, "user", "what"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r for r in sft_examples(fin).collect()}
+    assert set(out) == {("c1", 2), ("c1", 4)}
+
+    def fp(lines):
+        return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+    ex1 = out[("c1", 2)]
+    assert ex1["ctx_turns"] == 1 and ex1["ctx_tokens"] == 2
+    assert ex1["ctx_fp"] == fp(["user: hi there"])
+    assert ex1["target_tokens"] == 1
+    ex2 = out[("c1", 4)]
+    assert ex2["ctx_turns"] == 3 and ex2["ctx_tokens"] == 5
+    assert ex2["ctx_fp"] == fp(["user: hi there", "assistant: hello", "tool: result 42"])
+    assert ex2["target_tokens"] == 2
+
+
+def test_context_window_suffix_truncation_laws(spark):
+    from dm_spark.queries_cdc import context_window_stats
+
+    fin = spark.createDataFrame(
+        [
+            # c1: 3 turns x 5 tokens; budget 10 keeps exactly the last 2
+            ("c1", 1, "a b c d e"),
+            ("c1", 2, "a b c d e"),
+            ("c1", 3, "a b c d e"),
+            # c2: newest turn alone exceeds the budget -> nothing kept
+            ("c2", 1, "x"),
+            ("c2", 2, " ".join(["t"] * 11)),
+            # c3: fits whole
+            ("c3", 1, "a b"),
+            ("c3", 2, "c"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = {r["conv_id"]: r for r in context_window_stats(fin, budget=10).collect()}
+    assert out["c1"]["n_turns"] == 3
+    assert out["c1"]["kept_turns"] == 2 and out["c1"]["kept_tokens"] == 10
+    assert out["c1"]["first_kept_idx"] == 2  # exact-budget edge keeps
+    assert out["c2"]["kept_turns"] == 0 and out["c2"]["kept_tokens"] == 0
+    assert out["c2"]["first_kept_idx"] is None
+    assert out["c3"]["kept_turns"] == 2 and out["c3"]["first_kept_idx"] == 1
