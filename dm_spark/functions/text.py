@@ -239,6 +239,73 @@ def quality_filter(
     )
 
 
+def unigram_lm_bits(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM corpus-frequency quality score — the CCNet
+    perplexity-filter shape (Wenzek et al. 2020 §3.3: score documents
+    by a language model and split the corpus into head/middle/tail)
+    reduced to an exact integer law. Each token's "evidence" surrogate
+    is floor(log2(corpus_count(token))), computed EXACTLY as
+    length(bin(count)) - 1 (binary-digit counting), so the Spark plan
+    and the DuckDB oracle cannot drift in float rounding the way a real
+    sum of -log p terms would. A document built from frequent corpus
+    tokens scores high mean bits (CCNet's fluent "head"); rare-token
+    noise lands in the tail.
+
+    Buckets are CORPUS-RELATIVE (scale-free — no magic constant goes
+    stale as counts grow with corpus size), decided by integer
+    cross-multiplication against the corpus-wide mean bits/token:
+
+      head   : sum_bits * tot_tok >= n_tok * tot_bits       (>= mean)
+      middle : 8 * sum_bits * tot_tok >= 7 * n_tok * tot_bits
+      tail   : otherwise                                     (< 7/8 mean)
+
+    Zero-token documents drop (nothing to score; quality_filter's
+    bit-1 rule already flags them). Overflow headroom: bits <= 63 so
+    sum_bits <= 63*n_tok, and the cross-product stays under 2^63 for
+    corpora up to ~10^13 tokens (the 100-TB regime); past that, scale
+    tot_* down by a common power of two first.
+
+    Shape: explode (no shuffle) -> token count-agg (map-side
+    combinable, vocabulary-bounded) -> token equi-join back (AQE
+    broadcasts the counts side when the vocabulary is small; at 100 TB
+    it is a shuffled equi-join on the same bounded key class as
+    line_dedup) -> one doc-keyed agg -> scalar totals broadcast back.
+    No windows, no driver-side state."""
+    ex = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    bits = cnt.select(
+        "tok", (F.length(F.bin(F.col("cnt"))) - 1).cast("bigint").alias("bits")
+    )
+    d = (
+        ex.join(bits, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("bits").cast("bigint").alias("sum_bits"),
+        )
+    )
+    tot = d.agg(
+        F.sum("n_tok").cast("bigint").alias("tot_tok"),
+        F.sum("sum_bits").cast("bigint").alias("tot_bits"),
+    )
+    j = d.crossJoin(F.broadcast(tot))
+    bucket = (
+        F.when(
+            F.col("sum_bits") * F.col("tot_tok") >= F.col("n_tok") * F.col("tot_bits"),
+            "head",
+        )
+        .when(
+            F.col("sum_bits") * F.col("tot_tok") * 8
+            >= F.col("n_tok") * F.col("tot_bits") * 7,
+            "middle",
+        )
+        .otherwise("tail")
+    )
+    return j.select(id_col, "n_tok", "sum_bits", bucket.alias("ppl_bucket"))
+
+
 # NOTE: a word_shingles helper built as slice-inside-transform used to
 # live here — deleted: Catalyst does no common-subexpression
 # elimination inside lambda bodies, so that shape re-evaluates the

@@ -164,6 +164,26 @@ FROM runs GROUP BY 1
 )
 
 
+_TURN_DEDUP = (
+    _FINAL_CTE
+    + """,
+f AS (
+  SELECT conv_id, turn_idx, md5(role || ':' || text) AS turn_fp FROM fin
+),
+w AS (
+  SELECT turn_fp, conv_id, turn_idx,
+         row_number() OVER (PARTITION BY turn_fp
+                            ORDER BY conv_id, turn_idx) AS rn,
+         count(*) OVER (PARTITION BY turn_fp) AS n_occ
+  FROM f
+)
+SELECT turn_fp, CAST(n_occ AS BIGINT) AS n_occ,
+       conv_id AS keep_conv, turn_idx AS keep_turn
+FROM w WHERE rn = 1
+"""
+)
+
+
 def _flat(df: DataFrame) -> DataFrame:
     return df.selectExpr(*_FLAT_COLS)
 
@@ -725,6 +745,49 @@ def q_context_window(spark, sf_dir):
     return context_window_stats(fin)
 
 
+def turn_dedup(fin):
+    """Cross-conversation repeated-turn scrub over any (conv_id,
+    turn_idx, role, text) frame: the transcript-native analog of
+    CCNet/C4 boilerplate line removal (functions.dedup.line_dedup) —
+    identical (role, text) turns repeated across conversations (shared
+    system prompts, canned tool acks, templated greetings) collapse to
+    their FIRST occurrence in (conv_id, turn_idx) order. Emits one row
+    per distinct turn fingerprint: occurrence count + surviving
+    coordinates — the table a scrub step joins back to drop n_occ-1
+    redundant turns before training.
+
+    Scale shape: one md5 projection (codegen) then a single map-side
+    combinable groupBy on the fingerprint with a min-struct survivor —
+    no window over the hot fingerprint key, so a corpus-wide
+    million-occurrence boilerplate turn collapses per map task before
+    the shuffle (same skew argument as line_dedup)."""
+    f = fin.select(
+        "conv_id",
+        "turn_idx",
+        F.md5(F.concat(F.col("role"), F.lit(":"), F.col("text"))).alias("turn_fp"),
+    )
+    surv = f.groupBy("turn_fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.min(F.struct("conv_id", "turn_idx")).alias("w"),
+    )
+    return surv.select(
+        "turn_fp",
+        "n_occ",
+        F.col("w.conv_id").alias("keep_conv"),
+        F.col("w.turn_idx").alias("keep_turn"),
+    )
+
+
+def q_turn_dedup(spark, sf_dir):
+    """Cross-conversation turn dedup off the ingested lake (see
+    turn_dedup): replay the change feed (CDC axis), then scrub repeated
+    turns from the FINAL state (corpus axis)."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    fin = _final_us(_replay_through_lake(spark, batch))
+    return turn_dedup(fin)
+
+
 def q_validator_checksum(spark, sf_dir):
     """sync_diff checksum law end-to-end (tests/sharding/run.sh:9-18
     BIT_XOR(CRC32) analog): replay the feed into the lake, then reduce
@@ -910,6 +973,7 @@ QUERIES = {
     "cdc_convo_hygiene": q_convo_hygiene,
     "cdc_sft_examples": q_sft_examples,
     "cdc_context_window": q_context_window,
+    "cdc_turn_dedup": q_turn_dedup,
     "cdc_validator_checksum": q_validator_checksum,
     "cdc_lineage_counts": q_lineage_counts,
     "cdc_checkpoint_locations": q_checkpoint_locations,
@@ -1045,6 +1109,7 @@ FROM fin
     "cdc_tool_usage": _with_feed(_TOOL_USAGE),
     "cdc_sft_examples": _with_feed(_SFT),
     "cdc_context_window": _with_feed(_CTX_WINDOW),
+    "cdc_turn_dedup": _with_feed(_TURN_DEDUP),
     "cdc_convo_hygiene": _with_feed(
         _FINAL_CTE
         + """,

@@ -361,6 +361,16 @@ def q_doc_mix_report(spark, sf_dir):
     )
 
 
+def q_doc_lm_score(spark, sf_dir):
+    """CCNet-style unigram-LM quality scoring over the corpus itself
+    (see functions.text.unigram_lm_bits): per-document corpus-frequency
+    evidence with an exact-integer head/middle/tail split relative to
+    the corpus mean."""
+    from dm_spark.functions.text import unigram_lm_bits
+
+    return unigram_lm_bits(_docs(spark, sf_dir))
+
+
 def q_doc_minhash_lsh(spark, sf_dir):  # rows-only (numpy hash law)
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -593,6 +603,7 @@ QUERIES = {
     "doc_incremental_dedup": q_doc_incremental_dedup,
     "doc_vocab_topk": q_doc_vocab_topk,
     "doc_mix_report": q_doc_mix_report,
+    "doc_lm_score": q_doc_lm_score,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
     "multimodal_decode": q_multimodal_decode,
@@ -949,6 +960,25 @@ ORACLES = {
         FROM t GROUP BY 1)
       SELECT tok, n_occ, n_docs FROM a
       ORDER BY n_occ DESC, tok ASC LIMIT 200
+    """,
+    "doc_lm_score": f"""
+      WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+      c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+      b AS (SELECT tok, length(bin(cnt)) - 1 AS bits FROM c),
+      d AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(b.bits) AS BIGINT) AS sum_bits
+        FROM t JOIN b USING (tok) GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+               CAST(sum(sum_bits) AS BIGINT) AS tot_bits
+        FROM d)
+      SELECT doc_id, n_tok, sum_bits,
+        CASE WHEN sum_bits * tot_tok >= n_tok * tot_bits THEN 'head'
+             WHEN sum_bits * tot_tok * 8 >= n_tok * tot_bits * 7 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket
+      FROM d CROSS JOIN tot
     """,
     "doc_mix_report": f"""
       WITH d AS (

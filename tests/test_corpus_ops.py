@@ -380,3 +380,60 @@ def test_context_window_suffix_truncation_laws(spark):
     assert out["c2"]["kept_turns"] == 0 and out["c2"]["kept_tokens"] == 0
     assert out["c2"]["first_kept_idx"] is None
     assert out["c3"]["kept_turns"] == 2 and out["c3"]["first_kept_idx"] == 1
+
+
+def test_unigram_lm_bits_integer_law(spark):
+    from dm_spark.functions.text import unigram_lm_bits
+
+    # corpus counts: the=7 (bits 2), and=2 (bits 1), rare1/2/3=1 (bits 0)
+    rows = [
+        (1, "the the the the", "en"),
+        (2, "and rare1", "en"),
+        (3, "the the the and rare2 rare3", "en"),
+    ]
+    out = {r["doc_id"]: r for r in unigram_lm_bits(_docs(spark, rows)).collect()}
+    assert (out[1]["n_tok"], out[1]["sum_bits"]) == (4, 8)
+    assert (out[2]["n_tok"], out[2]["sum_bits"]) == (2, 1)
+    assert (out[3]["n_tok"], out[3]["sum_bits"]) == (6, 7)
+    # tot_tok=12, tot_bits=16: d1 mean 2 >= 4/3 -> head; d2 mean .5 -> tail;
+    # d3 mean 7/6 sits EXACTLY on the 7/8-of-mean middle boundary
+    # (84*8 == 96*7) — pins the >= edge of the bucket law
+    assert out[1]["ppl_bucket"] == "head"
+    assert out[2]["ppl_bucket"] == "tail"
+    assert out[3]["ppl_bucket"] == "middle"
+
+
+def test_unigram_lm_bits_drops_empty_docs(spark):
+    from dm_spark.functions.text import unigram_lm_bits
+
+    rows = [(1, "the the", "en"), (2, "", "en"), (3, "   ", "en")]
+    out = unigram_lm_bits(_docs(spark, rows)).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_turn_dedup_first_occurrence_survivor(spark):
+    import hashlib
+
+    from dm_spark.queries_cdc import turn_dedup
+
+    fin = spark.createDataFrame(
+        [
+            # boilerplate system turn repeated across conversations
+            ("b", 1, "system", "hi"),
+            ("a", 1, "system", "hi"),
+            # same text repeated WITHIN one conversation: lowest turn wins
+            ("c", 5, "user", "z"),
+            ("c", 2, "user", "z"),
+            # unique turn
+            ("a", 2, "assistant", "ok"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    fp = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    out = {r["turn_fp"]: r for r in turn_dedup(fin).collect()}
+    sys_row = out[fp("system:hi")]
+    assert (sys_row["n_occ"], sys_row["keep_conv"], sys_row["keep_turn"]) == (2, "a", 1)
+    z_row = out[fp("user:z")]
+    assert (z_row["n_occ"], z_row["keep_conv"], z_row["keep_turn"]) == (2, "c", 2)
+    ok_row = out[fp("assistant:ok")]
+    assert (ok_row["n_occ"], ok_row["keep_conv"], ok_row["keep_turn"]) == (1, "a", 2)
