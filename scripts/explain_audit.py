@@ -22,6 +22,9 @@ Checks (prints PASS/FAIL lines + the formatted plans):
    the PII scrub pipeline is pure codegen (no Python, no shuffle).
 9. SFT example extraction + context-window truncation share the
    hygiene plan class: one conv_id exchange each, JVM-only.
+10. unigram-LM scoring joins tokens only by equi-join (the sole
+    nested-loop is the broadcast of the ONE-ROW corpus totals) and
+    turn dedup is a single fingerprint exchange — both JVM-only.
 """
 
 from __future__ import annotations
@@ -258,6 +261,35 @@ def main() -> int:
         failures.append("sft-ctx-shapes")
         print(p9a)
         print(p9b)
+
+    # 10. lm-score/turn-dedup shapes: unigram_lm_bits must stay
+    # equi-join-shaped on the token (no CartesianProduct; the ONLY
+    # nested-loop join is the broadcast cross join of the one-row
+    # corpus totals) and turn_dedup collapses on the fingerprint with
+    # a single exchange (groupBy-min survivor, no window, no join) —
+    # both fully JVM-side
+    from dm_spark.functions.text import unigram_lm_bits
+    from dm_spark.queries_cdc import turn_dedup
+
+    p10a = plan_of(unigram_lm_bits(docs), "simple")
+    p10b = plan_of(turn_dedup(fin2), "simple")
+    n_bnlj = p10a.count("BroadcastNestedLoopJoin")
+    ok10 = (
+        "CartesianProduct" not in p10a
+        and n_bnlj == 1
+        and p10b.count("Exchange") == 1
+        and "Join" not in p10b
+        and not re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p10a + p10b)
+    )
+    print(
+        f"{'PASS' if ok10 else 'FAIL'} lm-score equi-join + one broadcast-totals "
+        f"BNLJ (bnlj={n_bnlj}), turn-dedup single fp exchange "
+        f"(exchanges={p10b.count('Exchange')}), JVM-only"
+    )
+    if not ok10:
+        failures.append("lm-turn-shapes")
+        print(p10a)
+        print(p10b)
 
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
