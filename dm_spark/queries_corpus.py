@@ -251,6 +251,33 @@ def q_doc_dup_clusters(spark, sf_dir):
     )
 
 
+def q_emb_dup_clusters(spark, sf_dir):
+    """Semantic duplicate clusters: transitive closure over the
+    embedding-cosine near-dup pair graph (cos >= 0.4 — the same edge
+    law as emb_near_dup, so its documented float-boundary caveat
+    applies), every vector labeled with its component's min vec_id
+    plus the cluster size — the survivor table an embedding-dedup
+    pipeline keeps. At 100 TB the pair generator swaps to
+    embedding_near_dup_pairs_lsh (identical edge law, recall-pinned);
+    the exact generator here keeps the DuckDB oracle shared. Closure
+    via dup_clusters' pointer-jumping min-label propagation (O(log d)
+    shuffle rounds)."""
+    from pyspark.sql import Window
+
+    from dm_spark.functions.similarity import embedding_near_dup_pairs
+
+    embs = _embs(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(embs, min_cos=0.4)
+    comp = dup_clusters(pairs).withColumnRenamed("id", "vec_id")
+    lab = embs.select("vec_id").join(comp, "vec_id", "left").select(
+        "vec_id", F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "vec_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
 def q_doc_contamination(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 37 == 0 stand in
     for the held-out eval set; every other doc reports how many of its
@@ -611,6 +638,7 @@ QUERIES = {
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
+    "emb_dup_clusters": q_emb_dup_clusters,
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
@@ -1016,6 +1044,28 @@ ORACLES = {
       SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
              CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
       FROM documents
+    """,
+    "emb_dup_clusters": """
+      WITH RECURSIVE base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      jp AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM base a JOIN base b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM jp
+        UNION SELECT id_b, id_a FROM jp),
+      reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      lab AS (
+        SELECT b.vec_id, coalesce(c.cluster_id, b.vec_id) AS cluster_id
+        FROM base b LEFT JOIN comp c ON c.id = b.vec_id)
+      SELECT vec_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM lab
     """,
     "emb_near_dup": """
       WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
