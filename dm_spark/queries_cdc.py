@@ -183,6 +183,62 @@ FROM w WHERE rn = 1
 """
 )
 
+# preference_pairs twin: same single window over the key, final-row
+# attributes via first_value over the desc frame, min-rank survivor
+_PREF_PAIRS = (
+    _SPLIT
+    + """,
+t AS (
+  SELECT conv_id, turn_idx, op, text,
+         row_number() OVER w AS rn,
+         first_value(text) OVER w AS chosen,
+         first_value(op) OVER w AS fin_op,
+         first_value(role) OVER w AS fin_role
+  FROM split
+  WINDOW w AS (PARTITION BY conv_id, turn_idx
+               ORDER BY ts DESC, file_seq DESC, pos DESC)
+)
+SELECT conv_id, turn_idx, max(chosen) AS chosen,
+       min_by(text, rn) AS rejected,
+       CAST(count(*) AS BIGINT) AS n_superseded
+FROM t
+WHERE fin_op <> 'D' AND fin_role = 'assistant'
+  AND rn > 1 AND op <> 'D' AND text <> chosen
+GROUP BY 1, 2
+"""
+)
+
+# prefix_templates twin: cumulative masked-line fingerprints, shared
+# groups at each depth, deepest shared prefix per conversation
+_PREFIX_TPL = (
+    _FINAL_CTE
+    + """,
+lines AS (
+  SELECT conv_id, turn_idx,
+         role || ': ' || regexp_replace(text, '[0-9]+', '0', 'g') AS line
+  FROM fin
+),
+pfx AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              AS BIGINT) AS d,
+         md5(string_agg(line, chr(10)) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pfx_fp
+  FROM lines
+),
+g AS (
+  SELECT d, pfx_fp, CAST(count(*) AS BIGINT) AS n
+  FROM pfx GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.conv_id, max(p.d) AS shared_depth,
+       arg_max(p.pfx_fp, p.d) AS template_fp,
+       arg_max(g.n, p.d) AS n_sharers
+FROM pfx p JOIN g USING (d, pfx_fp)
+GROUP BY 1
+"""
+)
+
 
 def _flat(df: DataFrame) -> DataFrame:
     return df.selectExpr(*_FLAT_COLS)
@@ -788,6 +844,128 @@ def q_turn_dedup(spark, sf_dir):
     return turn_dedup(fin)
 
 
+def preference_pairs(split):
+    """DPO/RLHF preference-pair mining over the CDC *history* of any
+    flattened change stream carrying (conv_id, turn_idx, op, role,
+    text, ts, file_seq, pos): every superseded version of an assistant
+    turn is a training negative the reference's apply loop simply
+    overwrites (syncer/dml.go:104-108 pairs old/new images only to
+    build the UPDATE — the old text dies there). Here the LWW winner
+    becomes `chosen` and the most recent superseded upsert whose text
+    differs becomes `rejected` — one (chosen, rejected) pair per
+    revised assistant turn, plus the count of differing superseded
+    versions. Keys whose final event is a DELETE emit nothing (the
+    turn does not exist in the trained corpus).
+
+    Scale shape: ONE exchange keyed (conv_id, turn_idx) — the window
+    computes rank + final-row attributes in a single pass, and the
+    follow-up groupBy reuses the same hash partitioning (same
+    exchange-reuse class as context_window_stats, pinned by the
+    explain audit). No join: the final row's attributes ride every
+    history row via first_value over the desc frame."""
+    from pyspark.sql import Window
+
+    # ApplyPipeline renames the binlog location to _cdc_file_seq/_cdc_pos
+    # on its flattened output; accept either spelling
+    fs = "_cdc_file_seq" if "_cdc_file_seq" in split.columns else "file_seq"
+    ps = "_cdc_pos" if "_cdc_pos" in split.columns else "pos"
+    w = (
+        Window.partitionBy("conv_id", "turn_idx")
+        .orderBy(F.col("ts").desc(), F.col(fs).desc(), F.col(ps).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = split.select(
+        "conv_id",
+        "turn_idx",
+        "op",
+        "text",
+        F.row_number().over(w).alias("rn"),
+        F.first("text").over(w).alias("chosen"),
+        F.first("op").over(w).alias("fin_op"),
+        F.first("role").over(w).alias("fin_role"),
+    )
+    cand = t.where(
+        (F.col("fin_op") != "D")
+        & (F.col("fin_role") == "assistant")
+        & (F.col("rn") > 1)
+        & (F.col("op") != "D")
+        & (F.col("text") != F.col("chosen"))
+    )
+    return cand.groupBy("conv_id", "turn_idx").agg(
+        F.max("chosen").alias("chosen"),  # constant per key
+        F.min_by("text", "rn").alias("rejected"),
+        F.count(F.lit(1)).cast("bigint").alias("n_superseded"),
+    )
+
+
+def q_preference_pairs(spark, sf_dir):
+    """Preference pairs mined from the change history (see
+    preference_pairs): route + flatten the feed exactly as replay
+    does, then harvest the superseded assistant-turn versions the
+    LWW merge would discard."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    return preference_pairs(batch)
+
+
+def prefix_templates(fin):
+    """Shared conversation-prefix (template/boilerplate) detection over
+    any (conv_id, turn_idx, role, text) frame: render each turn as a
+    volatile-token-masked line (`role: text` with digit runs collapsed
+    to '0' — the canonicalization step production boilerplate
+    detection applies before fingerprinting, same family as
+    functions.text.normalized_text), fingerprint every conversation
+    PREFIX cumulatively, and report, per conversation that shares a
+    prefix with at least one other, the DEEPEST shared depth, that
+    template's fingerprint, and how many conversations share it — the
+    table a scrub step uses to strip injected system prompts /
+    few-shot preambles before training.
+
+    Scale shape: one conv_id exchange for the cumulative window (the
+    prefix array is bounded by conversation length, never corpus
+    size), one map-side-combinable groupBy on (depth, prefix_fp), and
+    one equi-join back on the same (depth, prefix_fp) key — no
+    cross-conversation pairwise comparison anywhere; a corpus-wide
+    million-conversation template is ONE group row per depth."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    line = F.concat(
+        F.col("role"), F.lit(": "), F.regexp_replace(F.col("text"), "[0-9]+", "0")
+    )
+    arr = F.collect_list(F.struct(F.col("turn_idx").alias("i"), line.alias("line"))).over(w)
+    pfx = fin.select(
+        "conv_id",
+        F.row_number().over(w).cast("bigint").alias("d"),
+        F.md5(
+            F.array_join(F.transform(F.array_sort(arr), lambda x: x["line"]), "\n")
+        ).alias("pfx_fp"),
+    )
+    g = pfx.groupBy("d", "pfx_fp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = pfx.join(g.where(F.col("n") >= 2), ["d", "pfx_fp"])
+    return j.groupBy("conv_id").agg(
+        F.max("d").alias("shared_depth"),
+        F.max_by("pfx_fp", "d").alias("template_fp"),
+        F.max_by("n", "d").alias("n_sharers"),
+    )
+
+
+def q_prefix_templates(spark, sf_dir):
+    """Shared-prefix template detection off the ingested lake (see
+    prefix_templates): replay the change feed (CDC axis), then detect
+    masked-prefix templates in the FINAL state (corpus axis). The
+    synthetic texts are '<event_type> #<id>' so digit masking makes
+    role+event-type prefixes genuinely collide across conversations."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    fin = _final_us(_replay_through_lake(spark, batch))
+    return prefix_templates(fin)
+
+
 def q_validator_checksum(spark, sf_dir):
     """sync_diff checksum law end-to-end (tests/sharding/run.sh:9-18
     BIT_XOR(CRC32) analog): replay the feed into the lake, then reduce
@@ -974,6 +1152,8 @@ QUERIES = {
     "cdc_sft_examples": q_sft_examples,
     "cdc_context_window": q_context_window,
     "cdc_turn_dedup": q_turn_dedup,
+    "cdc_preference_pairs": q_preference_pairs,
+    "cdc_prefix_templates": q_prefix_templates,
     "cdc_validator_checksum": q_validator_checksum,
     "cdc_lineage_counts": q_lineage_counts,
     "cdc_checkpoint_locations": q_checkpoint_locations,
@@ -1110,6 +1290,8 @@ FROM fin
     "cdc_sft_examples": _with_feed(_SFT),
     "cdc_context_window": _with_feed(_CTX_WINDOW),
     "cdc_turn_dedup": _with_feed(_TURN_DEDUP),
+    "cdc_preference_pairs": _with_feed(_PREF_PAIRS),
+    "cdc_prefix_templates": _with_feed(_PREFIX_TPL),
     "cdc_convo_hygiene": _with_feed(
         _FINAL_CTE
         + """,

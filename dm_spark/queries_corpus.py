@@ -388,6 +388,49 @@ def q_doc_mix_report(spark, sf_dir):
     )
 
 
+def temp_mix(docs):
+    """Temperature-smoothed multilingual sampling shares (the
+    alpha=0.5 exponentiated-weight mix of XLM-R / multilingual LM
+    training: w_l ∝ n_l^alpha upweights tail languages) as an EXACT
+    integer law so the cross-engine hash can gate it: per-language
+    weight s_l = floor(sqrt(token count)) — correctly-rounded double
+    sqrt is exact under 2^52, so floor is engine-stable — and shares
+    as parts-per-million by integer floor division. Emits raw vs
+    smoothed ppm side by side: the table a data-mix reviewer reads to
+    set per-language sampling rates.
+
+    Scale shape: one map-side-combinable groupBy on lang (cardinality
+    = #languages), then a broadcast of the one-row totals — no second
+    shuffle, no window over an unpartitioned frame."""
+    from dm_spark.functions.text import token_count
+
+    d = docs.withColumn("n_tok", token_count(F.col("text")))
+    per = (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("s", F.floor(F.sqrt(F.col("n_tokens"))).cast("bigint"))
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("s").alias("tot_s")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST((1000000 * n_tokens) div tot_tokens AS BIGINT)").alias("raw_ppm"),
+        F.expr("CAST((1000000 * s) div tot_s AS BIGINT)").alias("temp_ppm"),
+    )
+
+
+def q_doc_temp_mix(spark, sf_dir):
+    """Temperature-smoothed sampling shares over the documents table
+    (see temp_mix)."""
+    return temp_mix(_docs(spark, sf_dir))
+
+
 def q_doc_lm_score(spark, sf_dir):
     """CCNet-style unigram-LM quality scoring over the corpus itself
     (see functions.text.unigram_lm_bits): per-document corpus-frequency
@@ -630,6 +673,7 @@ QUERIES = {
     "doc_incremental_dedup": q_doc_incremental_dedup,
     "doc_vocab_topk": q_doc_vocab_topk,
     "doc_mix_report": q_doc_mix_report,
+    "doc_temp_mix": q_doc_temp_mix,
     "doc_lm_score": q_doc_lm_score,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
@@ -1021,6 +1065,21 @@ ORACLES = {
              CAST(sum(kept) AS BIGINT) AS n_docs_sampled,
              CAST(sum(kept * n_tok) AS BIGINT) AS n_tokens_sampled
       FROM d GROUP BY 1
+    """,
+    "doc_temp_mix": f"""
+      WITH per AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+               CAST(floor(sqrt(CAST(sum(len({_TOKS})) AS BIGINT))) AS BIGINT) AS s
+        FROM documents GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+               CAST(sum(s) AS BIGINT) AS tot_s
+        FROM per)
+      SELECT lang, n_docs, n_tokens,
+             CAST((1000000 * n_tokens) // tot_tokens AS BIGINT) AS raw_ppm,
+             CAST((1000000 * s) // tot_s AS BIGINT) AS temp_ppm
+      FROM per, tot
     """,
     "doc_bpe_tokens": """
       WITH t AS (

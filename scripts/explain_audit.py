@@ -291,6 +291,36 @@ def main() -> int:
         print(p10a)
         print(p10b)
 
+    # 11. preference-pair mining reuses the window's (conv_id,
+    # turn_idx) hash partitioning for its follow-up groupBy — ONE
+    # exchange total, no join, fully JVM-side; prefix-template
+    # detection is equi-join-only (no cartesian/BNLJ: the
+    # (depth, prefix_fp) group join must hash- or sort-merge)
+    from dm_spark.queries_cdc import preference_pairs, prefix_templates
+
+    split2 = spark.createDataFrame(
+        [("c1", 1, "I", "assistant", "t", None, 1, 1)],
+        "conv_id string, turn_idx int, op string, role string, "
+        "text string, ts timestamp, file_seq long, pos long",
+    )
+    p11a = plan_of(preference_pairs(split2), "simple")
+    p11b = plan_of(prefix_templates(fin2), "simple")
+    ok11 = (
+        p11a.count("Exchange") == 1
+        and "Join" not in p11a
+        and not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p11b)
+        and not re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p11a + p11b)
+    )
+    print(
+        f"{'PASS' if ok11 else 'FAIL'} preference-pairs single key exchange "
+        f"(exchanges={p11a.count('Exchange')}, join-free), prefix-templates "
+        "equi-join-only, JVM-only"
+    )
+    if not ok11:
+        failures.append("pref-prefix-shapes")
+        print(p11a)
+        print(p11b)
+
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 

@@ -437,3 +437,104 @@ def test_turn_dedup_first_occurrence_survivor(spark):
     assert (z_row["n_occ"], z_row["keep_conv"], z_row["keep_turn"]) == (2, "c", 2)
     ok_row = out[fp("assistant:ok")]
     assert (ok_row["n_occ"], ok_row["keep_conv"], ok_row["keep_turn"]) == (1, "a", 2)
+
+
+def test_preference_pairs_laws(spark):
+    """Pin the mining laws the sf fixtures exercise only in bulk:
+    chosen = LWW winner, rejected = most recent DIFFERING superseded
+    upsert (identical re-writes are skipped over), deleted-at-end and
+    non-assistant keys emit nothing, and the binlog location breaks
+    ts ties."""
+    import datetime as dt
+
+    from dm_spark.queries_cdc import preference_pairs
+
+    t0 = dt.datetime(2026, 1, 1)
+    ts = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # (a,1): three differing versions -> pair (v3, v2), n=2
+        ("a", 1, "I", "assistant", "v1", ts(1), 1, 1),
+        ("a", 1, "U", "assistant", "v2", ts(2), 1, 2),
+        ("a", 1, "U", "assistant", "v3", ts(3), 1, 3),
+        # (a,2): final event is DELETE -> no pair
+        ("a", 2, "I", "assistant", "x", ts(1), 1, 4),
+        ("a", 2, "D", "assistant", "x", ts(2), 1, 5),
+        # (a,3): final role is user -> no pair
+        ("a", 3, "I", "user", "q1", ts(1), 1, 6),
+        ("a", 3, "U", "user", "q2", ts(2), 1, 7),
+        # (a,4): superseded text identical to chosen -> no pair
+        ("a", 4, "I", "assistant", "same", ts(1), 1, 8),
+        ("a", 4, "U", "assistant", "same", ts(2), 1, 9),
+        # (a,5): identical rewrite BETWEEN chosen and the real
+        # alternative: rejected skips over it to "m", n counts only
+        # the differing version
+        ("a", 5, "I", "assistant", "m", ts(1), 1, 10),
+        ("a", 5, "U", "assistant", "n", ts(2), 1, 11),
+        ("a", 5, "U", "assistant", "n", ts(3), 1, 12),
+        # (a,6): ts tie -> pos decides the winner
+        ("a", 6, "I", "assistant", "early", ts(1), 1, 13),
+        ("a", 6, "U", "assistant", "late", ts(1), 1, 14),
+    ]
+    split = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, op string, role string, "
+        "text string, ts timestamp, file_seq long, pos long",
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r for r in preference_pairs(split).collect()}
+    assert set(out) == {("a", 1), ("a", 5), ("a", 6)}
+    assert (out[("a", 1)]["chosen"], out[("a", 1)]["rejected"]) == ("v3", "v2")
+    assert out[("a", 1)]["n_superseded"] == 2
+    assert (out[("a", 5)]["chosen"], out[("a", 5)]["rejected"]) == ("n", "m")
+    assert out[("a", 5)]["n_superseded"] == 1
+    assert (out[("a", 6)]["chosen"], out[("a", 6)]["rejected"]) == ("late", "early")
+
+
+def test_prefix_templates_shared_depth_law(spark):
+    """Two conversations sharing a digit-masked 2-turn prefix then
+    diverging report shared_depth=2 with the depth-2 template
+    fingerprint; an unrelated conversation is absent."""
+    import hashlib
+
+    from dm_spark.queries_cdc import prefix_templates
+
+    fin = spark.createDataFrame(
+        [
+            ("p", 1, "user", "Hello 123"),
+            ("p", 2, "assistant", "ack 9"),
+            ("p", 3, "user", "bye"),
+            ("q", 1, "user", "Hello 777"),  # masks to the same line as p's
+            ("q", 2, "assistant", "ack 0"),
+            ("q", 3, "user", "later"),
+            ("r", 1, "user", "totally different"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {r["conv_id"]: r for r in prefix_templates(fin).collect()}
+    assert set(out) == {"p", "q"}
+    want_fp = hashlib.md5(b"user: Hello 0\nassistant: ack 0").hexdigest()
+    for c in ("p", "q"):
+        assert out[c]["shared_depth"] == 2
+        assert out[c]["n_sharers"] == 2
+        assert out[c]["template_fp"] == want_fp
+
+
+def test_temp_mix_integer_law(spark):
+    """alpha=0.5 smoothing as the exact isqrt/ppm integer law: a tail
+    language's smoothed share strictly exceeds its raw share, and the
+    ppm values match hand computation."""
+    from dm_spark.queries_corpus import temp_mix
+
+    big = " ".join(["w"] * 100)  # 100 tokens per doc
+    docs = _docs(
+        spark,
+        [(i, big, "big") for i in range(4)] + [(99, "a b c d", "small")],
+    )
+    out = {r["lang"]: r for r in temp_mix(docs).collect()}
+    # big: 400 tokens, s=20; small: 4 tokens, s=2; totals 404 / 22
+    assert (out["big"]["n_tokens"], out["small"]["n_tokens"]) == (400, 4)
+    assert out["big"]["raw_ppm"] == (1_000_000 * 400) // 404
+    assert out["small"]["raw_ppm"] == (1_000_000 * 4) // 404
+    assert out["big"]["temp_ppm"] == (1_000_000 * 20) // 22
+    assert out["small"]["temp_ppm"] == (1_000_000 * 2) // 22
+    assert out["small"]["temp_ppm"] > out["small"]["raw_ppm"]
+    assert out["big"]["temp_ppm"] < out["big"]["raw_ppm"]
