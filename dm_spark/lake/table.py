@@ -469,7 +469,10 @@ class LakeTable:
         for f_ in cur:
             o = old.get(f_["id"])
             if o is None:
-                cols.append(F.lit(None).cast(f_["type"]).alias(f_["name"]))
+                # column added after this file was written: fill the
+                # declared literal DEFAULT (MySQL existing-row backfill
+                # semantics) — None when the ADD carried no literal
+                cols.append(F.lit(f_.get("default")).cast(f_["type"]).alias(f_["name"]))
             else:
                 cols.append(F.col(o["name"]).cast(f_["type"]).alias(f_["name"]))
         cols += [F.col(c) for c in extra]
@@ -1277,9 +1280,16 @@ class LakeTable:
         if kind == "add_column":
             if action["column"] in names:
                 return False
-            fields.append(
-                {"id": meta.next_field_id, "name": action["column"], "type": action["new_type"]}
-            )
+            fld = {"id": meta.next_field_id, "name": action["column"], "type": action["new_type"]}
+            if action.get("default") is not None:
+                # MySQL/TiDB backfill EXISTING rows with a literal
+                # DEFAULT on ADD COLUMN (the reference inherits this by
+                # executing the DDL on live TiDB, syncer/syncer.go:
+                # 1117-1232); stored on the field so _projection fills
+                # it into files written under pre-DDL schema versions —
+                # no data rewrite, same field-id evolution
+                fld["default"] = action["default"]
+            fields.append(fld)
             meta.next_field_id += 1
         elif kind == "rename_column":
             if action["column"] in meta.key:
@@ -1321,6 +1331,7 @@ class LakeTable:
                 "column": action.get("column"),
                 "new_name": action.get("new_name"),
                 "new_type": action.get("new_type"),
+                "default": action.get("default"),
                 "file_seq": loc[0],
                 "pos": loc[1],
                 "suffix": loc[2],

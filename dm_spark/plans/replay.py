@@ -56,6 +56,9 @@ class DdlEvent:
     column: str | None = None
     new_name: str | None = None
     new_type: str | None = None
+    # add_column: literal DEFAULT value — MySQL/TiDB backfill existing
+    # rows with it, so the lake must too (ddl_parser._default_literal)
+    default: object = None
     target_table: str | None = None  # for rename_table
     suffix: int = 0
     # create_table payload: declared columns / primary key / unique keys
@@ -75,6 +78,7 @@ class DdlEvent:
             "column": self.column,
             "new_name": self.new_name,
             "new_type": self.new_type,
+            "default": self.default,
             "file_seq": self.file_seq,
             "pos": self.pos,
             "suffix": self.suffix,
@@ -430,6 +434,15 @@ class ReplayRunner:
                 "pos": act.get("pos", 0),
                 "suffix": act.get("suffix", 0) + i,
             }
+            if (
+                d["action"] == "add_column"
+                and d.get("column") == act.get("column")
+                and act.get("default") is not None
+            ):
+                # the registry join tracks (name, type) only; re-attach
+                # the announcing shard's literal default so the derived
+                # global ADD backfills like the direct path
+                d["default"] = act["default"]
             if lake.apply_ddl(d):
                 applied.append(d)
                 self.applied_ddl.append(d)

@@ -208,6 +208,22 @@ GROUP BY 1, 2
 """
 )
 
+# tool_transitions twin: lag window over tool turns, pair groupBy
+_TOOL_TRANS = (
+    _FINAL_CTE
+    + """,
+t AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM fin WHERE role = 'tool'
+)
+SELECT coalesce(prev_tool, '<start>') AS from_tool, tool AS to_tool,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM t GROUP BY 1, 2
+"""
+)
+
 # prefix_templates twin: cumulative masked-line fingerprints, shared
 # groups at each depth, deepest shared prefix per conversation
 _PREFIX_TPL = (
@@ -966,6 +982,54 @@ def q_prefix_templates(spark, sf_dir):
     return prefix_templates(fin)
 
 
+def tool_transitions(fin):
+    """Agent-trajectory transition mining over any (conv_id, turn_idx,
+    role, tool) frame: the first-order Markov table of tool usage —
+    for each conversation, order its tool turns by turn_idx and count
+    (previous tool -> tool) transitions corpus-wide, with '<start>'
+    marking a conversation's first tool call. Emits transition count
+    plus the number of distinct conversations exhibiting it — the
+    table an agent-behavior analysis (or a trajectory sampler looking
+    for rare tool chains) reads straight off the ingested lake.
+    (Reference analog: DM stops at row replication, syncer/syncer.go;
+    this is the downstream analytics the rebuild adds.)
+
+    Scale shape: one conv_id exchange for the lag window (tool turns
+    only — pre-filtered before the shuffle), then a map-side
+    combinable groupBy on the (from, to) pair; transition cardinality
+    is bounded by #tools^2, never corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        fin.where(F.col("role") == "tool")
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn("prev_tool", F.lag("tool").over(w))
+    )
+    return (
+        t.select(
+            "conv_id",
+            F.coalesce("prev_tool", F.lit("<start>")).alias("from_tool"),
+            F.col("tool").alias("to_tool"),
+        )
+        .groupBy("from_tool", "to_tool")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        )
+    )
+
+
+def q_tool_transitions(spark, sf_dir):
+    """Tool-transition mining off the ingested lake (see
+    tool_transitions): replay the change feed (CDC axis), then mine
+    the trajectory table from the FINAL state (corpus axis)."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    fin = _final_us(_replay_through_lake(spark, batch))
+    return tool_transitions(fin)
+
+
 def q_validator_checksum(spark, sf_dir):
     """sync_diff checksum law end-to-end (tests/sharding/run.sh:9-18
     BIT_XOR(CRC32) analog): replay the feed into the lake, then reduce
@@ -1041,6 +1105,48 @@ def q_ddl_evolution(spark, sf_dir):
     lake.merge_into(b, batch_id=1)
     return lake.read().select(
         "conv_id", "turn_idx", "role", "text", "tool_name", "rating",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+def q_ddl_default_backfill(spark, sf_dir):
+    """ADD COLUMN ... DEFAULT mid-feed: MySQL/TiDB give EXISTING rows
+    the declared literal default — the reference inherits that by
+    executing the DDL on live TiDB (syncer/syncer.go:1117-1232); the
+    lake mirrors it by filling pre-DDL files at read time
+    (LakeTable._projection), with no data rewrite. The DDL arrives as
+    SQL text through the real parser (ddl_parser._default_literal).
+    Law: a key's final rating is 7 iff its LWW-winning event precedes
+    the DDL, else the event's explicit pos % 5."""
+    from dm_spark.schema.ddl_parser import parse_ddl
+
+    feed = change_feed(spark, sf_dir)
+    mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
+    mid = (mm[0] + mm[1]) // 2
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    pipe = ApplyPipeline(cfg)
+
+    lake = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="dm_dflt_"), SCHEMA, KEY, n_buckets=16
+    )
+    a = pipe.transform(feed.where(F.col("txn_id") <= mid)).drop("target_table")
+    lake.merge_into(a, batch_id=0)
+
+    (ev,) = parse_ddl(
+        "ALTER TABLE transcripts ADD COLUMN rating INT DEFAULT 7", 10**6, 0
+    )
+    assert ev.default == 7
+    lake.apply_ddl(ev.to_action())
+
+    b = pipe.transform(feed.where(F.col("txn_id") > mid)).drop("target_table")
+    b = b.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        (F.col("_cdc_pos") % 5).cast("int").alias("rating"),
+        "op", "_cdc_ts", "_cdc_file_seq", "_cdc_pos",
+    )
+    lake.merge_into(b, batch_id=1)
+    return lake.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "rating",
         F.unix_micros("ts").alias("ts_us"),
     )
 
@@ -1154,10 +1260,12 @@ QUERIES = {
     "cdc_turn_dedup": q_turn_dedup,
     "cdc_preference_pairs": q_preference_pairs,
     "cdc_prefix_templates": q_prefix_templates,
+    "cdc_tool_transitions": q_tool_transitions,
     "cdc_validator_checksum": q_validator_checksum,
     "cdc_lineage_counts": q_lineage_counts,
     "cdc_checkpoint_locations": q_checkpoint_locations,
     "cdc_ddl_evolution": q_ddl_evolution,
+    "cdc_ddl_default_backfill": q_ddl_default_backfill,
     "cdc_optimistic_ddl": q_optimistic_ddl,
     "cdc_ddl_filtered": q_ddl_filtered,
 }
@@ -1292,6 +1400,7 @@ FROM fin
     "cdc_turn_dedup": _with_feed(_TURN_DEDUP),
     "cdc_preference_pairs": _with_feed(_PREF_PAIRS),
     "cdc_prefix_templates": _with_feed(_PREFIX_TPL),
+    "cdc_tool_transitions": _with_feed(_TOOL_TRANS),
     "cdc_convo_hygiene": _with_feed(
         _FINAL_CTE
         + """,
@@ -1392,6 +1501,26 @@ FROM agg
              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
                ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn FROM feed2)
            SELECT conv_id, turn_idx, role, text, tool_name, rating,
+                  epoch_us(ts) AS ts_us
+           FROM latest WHERE rn = 1 AND op <> 'D'"""
+    ),
+    # default backfill: rating = declared DEFAULT (7) when the key's
+    # LWW-winning event precedes the DDL, else the explicit pos % 5
+    "cdc_ddl_default_backfill": _with_feed(
+        "mid AS (SELECT (min(txn_id) + max(txn_id)) // 2 AS m FROM feed),"
+        + _SPLIT
+        + """,
+           feed2 AS (
+             SELECT conv_id, turn_idx, role, text, tool,
+                    CASE WHEN txn_id > (SELECT m FROM mid)
+                         THEN CAST(pos % 5 AS INTEGER)
+                         ELSE 7 END AS rating,
+                    ts, file_seq, pos, op
+             FROM split),
+           latest AS (
+             SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+               ORDER BY ts DESC, file_seq DESC, pos DESC) AS rn FROM feed2)
+           SELECT conv_id, turn_idx, role, text, tool, rating,
                   epoch_us(ts) AS ts_us
            FROM latest WHERE rn = 1 AND op <> 'D'"""
     ),

@@ -101,6 +101,41 @@ def _table_name(m1: str, m2: str | None) -> str:
     return f"{m1}.{m2}" if m2 else m1
 
 
+def _default_literal(clause: str):
+    """Literal DEFAULT value of a column clause, or None when absent,
+    NULL, or non-literal (CURRENT_TIMESTAMP, expressions, bit
+    literals). MySQL/TiDB give EXISTING rows the declared default on
+    ADD COLUMN — the reference inherits that by executing the DDL on
+    TiDB (syncer/syncer.go:1117-1232); the lake mirrors it by filling
+    pre-DDL rows with this literal at read time (LakeTable._projection).
+    Non-literal defaults stay a NULL backfill: CURRENT_TIMESTAMP-style
+    backfill is evaluation-time-dependent and cannot replay
+    deterministically. The DEFAULT keyword is located on the MASKED
+    copy (so a COMMENT string cannot fake one); the value is read from
+    the ORIGINAL text at the same offsets."""
+    masked = _mask_strings(clause)
+    m = re.search(r"(?i)\bDEFAULT\s+", masked)
+    if not m:
+        return None
+    rest, rest_m = clause[m.end():], masked[m.end():]
+    if rest_m[:1] in ("'", '"'):
+        q = rest_m[0]
+        # escape sequences are blanked in the mask, so the first
+        # surviving quote char after the opener is the true terminator
+        j = rest_m.find(q, 1)
+        if j < 0:
+            return None
+        raw = rest[1:j]
+        return raw.replace("\\" + q, q).replace(q + q, q).replace("\\\\", "\\")
+    t = re.match(r"[^\s,]+", rest_m)
+    tok = rest[: t.end()] if t else ""
+    if re.fullmatch(r"-?[0-9]+", tok):
+        return int(tok)
+    if re.fullmatch(r"-?[0-9]*\.[0-9]+", tok):
+        return float(tok)
+    return None
+
+
 def _mask_strings(s: str) -> str:
     """Same-length copy with quoted-literal CONTENTS blanked (quotes
     kept), so structural scans — paren balancing, clause splitting,
@@ -580,9 +615,15 @@ def _parse_normalized(s: str, sql: str, file_seq: int, pos: int) -> list:
                 nm = re.match(rf"(?i)^{_IDENT} (.+)$", col.strip())
                 if not nm:
                     raise UnsupportedDdl(col)
-                emit("add_column", column=nm.group(1), new_type=map_type(nm.group(2)))
+                emit(
+                    "add_column", column=nm.group(1), new_type=map_type(nm.group(2)),
+                    default=_default_literal(col),
+                )
         elif cm := re.match(rf"(?i)^ADD (?:COLUMN )?{_IDENT} (.+?){_TAIL}$", c):
-            emit("add_column", column=cm.group(1), new_type=map_type(cm.group(2)))
+            emit(
+                "add_column", column=cm.group(1), new_type=map_type(cm.group(2)),
+                default=_default_literal(c),
+            )
         elif cm := re.match(rf"(?i)^DROP (?:COLUMN )?{_IDENT}$", c):
             emit("drop_column", column=cm.group(1))
         elif cm := re.match(rf"(?i)^RENAME (?:COLUMN )?{_IDENT} TO {_IDENT}$", c):

@@ -41,7 +41,11 @@ def sync_replica_schema(src: LakeTable, dst: LakeTable) -> list[dict]:
     i = 0
     for f in src.schema_fields():
         if f["name"] not in dfields:
-            act = {"action": "add_column", "column": f["name"], "new_type": f["type"]}
+            # carry the source's declared literal default so the
+            # replica's pre-DDL rows backfill identically (rows shipped
+            # through the change feed carry explicit values either way)
+            act = {"action": "add_column", "column": f["name"], "new_type": f["type"],
+                   "default": f.get("default")}
         elif dfields[f["name"]].lower() != f["type"].lower():
             # lossless means WIDEN ONLY: if the replica's type is
             # already the wider of the two (an operator pre-widened it),

@@ -538,3 +538,35 @@ def test_temp_mix_integer_law(spark):
     assert out["small"]["temp_ppm"] == (1_000_000 * 2) // 22
     assert out["small"]["temp_ppm"] > out["small"]["raw_ppm"]
     assert out["big"]["temp_ppm"] < out["big"]["raw_ppm"]
+
+
+def test_tool_transitions_markov_law(spark):
+    """Transitions are per-conversation ordered tool chains with a
+    '<start>' marker; counts aggregate corpus-wide and n_convs counts
+    distinct conversations exhibiting the transition. Non-tool turns
+    never contribute."""
+    from dm_spark.queries_cdc import tool_transitions
+
+    fin = spark.createDataFrame(
+        [
+            ("x", 1, "tool", "a"),
+            ("x", 2, "user", None),  # interleaved non-tool turn is invisible
+            ("x", 3, "tool", "b"),
+            ("x", 5, "tool", "a"),
+            ("w", 1, "tool", "a"),
+            ("w", 2, "tool", "b"),
+            ("y", 2, "tool", "b"),
+            ("z", 1, "user", None),  # no tool turns -> contributes nothing
+        ],
+        "conv_id string, turn_idx int, role string, tool string",
+    )
+    out = {
+        (r["from_tool"], r["to_tool"]): (r["n"], r["n_convs"])
+        for r in tool_transitions(fin).collect()
+    }
+    assert out == {
+        ("<start>", "a"): (2, 2),  # x and w
+        ("<start>", "b"): (1, 1),  # y
+        ("a", "b"): (2, 2),  # x and w
+        ("b", "a"): (1, 1),  # x only
+    }

@@ -514,3 +514,27 @@ def test_backtick_identifiers_with_special_characters():
     # data-moving DDL on a special-char table still rejects loudly
     with pytest.raises(UnsupportedDdl):
         parse_ddl("ALTER TABLE `my-db`.`t-1` DROP PRIMARY KEY", 0, 1)
+
+
+def test_add_column_default_literal_extraction():
+    """ADD COLUMN DEFAULT literals ride the event (MySQL backfills
+    existing rows with them — LakeTable._projection mirrors it);
+    non-literal defaults (NULL, CURRENT_TIMESTAMP, expressions) stay
+    None, and a COMMENT string cannot fake the keyword (the scan runs
+    on the masked copy)."""
+    cases = [
+        ("ALTER TABLE t ADD COLUMN r INT DEFAULT 5", 5),
+        ("ALTER TABLE t ADD COLUMN r INT NOT NULL DEFAULT 0", 0),
+        ("ALTER TABLE t ADD COLUMN n VARCHAR(20) DEFAULT 'n/a'", "n/a"),
+        ("ALTER TABLE t ADD COLUMN n VARCHAR(20) DEFAULT 'it''s'", "it's"),
+        ("ALTER TABLE t ADD COLUMN f DOUBLE DEFAULT -1.5", -1.5),
+        ("ALTER TABLE t ADD COLUMN z INT DEFAULT NULL", None),
+        ("ALTER TABLE t ADD COLUMN ts2 TIMESTAMP DEFAULT CURRENT_TIMESTAMP", None),
+        ("ALTER TABLE t ADD COLUMN c INT COMMENT 'DEFAULT 9'", None),
+    ]
+    for sql, want in cases:
+        (ev,) = parse_ddl(sql, 0, 1)
+        assert ev.action == "add_column" and ev.default == want, sql
+        assert ev.to_action()["default"] == want
+    evs = parse_ddl("ALTER TABLE t ADD COLUMN (a INT DEFAULT 1, b TEXT)", 0, 1)
+    assert [e.default for e in evs] == [1, None]

@@ -555,3 +555,68 @@ def test_failover_epoch_ordinal_advances_checkpoint(spark, tmp_path):
         epoch=1,
     )
     assert lake.global_checkpoint()["pos"] == 7
+
+
+def test_add_column_default_backfills_old_files(spark, lake):
+    """MySQL existing-row backfill: ADD COLUMN ... DEFAULT fills
+    pre-DDL files with the literal at read time, while rows written
+    AFTER the DDL keep their explicit values — including explicit
+    NULL, which must NOT be overwritten by the default (the file
+    carries the column, so the fill never applies)."""
+    lake.merge_into(
+        spark.createDataFrame(
+            [ch("a", 1, "I", "old", 0, 1, 1), ch("b", 1, "I", "old", 0, 2, 2)],
+            CHANGE_DDL,
+        ),
+        batch_id=0,
+    )
+    assert lake.apply_ddl(
+        {"action": "add_column", "column": "rating", "new_type": "int",
+         "default": 7, "file_seq": 1, "pos": 0}
+    )
+    got = {r.conv_id: r.rating for r in lake.read().collect()}
+    assert got == {"a": 7, "b": 7}
+
+    new_ddl = CHANGE_DDL + ", rating int"
+    lake.merge_into(
+        spark.createDataFrame(
+            [
+                ("c", 1, "user", "new", None, T(5), "I", T(5), 2, 1, 3),
+                ("d", 1, "user", "new", None, T(6), "I", T(6), 2, 2, None),
+            ],
+            new_ddl,
+        ),
+        batch_id=1,
+    )
+    got = {r.conv_id: r.rating for r in lake.read().collect()}
+    # a/b: backfilled (a's bucket may have been CoW-rewritten — the
+    # fill materializes, same value either way); c: explicit 3;
+    # d: explicit NULL survives
+    assert got == {"a": 7, "b": 7, "c": 3, "d": None}
+    assert lake.applied_ddl_log()[-1]["default"] == 7
+
+
+def test_add_column_default_backfills_through_mor_read(spark, tmp_path):
+    """Same law through the MoR read path (base+delta LWW resolve)."""
+    from dm_spark.lake import LakeTable
+
+    lake = LakeTable.create(
+        spark, str(tmp_path / "m"), SCHEMA, KEY, n_buckets=4, write_mode="mor"
+    )
+    lake.merge_into(
+        spark.createDataFrame([ch("a", 1, "I", "old", 0, 1, 1)], CHANGE_DDL),
+        batch_id=0,
+    )
+    assert lake.apply_ddl(
+        {"action": "add_column", "column": "rating", "new_type": "int",
+         "default": 7, "file_seq": 1, "pos": 0}
+    )
+    lake.merge_into(
+        spark.createDataFrame(
+            [("a", 2, "user", "new", None, T(5), "I", T(5), 2, 1, 4)],
+            CHANGE_DDL + ", rating int",
+        ),
+        batch_id=1,
+    )
+    got = {(r.conv_id, r.turn_idx): r.rating for r in lake.read().collect()}
+    assert got == {("a", 1): 7, ("a", 2): 4}
