@@ -81,3 +81,164 @@ def incremental_dedup_batch(
     )
     index.merge_into(inserts)
     return flags
+
+
+# ------------------------------------------------------------ preference index
+
+PREF_INDEX_SCHEMA = [
+    ("conv_id", "string"),
+    ("turn_idx", "int"),
+    ("u1_text", "string"),
+    ("u1_role", "string"),
+    ("u1_ts", "timestamp"),
+    ("u1_fs", "bigint"),
+    ("u1_pos", "bigint"),
+    ("u2_text", "string"),
+    ("u2_ts", "timestamp"),
+    ("u2_fs", "bigint"),
+    ("u2_pos", "bigint"),
+    ("d_ts", "timestamp"),
+    ("d_fs", "bigint"),
+    ("d_pos", "bigint"),
+]
+
+
+def create_pref_index(spark, path: str, n_buckets: int = 32) -> LakeTable:
+    """Preference-pair state: one row per (conv_id, turn_idx) holding
+    the latest upsert version (u1), the latest upsert whose text
+    differs from u1's (u2), and the latest delete location (d) — the
+    PROVABLY SUFFICIENT compact state for exact incremental
+    maintenance of queries_cdc.preference_pairs' (chosen, rejected)
+    law (see incremental_preference_batch). Bucketed on the key so
+    per-batch folds are bucketed equi-joins."""
+    return LakeTable.create(
+        spark, path, PREF_INDEX_SCHEMA, ["conv_id", "turn_idx"], n_buckets=n_buckets
+    )
+
+
+def incremental_preference_batch(
+    index: LakeTable, batch: DataFrame, batch_seq: int = 0
+) -> None:
+    """Fold one flattened change batch (op/conv_id/turn_idx/role/text +
+    ts/file_seq/pos or _cdc_* lineage) into the preference index —
+    O(batch) per step, no corpus rescan (same state-table stance as
+    incremental_dedup_batch; reference checkpoint-table precedent
+    syncer/checkpoint.go:175-257).
+
+    EXACTNESS (why three versions suffice, under any arrival order and
+    redelivery): the global law's `rejected` for a key is the most
+    recent upsert whose text differs from the winner's. Any version
+    the fold drops is either (a) older than u2 and differing — u2 or
+    u1 is always a more recent differing candidate for every possible
+    future winner text — or (b) between u2 and u1 with text EQUAL to
+    u1's — if a future winner W has W.text != u1.text then u1 itself
+    is the more recent differing candidate; if W.text == u1.text the
+    dropped version equals W too and is skipped by the law. Deletes
+    only gate emission (winner-is-delete keys emit nothing until
+    revived), so their max location is sufficient. Redelivered rows
+    are value-identical duplicates and change nothing."""
+    from pyspark.sql import Window
+
+    fs = "_cdc_file_seq" if "_cdc_file_seq" in batch.columns else "file_seq"
+    ps = "_cdc_pos" if "_cdc_pos" in batch.columns else "pos"
+    rows = batch.select(
+        "conv_id", "turn_idx", "op", "role", "text",
+        F.col("ts").alias("ts"), F.col(fs).alias("fs"), F.col(ps).alias("pos"),
+    )
+    keys = rows.select("conv_id", "turn_idx").distinct()
+    st = index.read().join(keys, ["conv_id", "turn_idx"])  # touched keys only
+    pseudo = (
+        st.where(F.col("u1_text").isNotNull()).select(
+            "conv_id", "turn_idx", F.lit("I").alias("op"),
+            F.col("u1_role").alias("role"), F.col("u1_text").alias("text"),
+            F.col("u1_ts").alias("ts"), F.col("u1_fs").alias("fs"),
+            F.col("u1_pos").alias("pos"),
+        )
+        .unionByName(
+            st.where(F.col("u2_text").isNotNull()).select(
+                "conv_id", "turn_idx", F.lit("I").alias("op"),
+                F.lit(None).cast("string").alias("role"),
+                F.col("u2_text").alias("text"),
+                F.col("u2_ts").alias("ts"), F.col("u2_fs").alias("fs"),
+                F.col("u2_pos").alias("pos"),
+            )
+        )
+        .unionByName(
+            st.where(F.col("d_fs").isNotNull()).select(
+                "conv_id", "turn_idx", F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("role"),
+                F.lit(None).cast("string").alias("text"),
+                F.col("d_ts").alias("ts"), F.col("d_fs").alias("fs"),
+                F.col("d_pos").alias("pos"),
+            )
+        )
+    )
+    u = rows.unionByName(pseudo)
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").desc(), F.col("fs").desc(), F.col("pos").desc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    up = F.col("op") != "D"
+    t = u.select(
+        "conv_id", "turn_idx", "op", "text", "ts", "fs", "pos",
+        F.first(
+            F.when(up, F.struct("text", "role", "ts", "fs", "pos")), ignorenulls=True
+        ).over(wf).alias("u1"),
+        F.max(F.when(~up, F.struct("ts", "fs", "pos"))).over(wf).alias("d"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    head = t.groupBy("conv_id", "turn_idx").agg(
+        F.max("u1").alias("u1"), F.max("d").alias("d")
+    )
+    u2 = (
+        t.where(up & (F.col("text") != F.col("u1.text")))
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.min_by(F.expr("struct(text, ts, fs, pos)"), F.col("rn")).alias("u2"))
+    )
+    state = head.join(u2.select("conv_id", "turn_idx", "u2"), ["conv_id", "turn_idx"], "left")
+    out = state.select(
+        "conv_id", "turn_idx",
+        F.col("u1.text").alias("u1_text"), F.col("u1.role").alias("u1_role"),
+        F.col("u1.ts").alias("u1_ts"),
+        F.col("u1.fs").cast("bigint").alias("u1_fs"),
+        F.col("u1.pos").cast("bigint").alias("u1_pos"),
+        F.col("u2.text").alias("u2_text"), F.col("u2.ts").alias("u2_ts"),
+        F.col("u2.fs").cast("bigint").alias("u2_fs"),
+        F.col("u2.pos").cast("bigint").alias("u2_pos"),
+        F.col("d.ts").alias("d_ts"),
+        F.col("d.fs").cast("bigint").alias("d_fs"),
+        F.col("d.pos").cast("bigint").alias("d_pos"),
+        F.lit("U").alias("op"),
+        F.timestamp_micros(F.lit(batch_seq)).alias("_cdc_ts"),
+        F.lit(batch_seq).cast("bigint").alias("_cdc_file_seq"),
+        F.lit(0).cast("bigint").alias("_cdc_pos"),
+    )
+    index.merge_into(out, batch_id=batch_seq)
+
+
+def preference_pairs_from_index(index: LakeTable) -> DataFrame:
+    """Materialize the (chosen, rejected) pairs from the accumulated
+    index: keys whose latest upsert is the overall winner (no newer
+    delete), whose winner is an assistant turn, and which have a
+    differing superseded version. Equals queries_cdc.preference_pairs
+    (minus the history-dependent n_superseded count) over the full
+    replayed stream — the cdc_preference_incremental oracle law."""
+    st = index.read()
+    u1_loc = F.struct("u1_ts", "u1_fs", "u1_pos")
+    d_loc = F.struct(
+        F.col("d_ts").alias("u1_ts"),
+        F.col("d_fs").alias("u1_fs"),
+        F.col("d_pos").alias("u1_pos"),
+    )
+    return st.where(
+        F.col("u1_text").isNotNull()
+        & (F.col("d_fs").isNull() | (u1_loc > d_loc))
+        & (F.col("u1_role") == "assistant")
+        & F.col("u2_text").isNotNull()
+    ).select(
+        "conv_id", "turn_idx",
+        F.col("u1_text").alias("chosen"),
+        F.col("u2_text").alias("rejected"),
+    )

@@ -924,6 +924,46 @@ def q_preference_pairs(spark, sf_dir):
     return preference_pairs(batch)
 
 
+def q_preference_incremental(spark, sf_dir):
+    """Incremental preference-pair maintenance (see
+    functions.incremental.incremental_preference_batch): the change
+    feed is folded into the compact (u1, u2, d) state table batch by
+    batch — O(batch) per step, no history rescan — and the materialized
+    pairs must equal the global preference_pairs law over the full
+    stream (the DuckDB oracle runs the global single-window twin).
+    The arrival-order/redelivery laws are pinned in
+    tests/test_incremental_dedup.py."""
+    from dm_spark.functions.incremental import (
+        create_pref_index,
+        incremental_preference_batch,
+        preference_pairs_from_index,
+    )
+
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    index = create_pref_index(spark, tempfile.mkdtemp(prefix="dm_pref_"), n_buckets=16)
+    b = batch.withColumn(
+        "__ord", F.col("_cdc_file_seq") * 1_000_000 + F.col("_cdc_pos")
+    )
+    mm = b.agg(F.min("__ord"), F.max("__ord")).collect()[0]
+    if mm[0] is None:
+        return preference_pairs_from_index(index)
+    lo_all, hi_all = int(mm[0]), int(mm[1])
+    n_batches = 4
+    width = max(1, (hi_all - lo_all + n_batches) // n_batches)
+    cuts = [lo_all + width * i for i in range(1, n_batches) if lo_all + width * i < hi_all]
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        part = b
+        if lo is not None:
+            part = part.where(F.col("__ord") > lo)
+        if hi is not None:
+            part = part.where(F.col("__ord") <= hi)
+        incremental_preference_batch(index, part.drop("__ord"), batch_seq=i)
+        lo = hi
+    return preference_pairs_from_index(index)
+
+
 def prefix_templates(fin):
     """Shared conversation-prefix (template/boilerplate) detection over
     any (conv_id, turn_idx, role, text) frame: render each turn as a
@@ -1259,6 +1299,7 @@ QUERIES = {
     "cdc_context_window": q_context_window,
     "cdc_turn_dedup": q_turn_dedup,
     "cdc_preference_pairs": q_preference_pairs,
+    "cdc_preference_incremental": q_preference_incremental,
     "cdc_prefix_templates": q_prefix_templates,
     "cdc_tool_transitions": q_tool_transitions,
     "cdc_validator_checksum": q_validator_checksum,
@@ -1399,6 +1440,15 @@ FROM fin
     "cdc_context_window": _with_feed(_CTX_WINDOW),
     "cdc_turn_dedup": _with_feed(_TURN_DEDUP),
     "cdc_preference_pairs": _with_feed(_PREF_PAIRS),
+    # incremental maintenance must equal the global law (minus the
+    # history-dependent n_superseded count)
+    "cdc_preference_incremental": _with_feed(
+        _PREF_PAIRS.replace(
+            "max(chosen) AS chosen,\n       min_by(text, rn) AS rejected,\n"
+            "       CAST(count(*) AS BIGINT) AS n_superseded",
+            "max(chosen) AS chosen, min_by(text, rn) AS rejected",
+        )
+    ),
     "cdc_prefix_templates": _with_feed(_PREFIX_TPL),
     "cdc_tool_transitions": _with_feed(_TOOL_TRANS),
     "cdc_convo_hygiene": _with_feed(

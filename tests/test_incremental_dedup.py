@@ -52,3 +52,87 @@ def test_incremental_dedup_redelivery_converges(spark, tmp_path):
     assert replay == first  # identical flags on redelivery
     idx = {r["fp"]: r["keep_id"] for r in index.read().collect()}
     assert sorted(idx.values()) == [5, 7]  # no duplicate index rows
+
+
+def _pref_rows():
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    ts = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    # a rich history: revisions, an identical rewrite, a delete +
+    # revival, a non-assistant key, and a key-change-free delete-end
+    return [
+        # (a,1): v1 -> v2 -> v2(rewrite) -> v3  => (v3, v2)
+        ("a", 1, "I", "assistant", "v1", ts(1), 1, 1),
+        ("a", 1, "U", "assistant", "v2", ts(2), 1, 2),
+        ("a", 1, "U", "assistant", "v2", ts(3), 1, 3),
+        ("a", 1, "U", "assistant", "v3", ts(4), 1, 4),
+        # (a,2): deleted mid-stream then revived  => (z, x)
+        ("a", 2, "I", "assistant", "x", ts(1), 1, 5),
+        ("a", 2, "D", "assistant", "x", ts(2), 1, 6),
+        ("a", 2, "I", "assistant", "z", ts(3), 1, 7),
+        # (a,3): ends deleted => no pair
+        ("a", 3, "I", "assistant", "q", ts(1), 1, 8),
+        ("a", 3, "U", "assistant", "r", ts(2), 1, 9),
+        ("a", 3, "D", "assistant", "r", ts(3), 1, 10),
+        # (a,4): user turn => no pair
+        ("a", 4, "I", "user", "u1", ts(1), 1, 11),
+        ("a", 4, "U", "user", "u2", ts(2), 1, 12),
+        # (a,5): single version => no pair
+        ("a", 5, "I", "assistant", "only", ts(1), 1, 13),
+    ]
+
+
+_PREF_DDL = (
+    "conv_id string, turn_idx int, op string, role string, "
+    "text string, ts timestamp, file_seq long, pos long"
+)
+
+
+def _fold(spark, tmp_path, name, batches):
+    from dm_spark.functions.incremental import (
+        create_pref_index,
+        incremental_preference_batch,
+        preference_pairs_from_index,
+    )
+
+    idx = create_pref_index(spark, str(tmp_path / name), n_buckets=4)
+    for i, rows in enumerate(batches):
+        incremental_preference_batch(
+            idx, spark.createDataFrame(rows, _PREF_DDL), batch_seq=i
+        )
+    return {
+        (r["conv_id"], r["turn_idx"]): (r["chosen"], r["rejected"])
+        for r in preference_pairs_from_index(idx).collect()
+    }
+
+
+def test_incremental_preference_equals_global(spark, tmp_path):
+    """Folding ordered batches equals the global single-window law."""
+    from dm_spark.queries_cdc import preference_pairs
+
+    rows = _pref_rows()
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["chosen"], r["rejected"])
+        for r in preference_pairs(
+            spark.createDataFrame(rows, _PREF_DDL)
+        ).collect()
+    }
+    got = _fold(spark, tmp_path, "ordered", [rows[:5], rows[5:9], rows[9:]])
+    assert got == want == {
+        ("a", 1): ("v3", "v2"),
+        ("a", 2): ("z", "x"),
+    }
+
+
+def test_incremental_preference_out_of_order_and_redelivery(spark, tmp_path):
+    """Late arrivals (a whole batch of OLDER events lands after newer
+    ones) and a redelivered batch converge to the same pairs — the
+    (u1, u2, d) state is order-independent and idempotent."""
+    rows = _pref_rows()
+    late_first = [rows[3::4] + rows[2::4], rows[1::4], rows[0::4]]
+    got = _fold(spark, tmp_path, "late", late_first)
+    redelivered = [rows[:7], rows[7:], rows[:7]]  # batch 0 replayed
+    got2 = _fold(spark, tmp_path, "redeliver", redelivered)
+    want = {("a", 1): ("v3", "v2"), ("a", 2): ("z", "x")}
+    assert got == want and got2 == want
