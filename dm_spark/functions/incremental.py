@@ -147,15 +147,18 @@ def incremental_preference_batch(
     )
     keys = rows.select("conv_id", "turn_idx").distinct()
     st = index.read().join(keys, ["conv_id", "turn_idx"])  # touched keys only
+    # presence is keyed on the LOCATION columns (never NULL when the
+    # version exists) — keying on text would evict a NULL-text upsert
+    # from the state and break the any-arrival-order law (review r5)
     pseudo = (
-        st.where(F.col("u1_text").isNotNull()).select(
+        st.where(F.col("u1_fs").isNotNull()).select(
             "conv_id", "turn_idx", F.lit("I").alias("op"),
             F.col("u1_role").alias("role"), F.col("u1_text").alias("text"),
             F.col("u1_ts").alias("ts"), F.col("u1_fs").alias("fs"),
             F.col("u1_pos").alias("pos"),
         )
         .unionByName(
-            st.where(F.col("u2_text").isNotNull()).select(
+            st.where(F.col("u2_fs").isNotNull()).select(
                 "conv_id", "turn_idx", F.lit("I").alias("op"),
                 F.lit(None).cast("string").alias("role"),
                 F.col("u2_text").alias("text"),
@@ -189,15 +192,21 @@ def incremental_preference_batch(
         F.max(F.when(~up, F.struct("ts", "fs", "pos"))).over(wf).alias("d"),
         F.row_number().over(wr).alias("rn"),
     )
-    head = t.groupBy("conv_id", "turn_idx").agg(
-        F.max("u1").alias("u1"), F.max("d").alias("d")
-    )
-    u2 = (
-        t.where(up & (F.col("text") != F.col("u1.text")))
-        .groupBy("conv_id", "turn_idx")
-        .agg(F.min_by(F.expr("struct(text, ts, fs, pos)"), F.col("rn")).alias("u2"))
-    )
-    state = head.join(u2.select("conv_id", "turn_idx", "u2"), ["conv_id", "turn_idx"], "left")
+    # u2 needs u1 first, so it rides a SECOND projection over the same
+    # window partitioning — still one exchange, and the rn==1 filter
+    # then yields the whole state row per key with no aggregation and
+    # no join (review r5: the first cut paid two hash aggregates plus
+    # a key join per fold)
+    state = t.withColumn(
+        "u2",
+        F.first(
+            F.when(
+                up & (F.col("text") != F.col("u1.text")),
+                F.struct("text", "ts", "fs", "pos"),
+            ),
+            ignorenulls=True,
+        ).over(wf),
+    ).where(F.col("rn") == 1)
     out = state.select(
         "conv_id", "turn_idx",
         F.col("u1.text").alias("u1_text"), F.col("u1.role").alias("u1_role"),
@@ -233,10 +242,10 @@ def preference_pairs_from_index(index: LakeTable) -> DataFrame:
         F.col("d_pos").alias("u1_pos"),
     )
     return st.where(
-        F.col("u1_text").isNotNull()
+        F.col("u1_fs").isNotNull()
         & (F.col("d_fs").isNull() | (u1_loc > d_loc))
         & (F.col("u1_role") == "assistant")
-        & F.col("u2_text").isNotNull()
+        & F.col("u2_fs").isNotNull()
     ).select(
         "conv_id", "turn_idx",
         F.col("u1_text").alias("chosen"),

@@ -231,7 +231,8 @@ _PREFIX_TPL = (
     + """,
 lines AS (
   SELECT conv_id, turn_idx,
-         role || ': ' || regexp_replace(text, '[0-9]+', '0', 'g') AS line
+         coalesce(role, '') || ': ' ||
+         regexp_replace(coalesce(text, ''), '[0-9]+', '0', 'g') AS line
   FROM fin
 ),
 pfx AS (
@@ -990,8 +991,13 @@ def prefix_templates(fin):
         .orderBy("turn_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL role/text render as '' (concat would NULL the whole line in
+    # Spark while DuckDB's string_agg would DROP the group — the
+    # coalesce keeps both engines on one law; review r5)
     line = F.concat(
-        F.col("role"), F.lit(": "), F.regexp_replace(F.col("text"), "[0-9]+", "0")
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit(": "),
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[0-9]+", "0"),
     )
     arr = F.collect_list(F.struct(F.col("turn_idx").alias("i"), line.alias("line"))).over(w)
     pfx = fin.select(

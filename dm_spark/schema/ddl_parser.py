@@ -133,6 +133,12 @@ def _default_literal(clause: str):
         return int(tok)
     if re.fullmatch(r"-?[0-9]*\.[0-9]+", tok):
         return float(tok)
+    # TRUE/FALSE are deterministic literals too (MySQL BOOLEAN is
+    # TINYINT; lit(bool).cast fills 1/0 or true/false per mapped type)
+    if tok.upper() == "TRUE":
+        return True
+    if tok.upper() == "FALSE":
+        return False
     return None
 
 

@@ -528,6 +528,8 @@ def test_add_column_default_literal_extraction():
         ("ALTER TABLE t ADD COLUMN n VARCHAR(20) DEFAULT 'n/a'", "n/a"),
         ("ALTER TABLE t ADD COLUMN n VARCHAR(20) DEFAULT 'it''s'", "it's"),
         ("ALTER TABLE t ADD COLUMN f DOUBLE DEFAULT -1.5", -1.5),
+        ("ALTER TABLE t ADD COLUMN b TINYINT(1) NOT NULL DEFAULT TRUE", True),
+        ("ALTER TABLE t ADD COLUMN b2 BOOLEAN DEFAULT FALSE", False),
         ("ALTER TABLE t ADD COLUMN z INT DEFAULT NULL", None),
         ("ALTER TABLE t ADD COLUMN ts2 TIMESTAMP DEFAULT CURRENT_TIMESTAMP", None),
         ("ALTER TABLE t ADD COLUMN c INT COMMENT 'DEFAULT 9'", None),

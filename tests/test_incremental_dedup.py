@@ -136,3 +136,21 @@ def test_incremental_preference_out_of_order_and_redelivery(spark, tmp_path):
     got2 = _fold(spark, tmp_path, "redeliver", redelivered)
     want = {("a", 1): ("v3", "v2"), ("a", 2): ("z", "x")}
     assert got == want and got2 == want
+
+
+def test_incremental_preference_null_text_winner(spark, tmp_path):
+    """A NULL-text upsert winner must survive the fold as state (the
+    presence marker is the location, not the text): the key emits no
+    pair — matching the global law, where NULL chosen never compares
+    unequal to anything — even when older non-null versions arrive in
+    a LATER batch."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    ts = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    b1 = [("k", 1, "U", "assistant", None, ts(5), 1, 5)]
+    b2 = [
+        ("k", 1, "I", "assistant", "v1", ts(1), 1, 1),
+        ("k", 1, "U", "assistant", "v2", ts(2), 1, 2),
+    ]
+    assert _fold(spark, tmp_path, "nulltext", [b1, b2]) == {}
