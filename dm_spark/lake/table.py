@@ -821,13 +821,19 @@ class LakeTable:
     @staticmethod
     def _tolerant(changes: DataFrame, meta: _Meta) -> DataFrame:
         """Schema-evolution tolerance: a source still emitting the old
-        shape null-fills columns added downstream, and payload types are
-        cast to the current schema (downstream_more_column / widen
-        scenarios in the reference's suites)."""
+        shape fills columns added downstream — with the column's
+        declared literal DEFAULT when it has one, else NULL — and
+        payload types are cast to the current schema
+        (downstream_more_column / widen scenarios in the reference's
+        suites; the reference's generated INSERT simply omits unknown
+        columns and the downstream TiDB applies ITS default,
+        syncer/dml.go — the default-fill mirrors that exactly)."""
         have = set(changes.columns)
         for f_ in meta.fields():
             if f_["name"] not in have:
-                changes = changes.withColumn(f_["name"], F.lit(None).cast(f_["type"]))
+                changes = changes.withColumn(
+                    f_["name"], F.lit(f_.get("default")).cast(f_["type"])
+                )
             else:
                 changes = changes.withColumn(f_["name"], F.col(f_["name"]).cast(f_["type"]))
         return changes

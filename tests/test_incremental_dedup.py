@@ -154,3 +154,54 @@ def test_incremental_preference_null_text_winner(spark, tmp_path):
         ("k", 1, "U", "assistant", "v2", ts(2), 1, 2),
     ]
     assert _fold(spark, tmp_path, "nulltext", [b1, b2]) == {}
+
+
+def test_streaming_incremental_preference_fold(spark, sf_dir, tmp_path):
+    """The preference index folds straight off the live relay stream
+    (foreachBatch over the same flattened pipeline the lake merge
+    uses) and the materialized pairs equal the global single-window
+    law over the whole feed — derived training-data state maintained
+    by the CDC tail itself, not a separate batch job."""
+    from dm_spark import feed as feedmod
+    from dm_spark.config import RouteRule, TaskConfig
+    from dm_spark.functions.incremental import (
+        create_pref_index,
+        incremental_preference_batch,
+        preference_pairs_from_index,
+    )
+    from dm_spark.operators import ApplyPipeline
+    from dm_spark.queries_cdc import preference_pairs
+    from dm_spark.sources.relay import read_feed_stream, write_feed_chunks
+
+    feed = feedmod.change_feed(spark, sf_dir)
+    feed_dir = str(tmp_path / "feed")
+    write_feed_chunks(feed, feed_dir, n_chunks=6)
+    idx = create_pref_index(spark, str(tmp_path / "pref"), n_buckets=8)
+    pipe = ApplyPipeline(
+        TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    )
+
+    def fold(bdf, bid):
+        incremental_preference_batch(
+            idx, pipe.transform(bdf).drop("target_table"), batch_seq=bid
+        )
+
+    q = (
+        read_feed_stream(spark, feed_dir, max_files_per_trigger=2)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["chosen"], r["rejected"])
+        for r in preference_pairs_from_index(idx).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["chosen"], r["rejected"])
+        for r in preference_pairs(
+            pipe.transform(feed).drop("target_table")
+        ).collect()
+    }
+    assert got == want and len(got) > 10

@@ -620,3 +620,26 @@ def test_add_column_default_backfills_through_mor_read(spark, tmp_path):
     )
     got = {(r.conv_id, r.turn_idx): r.rating for r in lake.read().collect()}
     assert got == {("a", 1): 7, ("a", 2): 4}
+
+
+def test_downstream_more_column_fills_declared_default(spark, lake):
+    """downstream_more_column (reference tests/downstream_more_column):
+    a source still emitting the narrow shape merges into a wider lake —
+    the missing column fills the downstream column's declared DEFAULT
+    when it has one (the reference's generated INSERT omits the column
+    and TiDB applies its default), else NULL."""
+    assert lake.apply_ddl(
+        {"action": "add_column", "column": "rating", "new_type": "int",
+         "default": 9, "file_seq": 1, "pos": 0}
+    )
+    assert lake.apply_ddl(
+        {"action": "add_column", "column": "note", "new_type": "string",
+         "file_seq": 2, "pos": 0}
+    )
+    # narrow batch: neither rating nor note present
+    lake.merge_into(
+        spark.createDataFrame([ch("a", 1, "I", "v", 0, 1, 1)], CHANGE_DDL),
+        batch_id=0,
+    )
+    r = lake.read().collect()[0]
+    assert (r.rating, r.note) == (9, None)
