@@ -251,6 +251,35 @@ def q_doc_dup_clusters(spark, sf_dir):
     )
 
 
+def q_doc_split_dedup_safe(spark, sf_dir):
+    """Contamination-safe train/heldout split: the split hash is keyed
+    on the near-dup CLUSTER id, not the doc id, so near-duplicates can
+    NEVER straddle the boundary — the leakage mode a naive per-doc
+    split has (a paraphrase of a heldout doc lands in train and the
+    eval silently measures memorization). Composes the jaccard>=0.5
+    pair graph -> transitive closure (dup_clusters) with the
+    engine-portable Knuth split hash (sample_hash); 90/10 by cluster.
+
+    Scale shape: the closure is the audited equi-join iteration
+    (doc_dup_clusters); the split itself is a stateless projection —
+    no extra shuffle over the labeled table."""
+    from dm_spark.functions.sampling import sample_hash
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3, max_df=100)
+    comp = dup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    lab = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.when(sample_hash(F.col("cluster_id")) < 900, F.lit("train"))
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )
+
+
 def q_emb_dup_clusters(spark, sf_dir):
     """Semantic duplicate clusters: transitive closure over the
     embedding-cosine near-dup pair graph (cos >= 0.4 — the same edge
@@ -663,6 +692,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_dup_clusters": q_doc_dup_clusters,
+    "doc_split_dedup_safe": q_doc_split_dedup_safe,
     "doc_contamination": q_doc_contamination,
     "doc_repetition": q_doc_repetition,
     "doc_pii_redact": q_doc_pii_redact,
@@ -701,6 +731,37 @@ docs_sh AS (
     ELSE [] END AS shingles
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
 )
+"""
+
+# shared recursive near-dup closure: shingle pairs -> jaccard edges ->
+# min-reachable-id components -> every doc labeled (singletons label
+# themselves); doc_dup_clusters and doc_split_dedup_safe both build on it
+_CLUSTER_LAB = f"""
+      WITH RECURSIVE {_SHINGLES},
+      ex0 AS (
+        SELECT doc_id AS id, len(shingles) AS sz, unnest(shingles) AS s
+        FROM docs_sh),
+      hot AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 100),
+      ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter,
+               any_value(a.sz) AS size_a, any_value(b.sz) AS size_b
+        FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2),
+      jp AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM jp
+        UNION SELECT id_b, id_a FROM jp),
+      reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      lab AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
 """
 
 ORACLES = {
@@ -827,34 +888,15 @@ ORACLES = {
       SELECT id_a, id_b, inter, size_a, size_b FROM pairs
       WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.5
     """,
-    "doc_dup_clusters": f"""
-      WITH RECURSIVE {_SHINGLES},
-      ex0 AS (
-        SELECT doc_id AS id, len(shingles) AS sz, unnest(shingles) AS s
-        FROM docs_sh),
-      hot AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 100),
-      ex AS (SELECT * FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
-      pairs AS (
-        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter,
-               any_value(a.sz) AS size_a, any_value(b.sz) AS size_b
-        FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
-        GROUP BY 1, 2),
-      jp AS (
-        SELECT id_a, id_b FROM pairs
-        WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.5),
-      edges AS (
-        SELECT id_a AS src, id_b AS dst FROM jp
-        UNION SELECT id_b, id_a FROM jp),
-      reach(id, lbl) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-      comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-      lab AS (
-        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    "doc_dup_clusters": _CLUSTER_LAB + """
       SELECT doc_id, cluster_id,
              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM lab
+    """,
+    "doc_split_dedup_safe": _CLUSTER_LAB + """
+      SELECT doc_id, cluster_id,
+             CASE WHEN ((cluster_id * 2654435761) % 4294967296) % 1000 < 900
+                  THEN 'train' ELSE 'heldout' END AS split
       FROM lab
     """,
     "doc_contamination": f"""

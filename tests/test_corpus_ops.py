@@ -570,3 +570,44 @@ def test_tool_transitions_markov_law(spark):
         ("a", "b"): (2, 2),  # x and w
         ("b", "a"): (1, 1),  # x only
     }
+
+
+def test_dedup_safe_split_keeps_clusters_together(spark):
+    """The leakage law: near-duplicates ALWAYS land on the same side of
+    the split, even when their per-doc hashes would disagree — the
+    split is keyed on the cluster id. Fixture ids are chosen so the
+    naive per-doc split WOULD separate the pair."""
+    from dm_spark.functions.sampling import sample_hash
+    from dm_spark.queries_corpus import ngram_jaccard_pairs
+
+    from dm_spark.functions.dedup import dup_clusters
+
+    knuth = lambda i: ((i * 2654435761) % 4294967296) % 1000  # noqa: E731
+    # find a doc id whose own bucket is heldout (>=900) to pair with
+    # doc 1 (bucket 653 < 900): the naive split separates them
+    leak_id = next(i for i in range(2, 5000) if knuth(i) >= 900)
+    assert knuth(1) < 900 <= knuth(leak_id)
+    text = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(
+        spark,
+        [(1, text, "en"), (leak_id, text, "en"), (7, "one two three four five six", "en")],
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3)
+    comp = dup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    lab = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in lab.select(
+            "doc_id",
+            "cluster_id",
+            F.when(sample_hash(F.col("cluster_id")) < 900, F.lit("train"))
+            .otherwise(F.lit("heldout"))
+            .alias("split"),
+        ).collect()
+    }
+    # the near-dup pair shares cluster 1 and therefore the SAME side
+    assert out[1] == (1, "train") and out[leak_id] == (1, "train")
+    # the unrelated singleton splits by its own id
+    assert out[7] == (7, "train" if knuth(7) < 900 else "heldout")
