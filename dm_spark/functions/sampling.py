@@ -30,18 +30,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Knuth's multiplicative constant (2^32 / golden ratio) — the shared
-# hash law with the SQL oracle: h = (id * K) mod 2^32. Products stay
-# far inside int64 for any realistic id space (id < 2^33).
+# hash law with the SQL oracle:
+#   h = ((id mod (2^31 - 1)) * K) mod 2^32
+# The pre-fold keeps the product under (2^31)*K ≈ 5.7e18 < int64 max,
+# so the law is overflow-safe for EVERY bigint id — the earlier
+# un-folded form overflowed int64 (ANSI ArithmeticException on Spark 4,
+# BIGINT overflow on DuckDB) for ids above ~3.4e9, well inside a
+# 100-TB corpus's id space (review r5).
 _KNUTH = 2654435761
+_M31 = (1 << 31) - 1  # Mersenne prime: cheap, distribution-friendly fold
 _M32 = 1 << 32
 
 
 def sample_hash(id_col: F.Column, buckets: int = 1000) -> F.Column:
     """Deterministic per-id bucket in [0, buckets): Knuth multiplicative
-    hash folded mod 2^32 then mod `buckets`. Pure int64 arithmetic —
-    identical in any engine, unlike murmur3/xxhash which are
-    implementation-defined across engines."""
-    return ((id_col.cast("bigint") * F.lit(_KNUTH)) % F.lit(_M32)) % F.lit(buckets)
+    hash over the 2^31-1-folded id, mod 2^32, mod `buckets`. Pure
+    int64 arithmetic that cannot overflow — identical in any engine,
+    unlike murmur3/xxhash which are implementation-defined across
+    engines."""
+    return (
+        ((id_col.cast("bigint") % F.lit(_M31)) * F.lit(_KNUTH)) % F.lit(_M32)
+    ) % F.lit(buckets)
 
 
 def stratified_sample(

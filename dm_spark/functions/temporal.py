@@ -47,10 +47,13 @@ def asof_join(
     as-of join; left rows with no prior right row get nulls).
 
     At equal timestamps the right row counts (<=, not <), and among
-    right rows sharing a timestamp the one with the greatest
-    `tiebreak` column wins — an explicit total order, so the result
-    is deterministic under ties (pinned in tests) instead of
-    depending on physical row order.
+    right rows sharing a timestamp the one with the greatest NUMERIC
+    `tiebreak` column wins (NULL tiebreaks lose) — an explicit total
+    order, so the result is deterministic under ties (pinned in
+    tests) instead of depending on physical row order. When no
+    tiebreak is given, a content hash of the payload breaks ties:
+    still deterministic, but arbitrary — pass an explicit column when
+    the choice is meaningful.
 
     Returns all left columns plus each `right_payload` column renamed
     with `suffix` (right_ts included automatically).
@@ -58,14 +61,14 @@ def asof_join(
     right_payload = list(right_payload or [])
     if right_ts not in right_payload:
         right_payload = [right_ts, *right_payload]
-    tiebreak = tiebreak or right_payload[-1]
 
     payload = F.struct(*[F.col(c) for c in right_payload])
+    tb = F.col(tiebreak).cast("bigint") if tiebreak else F.xxhash64(payload)
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(tiebreak).cast("bigint").alias("__tb"),
+        tb.alias("__tb"),
         payload.alias("__payload"),
     )
     l = left.select(  # noqa: E741
@@ -78,7 +81,9 @@ def asof_join(
 
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__side"), F.col("__tb").asc_nulls_last())
+        # nulls FIRST: a NULL tiebreak must LOSE to any real one (last()
+        # takes the frame's final row, so the greatest sorts last)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
@@ -113,7 +118,10 @@ def range_count_join(
     r = right.select(*on, F.col(right_ts).alias("__r_ts")).withColumn(
         "__bkt", bkt("__r_ts")
     )
-    probe = left.withColumn(
+    # probe DISTINCT (key, ts) pairs: the count is a function of the
+    # pair, and probing per left ROW would pool duplicate rows in the
+    # groupBy below and multiply their counts (review r5)
+    probe = left.select(*on, left_ts).distinct().withColumn(
         "__bkt", F.explode(F.array(bkt(left_ts), bkt(left_ts) - 1))
     )
     hits = (

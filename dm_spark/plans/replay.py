@@ -281,16 +281,9 @@ class ReplayRunner:
             action = ev.to_action()
             if self._ddl_filtered(ev.source_table, action):
                 return []
-            resolved = self.error_ops.resolve(action)
-            applied = []
-            for act in resolved:
-                if act["action"] == "add_generated_column":
-                    self._register_generated([act["column"]], ev.source_table)
-                    self.applied_ddl.append(act)
-                    applied.append(act)
-                else:
-                    applied += self._apply_one(ev.source_table, act)
-            return applied
+            # _apply_resolved owns the generated-vs-column routing (a
+            # replace can swap either kind in for either kind)
+            return self._apply_resolved(ev.source_table, action)
 
         if ev.action == "add_unique_key":
             # advisory on plain-PK tables (no physical index on a lake
@@ -528,8 +521,19 @@ class ReplayRunner:
     def _apply_resolved(self, source_table: str, action: dict) -> list[dict]:
         applied = []
         for act in self.error_ops.resolve(action):
+            tbl = act.get("source_table") or source_table
+            if act["action"] == "add_generated_column":
+                # an error-operator REPLACEMENT can be a generated-column
+                # ADD even when the original event was a plain column DDL
+                # — route it to the registration path, not lake.apply_ddl
+                # (which would raise 'unknown ddl action' and kill the
+                # batch with the at-most-once op already spent; review r5)
+                self._register_generated([act["column"]], tbl)
+                self.applied_ddl.append(act)
+                applied.append(act)
+                continue
             # a replacement composed from SQL names its own table
-            applied += self._apply_one(act.get("source_table") or source_table, act)
+            applied += self._apply_one(tbl, act)
         return applied
 
     def _apply_one(self, source_table: str, act: dict, force: bool = False) -> list[dict]:

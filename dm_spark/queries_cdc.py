@@ -315,6 +315,24 @@ def _replay_through_lake(
     return lake
 
 
+
+_ROUTES = [RouteRule(pattern="shard_*.transcripts_*", target="transcripts")]
+
+
+def _routed_batch(spark, sf_dir):
+    """The canonical replay input: the deterministic feed routed and
+    flattened by the standard pipeline (single source for every
+    composite query — change here changes all of them together)."""
+    cfg = TaskConfig(routes=list(_ROUTES))
+    return ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+
+
+def _replayed_fin(spark, sf_dir):
+    """FINAL replayed state (conv_id, turn_idx, role, text, tool,
+    ts_us) — the frame every off-the-lake composite aggregates."""
+    return _final_us(_replay_through_lake(spark, _routed_batch(spark, sf_dir)))
+
+
 # ------------------------------------------------------------------ queries
 
 def q_feed_decode(spark, sf_dir):
@@ -416,8 +434,7 @@ def q_dedup_lww_salted(spark, sf_dir):
 
 
 def q_replay_merge(spark, sf_dir):
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    batch = _routed_batch(spark, sf_dir)
     return _final_us(_replay_through_lake(spark, batch))
 
 
@@ -457,9 +474,7 @@ def q_convo_hygiene(spark, sf_dir):
     Scale shape: one exchange keyed conv_id — the lag/row_number window
     and the groupBy reuse the same hash partitioning; no second
     shuffle, no collect, bounded by conversation length nowhere."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
-    fin = _final_us(_replay_through_lake(spark, batch))
+    fin = _replayed_fin(spark, sf_dir)
     return convo_hygiene(fin)
 
 
@@ -516,8 +531,7 @@ def q_change_feed_chain(spark, sf_dir):
     propagate through the emitted feed. This is what lets a downstream
     pipeline consume incremental table deltas instead of rescanning at
     every step."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    batch = _routed_batch(spark, sf_dir)
     lake1 = _replay_through_lake(spark, batch, change_feed=True)
     lake2 = LakeTable.create(
         spark, tempfile.mkdtemp(prefix="dm_q_"), SCHEMA, KEY, n_buckets=16
@@ -534,8 +548,7 @@ def q_change_feed_chain_mor(spark, sf_dir):
     _REPLAY oracle: the replica's state must equal the direct replay."""
     from dm_spark.streaming import replicate_lake_poll
 
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    batch = _routed_batch(spark, sf_dir)
     lake1 = _replay_through_lake(spark, batch, write_mode="mor", change_feed=True)
     lake2 = LakeTable.create(
         spark, tempfile.mkdtemp(prefix="dm_q_"), SCHEMA, KEY, n_buckets=16
@@ -549,8 +562,7 @@ def q_replay_merge_salted(spark, sf_dir):
     salting: each key contributes one winner per batch to the merge
     shuffle) — must be state-identical to the plain replay (shared
     oracle)."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    batch = _routed_batch(spark, sf_dir)
     return _final_us(_replay_through_lake(spark, batch, pre_reduce=16))
 
 
@@ -558,8 +570,7 @@ def q_replay_merge_mor(spark, sf_dir):
     """Same replay through the merge-on-read write path (delta appends
     + tombstones + compaction) — shares the CoW oracle, proving the two
     storage modes are state-equivalent."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    batch = _routed_batch(spark, sf_dir)
     lake = _replay_through_lake(spark, batch, write_mode="mor", compact_after=True)
     return _final_us(lake)
 
@@ -592,7 +603,7 @@ def q_shard_merge_mapped(spark, sf_dir):
 def q_safe_mode_replay(spark, sf_dir):
     """Duplicate-window redelivery: the last ~20% of txns are delivered
     twice; idempotent LWW merge must converge to the plain replay."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    cfg = TaskConfig(routes=list(_ROUTES))
     feed = change_feed(spark, sf_dir)
     batch = ApplyPipeline(cfg).transform(feed).drop("target_table")
     lake = _replay_through_lake(spark, batch)
@@ -609,7 +620,7 @@ def q_key_change_replay(spark, sf_dir):
     + upsert(new key) or ghost rows survive under the old keys — the
     reference's identity-changing-update rewrite (syncer/dml.go:90-152,
     safe-mode genUpdateSQL syncer/dml.go:586-615)."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    cfg = TaskConfig(routes=list(_ROUTES))
     feed = change_feed(spark, sf_dir, km_every=1)
     batch = ApplyPipeline(cfg).transform(feed).drop("target_table")
     return _final_us(_replay_through_lake(spark, batch))
@@ -673,9 +684,7 @@ def q_conversation_assembly(spark, sf_dir):
     corpus size."""
     from dm_spark.functions.text import token_count
 
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
-    fin = _final_us(_replay_through_lake(spark, batch))
+    fin = _replayed_fin(spark, sf_dir)
     return fin.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias("n_tool_turns"),
@@ -700,9 +709,7 @@ def q_tool_usage(spark, sf_dir):
     turns — the filter+agg a tool-use training mix starts from."""
     from dm_spark.functions.text import token_count
 
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
-    fin = _final_us(_replay_through_lake(spark, batch))
+    fin = _replayed_fin(spark, sf_dir)
     return (
         fin.where(F.col("role") == "tool")
         .groupBy("tool")
@@ -767,9 +774,7 @@ def q_sft_examples(spark, sf_dir):
     """SFT example extraction off the ingested lake (see sft_examples):
     replay the change feed (CDC axis), then build one example per
     assistant turn from the FINAL state (corpus axis)."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
-    fin = _final_us(_replay_through_lake(spark, batch))
+    fin = _replayed_fin(spark, sf_dir)
     return sft_examples(fin)
 
 
@@ -812,9 +817,7 @@ def q_context_window(spark, sf_dir):
     """Context-window truncation stats off the ingested lake (see
     context_window_stats), budget fixed so the sf fixtures actually
     truncate most conversations while keeping some whole."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
-    fin = _final_us(_replay_through_lake(spark, batch))
+    fin = _replayed_fin(spark, sf_dir)
     return context_window_stats(fin)
 
 
@@ -855,9 +858,7 @@ def q_turn_dedup(spark, sf_dir):
     """Cross-conversation turn dedup off the ingested lake (see
     turn_dedup): replay the change feed (CDC axis), then scrub repeated
     turns from the FINAL state (corpus axis)."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
-    fin = _final_us(_replay_through_lake(spark, batch))
+    fin = _replayed_fin(spark, sf_dir)
     return turn_dedup(fin)
 
 
@@ -920,8 +921,7 @@ def q_preference_pairs(spark, sf_dir):
     preference_pairs): route + flatten the feed exactly as replay
     does, then harvest the superseded assistant-turn versions the
     LWW merge would discard."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    batch = _routed_batch(spark, sf_dir)
     return preference_pairs(batch)
 
 
@@ -940,8 +940,7 @@ def q_preference_incremental(spark, sf_dir):
         preference_pairs_from_index,
     )
 
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    batch = _routed_batch(spark, sf_dir)
     index = create_pref_index(spark, tempfile.mkdtemp(prefix="dm_pref_"), n_buckets=16)
     b = batch.withColumn(
         "__ord", F.col("_cdc_file_seq") * 1_000_000 + F.col("_cdc_pos")
@@ -1022,9 +1021,7 @@ def q_prefix_templates(spark, sf_dir):
     masked-prefix templates in the FINAL state (corpus axis). The
     synthetic texts are '<event_type> #<id>' so digit masking makes
     role+event-type prefixes genuinely collide across conversations."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
-    fin = _final_us(_replay_through_lake(spark, batch))
+    fin = _replayed_fin(spark, sf_dir)
     return prefix_templates(fin)
 
 
@@ -1070,9 +1067,7 @@ def q_tool_transitions(spark, sf_dir):
     """Tool-transition mining off the ingested lake (see
     tool_transitions): replay the change feed (CDC axis), then mine
     the trajectory table from the FINAL state (corpus axis)."""
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
-    fin = _final_us(_replay_through_lake(spark, batch))
+    fin = _replayed_fin(spark, sf_dir)
     return tool_transitions(fin)
 
 
@@ -1085,8 +1080,7 @@ def q_validator_checksum(spark, sf_dir):
     reference's integration suites do, but cross-engine."""
     from dm_spark.validator import checksum_digests
 
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
-    batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
+    batch = _routed_batch(spark, sf_dir)
     lake = _replay_through_lake(spark, batch)
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts_us"]
     return checksum_digests(_final_us(lake), cols)
@@ -1116,7 +1110,7 @@ def q_ddl_evolution(spark, sf_dir):
     feed = change_feed(spark, sf_dir)
     mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
     mid = (mm[0] + mm[1]) // 2
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    cfg = TaskConfig(routes=list(_ROUTES))
     pipe = ApplyPipeline(cfg)
 
     lake = LakeTable.create(
@@ -1169,7 +1163,7 @@ def q_ddl_default_backfill(spark, sf_dir):
     feed = change_feed(spark, sf_dir)
     mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
     mid = (mm[0] + mm[1]) // 2
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    cfg = TaskConfig(routes=list(_ROUTES))
     pipe = ApplyPipeline(cfg)
 
     lake = LakeTable.create(
@@ -1209,7 +1203,7 @@ def q_optimistic_ddl(spark, sf_dir):
     feed = change_feed(spark, sf_dir)
     mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
     mid = (mm[0] + mm[1]) // 2
-    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")])
+    cfg = TaskConfig(routes=list(_ROUTES))
     pipe = ApplyPipeline(cfg)
     lake = LakeTable.create(
         spark, tempfile.mkdtemp(prefix="dm_opt_"), SCHEMA, KEY, n_buckets=16

@@ -230,6 +230,19 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3, max_df=100)
 
 
+
+def _cluster_labels(docs):
+    """Every doc labeled with its near-dup component's min id
+    (singletons label themselves) — shared by q_doc_dup_clusters and
+    q_doc_split_dedup_safe; the edge law is the jaccard>=0.5 pair
+    graph with the max_df hot-shingle cap."""
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3, max_df=100)
+    comp = dup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Pair graph -> duplicate clusters: every document labeled with
     the min doc_id of its near-dup connected component (transitive
@@ -239,12 +252,7 @@ def q_doc_dup_clusters(spark, sf_dir):
     computing min reachable id."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3, max_df=100)
-    comp = dup_clusters(pairs).withColumnRenamed("id", "doc_id")
-    lab = docs.select("doc_id").join(comp, "doc_id", "left").select(
-        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
-    )
+    lab = _cluster_labels(_docs(spark, sf_dir))
     w = Window.partitionBy("cluster_id")
     return lab.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
@@ -265,12 +273,7 @@ def q_doc_split_dedup_safe(spark, sf_dir):
     no extra shuffle over the labeled table."""
     from dm_spark.functions.sampling import sample_hash
 
-    docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3, max_df=100)
-    comp = dup_clusters(pairs).withColumnRenamed("id", "doc_id")
-    lab = docs.select("doc_id").join(comp, "doc_id", "left").select(
-        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
-    )
+    lab = _cluster_labels(_docs(spark, sf_dir))
     return lab.select(
         "doc_id",
         "cluster_id",
@@ -895,7 +898,7 @@ ORACLES = {
     """,
     "doc_split_dedup_safe": _CLUSTER_LAB + """
       SELECT doc_id, cluster_id,
-             CASE WHEN ((cluster_id * 2654435761) % 4294967296) % 1000 < 900
+             CASE WHEN (((cluster_id % 2147483647) * 2654435761) % 4294967296) % 1000 < 900
                   THEN 'train' ELSE 'heldout' END AS split
       FROM lab
     """,
@@ -1042,7 +1045,7 @@ ORACLES = {
     "doc_stratified_sample": """
       WITH h AS (
         SELECT doc_id, lang, source,
-               ((doc_id * 2654435761) % 4294967296) % 1000 AS h_bucket
+               (((doc_id % 2147483647) * 2654435761) % 4294967296) % 1000 AS h_bucket
         FROM documents)
       SELECT doc_id, lang, source, h_bucket FROM h
       WHERE h_bucket < CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 700
@@ -1097,7 +1100,7 @@ ORACLES = {
     "doc_mix_report": f"""
       WITH d AS (
         SELECT lang, len({_TOKS}) AS n_tok,
-               CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000 <
+               CASE WHEN (((doc_id % 2147483647) * 2654435761) % 4294967296) % 1000 <
                  CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 700
                  ELSE 1000 END
                THEN 1 ELSE 0 END AS kept

@@ -863,13 +863,50 @@ class CdcStreamDriver:
                     and uop != self._applied_unlock_op
                 )
                 if needs_settle and not self._checkpoint_settled():
-                    self._settle_inflight()
+                    try:
+                        self._settle_inflight()
+                        if getattr(self, "_settle_blocked", False):
+                            self._settle_blocked = False
+                            self._write_blocked_sidecar(None)
+                    except Exception as err:  # noqa: BLE001
+                        # the in-flight batch itself is the failing one.
+                        # A pending SCHEMA op is the designed remedy for
+                        # exactly this (operate-schema on a blocked task:
+                        # the batch is SUPPOSED to replay under the fixed
+                        # registry) — apply it and let resume retry. A
+                        # route/unlock change on an unsettleable batch
+                        # stays REFUSED: applying it would re-route /
+                        # re-announce the uncommitted batch — so stay
+                        # paused with the error surfaced instead of
+                        # crashing the whole tail (review r5-2).
+                        self._settle_blocked = True
+                        if sop and sop != self._applied_schema_op:
+                            self._write_blocked_sidecar(
+                                f"settle failed ({err}); applying pending "
+                                "schema op — batch replays under the fixed "
+                                "registry on resume"
+                            )
+                            self._apply_schema_op(ctl)
+                        else:
+                            self._write_blocked_sidecar(
+                                f"in-flight batch cannot settle: {err} — "
+                                "route patch / unlock refused; fix the "
+                                "failing batch first (ctl binlog "
+                                "skip/replace or ctl schema set), or stop"
+                            )
+                        time.sleep(poll_sec)
+                        continue
                 self._apply_config_patch(ctl, paused=True)
                 self._apply_schema_op(ctl)
                 self._apply_unlock_op(ctl)
                 time.sleep(poll_sec)
                 continue
             self.paused = False
+            if getattr(self, "_settle_blocked", False):
+                # operator resumed past a failed settle: the stale
+                # cannot-settle sidecar must not outlive the pause
+                self._settle_blocked = False
+                self._write_blocked_sidecar(None)
             self._apply_config_patch(ctl)
             # ops already sitting in control.json are staged BEFORE the
             # stream starts, so the FIRST (possibly replayed) micro-batch

@@ -87,14 +87,14 @@ def test_stratified_sample_deterministic_and_rate_bound(spark):
     # membership law is exactly the hash bucket rule
     for i in list(got)[:50]:
         if i % 2:
-            assert ((i * 2654435761) % (1 << 32)) % 1000 < 250
+            assert (((i % 2147483647) * 2654435761) % (1 << 32)) % 1000 < 250
 
 
 def test_sample_hash_matches_python_law(spark):
     df = spark.range(100).select(F.col("id").alias("doc_id"))
     rows = df.select("doc_id", sample_hash(F.col("doc_id")).alias("h")).collect()
     for r in rows:
-        assert r["h"] == ((r["doc_id"] * 2654435761) % (1 << 32)) % 1000
+        assert r["h"] == (((r["doc_id"] % 2147483647) * 2654435761) % (1 << 32)) % 1000
 
 
 def test_normalized_dedup_collapses_near_copies(spark):
@@ -582,7 +582,7 @@ def test_dedup_safe_split_keeps_clusters_together(spark):
 
     from dm_spark.functions.dedup import dup_clusters
 
-    knuth = lambda i: ((i * 2654435761) % 4294967296) % 1000  # noqa: E731
+    knuth = lambda i: (((i % 2147483647) * 2654435761) % 4294967296) % 1000  # noqa: E731
     # find a doc id whose own bucket is heldout (>=900) to pair with
     # doc 1 (bucket 653 < 900): the naive split separates them
     leak_id = next(i for i in range(2, 5000) if knuth(i) >= 900)
@@ -611,3 +611,16 @@ def test_dedup_safe_split_keeps_clusters_together(spark):
     assert out[1] == (1, "train") and out[leak_id] == (1, "train")
     # the unrelated singleton splits by its own id
     assert out[7] == (7, "train" if knuth(7) < 900 else "heldout")
+
+
+def test_sample_hash_overflow_safe_for_huge_ids(spark):
+    """The folded Knuth law cannot overflow int64 for ANY bigint id —
+    the unfolded form raised under Spark 4 ANSI (and overflowed
+    DuckDB's BIGINT) above ~3.4e9 (review r5)."""
+    from dm_spark.functions.sampling import sample_hash
+
+    ids = [5_000_000_000, 2**62, 1, 999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["h"] for r in df.select("doc_id", sample_hash(F.col("doc_id")).alias("h")).collect()}
+    law = lambda i: (((i % 2147483647) * 2654435761) % (1 << 32)) % 1000  # noqa: E731
+    assert got == {i: law(i) for i in ids}

@@ -242,3 +242,102 @@ def test_blocked_task_unblocked_by_ctl_binlog_skip(spark, sf_dir, tmp_path):
         spark_final(lake),
         duck_replay(sf_dir, where="NOT (file_seq = 0 AND pos = 500)"),
     )
+
+
+def test_pause_route_patch_on_unsettleable_batch_refused_not_crashed(
+    spark, sf_dir, tmp_path
+):
+    """A pause + route patch issued while the IN-FLIGHT batch is the
+    failing one: the settle replays the poison batch and fails again —
+    the driver must stay alive (paused, cannot-settle sidecar), refuse
+    the route patch, and recover once the operator fixes the batch
+    (`ctl binlog skip`), finishing with the exact oracle state. The
+    pre-fix behavior crashed run_continuous despite block_on_error
+    (review r5-2)."""
+    cfg = TaskConfig(
+        routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")]
+    )
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA, KEY, n_buckets=8)
+    runner = ReplayRunner(pipeline=ApplyPipeline(cfg), lake=lake)
+    feed = feedmod.change_feed(spark, sf_dir)
+    mx = feed.selectExpr("max(struct(file_seq, pos)) AS m").collect()[0][0]
+    final_loc = (mx["file_seq"], mx["pos"])
+    poison_loc = (0, 500)
+    q_rows = feedmod.query_events(
+        spark, [(POISON_SQL, "shard_0.transcripts_0", *poison_loc)]
+    )
+    cp = str(tmp_path / "cp")
+    drv = CdcStreamDriver(
+        spark, str(tmp_path / "feed"), cp, runner.pipeline,
+        {"transcripts": lake}, max_files_per_trigger=2, runner=runner,
+    )
+    write_feed_chunks(feed.unionByName(q_rows), drv.feed_dir, n_chunks=6)
+
+    def all_applied(d):
+        cp_loc = lake.global_checkpoint()
+        return bool(cp_loc) and (
+            (cp_loc.get("file_seq"), cp_loc.get("pos")) >= final_loc
+        )
+
+    err: list = []
+
+    def run():
+        try:
+            drv.run_continuous(
+                trigger_sec=0.2, timeout_sec=300, poll_sec=0.1,
+                stop_when=all_applied, block_on_error=True,
+            )
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=run)
+    t.start()
+    sidecar = os.path.join(cp, "blocked.json")
+    try:
+        deadline = time.time() + 240
+        while not drv.blocked and t.is_alive() and time.time() < deadline:
+            time.sleep(0.2)
+        assert drv.blocked, f"driver never blocked (thread errors: {err})"
+        # operator pauses AND patches routes while the failing batch is
+        # in flight — the settle must fail and be handled, not crash
+        route_patch = {
+            "routes": [
+                {"pattern": "shard_*.transcripts_*", "target": "transcripts"}
+            ]
+        }
+        assert mainmod.ctl([cp, "pause"]) == 0
+        assert (
+            mainmod.ctl([cp, "patch", __import__("json").dumps(route_patch)]) == 0
+        )
+        deadline = time.time() + 120
+        msg = ""
+        while time.time() < deadline:
+            if os.path.exists(sidecar):
+                msg = open(sidecar).read()
+                if "cannot settle" in msg:
+                    break
+            time.sleep(0.2)
+        assert "cannot settle" in msg, msg
+        assert t.is_alive(), f"driver crashed instead of refusing: {err}"
+        # patch NOT applied while unsettleable
+        assert getattr(drv, "_applied_patch", None) != route_patch
+        # remedy: skip the poison event, then resume
+        assert mainmod.ctl([cp, "binlog", "skip", "0:500"]) == 0
+        deadline = time.time() + 120
+        while time.time() < deadline and os.path.exists(sidecar):
+            time.sleep(0.2)
+        assert not os.path.exists(sidecar), "sidecar not cleared after skip+settle"
+        assert mainmod.ctl([cp, "resume"]) == 0
+        t.join(240)
+        assert not t.is_alive(), "driver did not finish after resume"
+    finally:
+        if t.is_alive():
+            with open(drv.control_path() + ".tmp", "w") as f:
+                f.write('{"stop": true}')
+            os.replace(drv.control_path() + ".tmp", drv.control_path())
+            t.join(120)
+    assert not err, err
+    assert_tables_equal(
+        spark_final(lake),
+        duck_replay(sf_dir, where="NOT (file_seq = 0 AND pos = 500)"),
+    )

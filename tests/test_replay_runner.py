@@ -1009,3 +1009,22 @@ def test_hundred_routed_targets_merge_correctly(spark, tmp_path):
         assert rows(lakes[f"t{i}"]) == [(f"c{i}", 1, f"v{i}")]
     # no cross-target leakage anywhere
     assert sum(lakes[f"t{i}"].read().count() for i in range(n_targets)) == n_targets
+
+
+def test_replace_with_generated_column_add_registers_not_crashes(spark, runner):
+    """An error-operator REPLACEMENT that is a generated-column ADD at
+    a plain column-DDL location routes to the generated registration
+    (pruned from images, no lake schema change) instead of hitting
+    lake.apply_ddl's unknown-action error and killing the batch with
+    the at-most-once op already spent (review r5)."""
+    runner.barrier = None
+    runner.error_ops.set_replace(
+        0, 3, [{"action": "add_generated_column", "column": "gcol"}]
+    )
+    feed = ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)])
+    ddls = [DdlEvent("add_column", "shard_0.t", 0, 3, column="bad", new_type="json")]
+    runner.replay(feed, ddls)
+    assert any(a["action"] == "add_generated_column" for a in runner.applied_ddl)
+    cols = runner.lake.read().columns
+    assert "gcol" not in cols and "bad" not in cols
+    assert runner.lake.read().count() == 1

@@ -85,3 +85,51 @@ def test_range_count_zero_and_bucket_straddle(spark):
     # 199 in (105, 205] though bucket(205)=2 and bucket(199)=1
     assert out[10] == 1
     assert out[11] == 0
+
+
+def test_range_join_duplicate_left_key_ts_not_pooled(spark):
+    """Two left rows sharing (key, ts) each get the TRUE count — the
+    probe runs per distinct (key, ts) pair, so duplicates cannot pool
+    in the hit aggregation and double the count (review r5)."""
+    left = spark.createDataFrame(
+        [(1, 10, 1000), (2, 10, 1000)], "event_id long, user_id long, ts_us long"
+    )
+    right = spark.createDataFrame(
+        [(10, 400), (10, 700), (10, 900)], "user_id long, ts_us long"
+    )
+    out = {
+        r["event_id"]: r["n_in_window"]
+        for r in range_count_join(left, right, on=["user_id"], window_us=1000).collect()
+    }
+    assert out == {1: 3, 2: 3}
+
+
+def test_asof_null_tiebreak_loses(spark):
+    """A right row with a NULL tiebreak must lose to any real one at
+    the same timestamp (nulls-first ordering; review r5)."""
+    left = spark.createDataFrame([(1, 10, 500)], "event_id long, user_id long, ts_us long")
+    right = spark.createDataFrame(
+        [(10, 500, None), (10, 500, 7)], "user_id long, ts_us long, event_id long"
+    )
+    (row,) = asof_join(
+        left, right, on=["user_id"], right_payload=["event_id"], tiebreak="event_id"
+    ).collect()
+    assert row["event_id_r"] == 7
+
+
+def test_asof_default_tiebreak_is_deterministic(spark):
+    """With no tiebreak column, ties break on a content hash of the
+    payload — arbitrary but STABLE across physical row orders."""
+    left = spark.createDataFrame([(1, 10, 500)], "event_id long, user_id long, ts_us long")
+    rows = [(10, 500, 111), (10, 500, 222)]
+    a = asof_join(
+        left,
+        spark.createDataFrame(rows, "user_id long, ts_us long, event_id long").repartition(4),
+        on=["user_id"], right_payload=["event_id"],
+    ).collect()[0]["event_id_r"]
+    b = asof_join(
+        left,
+        spark.createDataFrame(rows[::-1], "user_id long, ts_us long, event_id long").coalesce(1),
+        on=["user_id"], right_payload=["event_id"],
+    ).collect()[0]["event_id_r"]
+    assert a == b and a in (111, 222)
