@@ -257,6 +257,82 @@ GROUP BY 1
 )
 
 
+# best_of_history twin: same single key exchange as _PREF_PAIRS —
+# final-row attributes via the ts-desc window, argmax via a score-desc
+# row_number among the non-delete history rows
+_BEST_OF = (
+    _SPLIT
+    + """,
+t AS (
+  SELECT conv_id, turn_idx, op, text,
+         CAST(len(list_distinct(list_filter(
+              string_split(coalesce(text, ''), ' '), x -> x <> ''))) AS BIGINT)
+           AS score,
+         ts, file_seq, pos,
+         first_value(text) OVER w AS fin_text,
+         first_value(op) OVER w AS fin_op,
+         first_value(role) OVER w AS fin_role
+  FROM split
+  WINDOW w AS (PARTITION BY conv_id, turn_idx
+               ORDER BY ts DESC, file_seq DESC, pos DESC)
+),
+cand AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+             ORDER BY score DESC, ts DESC, file_seq DESC, pos DESC) AS brn,
+         CAST(count(*) OVER (PARTITION BY conv_id, turn_idx) AS BIGINT)
+           AS n_versions
+  FROM t WHERE fin_op <> 'D' AND fin_role = 'assistant' AND op <> 'D'
+)
+SELECT conv_id, turn_idx, n_versions, score AS best_score,
+       md5(coalesce(text, '')) AS best_fp,
+       CAST(coalesce(text, '') = coalesce(fin_text, '') AS INT) AS best_is_lww
+FROM cand WHERE brn = 1
+"""
+)
+
+# sft_loss_masks twin: the packed 'role: text' line geometry — one
+# running-sum window over the same conv_id sort the SFT twin uses
+_LINE_TOKENS = "len(list_filter(string_split(role || ': ' || text, ' '), x -> x <> ''))"
+
+_LOSS_MASKS = (
+    _FINAL_CTE
+    + f""",
+l AS (
+  SELECT conv_id, turn_idx, role,
+         CAST({_LINE_TOKENS} AS BIGINT) AS tok,
+         CAST(coalesce(sum({_LINE_TOKENS}) OVER (
+              PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM fin
+)
+SELECT conv_id, turn_idx, start_tok, start_tok + tok AS end_tok,
+       CAST(role = 'assistant' AS INT) AS loss_mask
+FROM l
+"""
+)
+
+# conv_dedup twin: digit-masked ordered-text fingerprint per
+# conversation, then a min-survivor group over the fingerprint
+_CONV_DEDUP = (
+    _FINAL_CTE
+    + """,
+pc AS (
+  SELECT conv_id,
+         md5(string_agg(regexp_replace(text, '[0-9]+', '0', 'g'), chr(10)
+             ORDER BY turn_idx)) AS conv_fp,
+         CAST(count(*) AS BIGINT) AS n_turns
+  FROM fin GROUP BY 1
+)
+SELECT conv_fp, CAST(count(*) AS BIGINT) AS n_convs,
+       min(conv_id) AS keep_conv,
+       arg_min(n_turns, conv_id) AS n_turns
+FROM pc GROUP BY 1
+"""
+)
+
+
 def _flat(df: DataFrame) -> DataFrame:
     return df.selectExpr(*_FLAT_COLS)
 
@@ -1071,6 +1147,192 @@ def q_tool_transitions(spark, sf_dir):
     return tool_transitions(fin)
 
 
+def best_of_history(split):
+    """Rejection-sampling (best-of-history) mining over the CDC history
+    of any flattened change stream carrying (conv_id, turn_idx, op,
+    role, text, ts, file_seq, pos): every historical version of an
+    assistant turn is a candidate completion, and the reward keeps the
+    one with the most DISTINCT whitespace tokens — a repetition-
+    penalized informativeness score (the argmax twin of
+    functions.text.repetition_signals). The reference's apply loop
+    keeps only the newest version (syncer/dml.go:104-108); a best-of-n
+    data miner wants the BEST version, which may be an earlier draft a
+    later edit made worse. Ties break toward the NEWEST version
+    (ts, file_seq, pos) so equal merit never resurrects a stale draft.
+    Keys whose final event is a DELETE or whose final role is not
+    assistant emit nothing (the turn is not in the trained corpus).
+    Emits candidate count, winning score, the winner's fingerprint,
+    and best_is_lww — 0 exactly on the keys where best-of-history
+    beats plain LWW replay.
+
+    Scale shape: ONE exchange keyed (conv_id, turn_idx) — the ts-desc
+    window (final-row attributes), the score-desc row_number, and the
+    per-key count all reuse the same hash partitioning (same
+    single-exchange class as preference_pairs, pinned by the explain
+    audit)."""
+    from pyspark.sql import Window
+
+    from dm_spark.functions.text import tokens
+
+    fs = "_cdc_file_seq" if "_cdc_file_seq" in split.columns else "file_seq"
+    ps = "_cdc_pos" if "_cdc_pos" in split.columns else "pos"
+    w_ts = (
+        Window.partitionBy("conv_id", "turn_idx")
+        .orderBy(F.col("ts").desc(), F.col(fs).desc(), F.col(ps).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    score = F.size(
+        F.array_distinct(tokens(F.coalesce(F.col("text"), F.lit(""))))
+    ).cast("bigint")
+    t = split.select(
+        "conv_id",
+        "turn_idx",
+        "op",
+        "text",
+        "ts",
+        F.col(fs).alias("fs"),
+        F.col(ps).alias("ps"),
+        score.alias("score"),
+        F.first("text").over(w_ts).alias("fin_text"),
+        F.first("op").over(w_ts).alias("fin_op"),
+        F.first("role").over(w_ts).alias("fin_role"),
+    )
+    cand = t.where(
+        (F.col("fin_op") != "D")
+        & (F.col("fin_role") == "assistant")
+        & (F.col("op") != "D")
+    )
+    w_sc = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("score").desc(), F.col("ts").desc(), F.col("fs").desc(), F.col("ps").desc()
+    )
+    w_n = Window.partitionBy("conv_id", "turn_idx")
+    best = cand.select(
+        "conv_id",
+        "turn_idx",
+        "score",
+        "text",
+        "fin_text",
+        F.row_number().over(w_sc).alias("brn"),
+        F.count(F.lit(1)).over(w_n).cast("bigint").alias("n_versions"),
+    ).where(F.col("brn") == 1)
+    return best.select(
+        "conv_id",
+        "turn_idx",
+        "n_versions",
+        F.col("score").alias("best_score"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("best_fp"),
+        (
+            F.coalesce(F.col("text"), F.lit(""))
+            == F.coalesce(F.col("fin_text"), F.lit(""))
+        )
+        .cast("int")
+        .alias("best_is_lww"),
+    )
+
+
+def q_best_of_history(spark, sf_dir):
+    """Best-of-history selection mined from the change history (see
+    best_of_history): route + flatten the feed exactly as replay does,
+    then pick the reward-best version of every surviving assistant
+    turn across all its CDC versions."""
+    return best_of_history(_routed_batch(spark, sf_dir))
+
+
+def sft_loss_masks(fin):
+    """Token-offset loss-mask spans over any (conv_id, turn_idx, role,
+    text) frame: render each turn as its packed 'role: text' line and
+    emit the half-open token span [start_tok, end_tok) the turn
+    occupies in the turn_idx-ordered concatenation, plus loss_mask=1
+    on assistant turns — exactly the span table an SFT trainer uses to
+    mask context tokens out of the loss while training on assistant
+    tokens (the geometry companion to sft_examples, which emits the
+    pair contents).
+
+    Scale shape: one exchange keyed conv_id — a single running-sum
+    window over the same sort the other per-conversation composites
+    use; spans are derived arithmetic, no second shuffle."""
+    from pyspark.sql import Window
+
+    from dm_spark.functions.text import token_count
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok = token_count(F.concat(F.col("role"), F.lit(": "), F.col("text"))).cast("bigint")
+    t = fin.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        tok.alias("tok"),
+        F.coalesce(F.sum(tok).over(w), F.lit(0)).cast("bigint").alias("start_tok"),
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "start_tok",
+        (F.col("start_tok") + F.col("tok")).cast("bigint").alias("end_tok"),
+        (F.col("role") == "assistant").cast("int").alias("loss_mask"),
+    )
+
+
+def q_sft_loss_masks(spark, sf_dir):
+    """Loss-mask span extraction off the ingested lake (see
+    sft_loss_masks): replay the change feed (CDC axis), then emit the
+    packed-token geometry from the FINAL state (corpus axis)."""
+    fin = _replayed_fin(spark, sf_dir)
+    return sft_loss_masks(fin)
+
+
+def conv_dedup(fin):
+    """Conversation-level exact dedup over the digit-masked canonical
+    form of any (conv_id, turn_idx, text) frame: conversations whose
+    turn_idx-ordered texts are identical once digit runs are masked
+    (ids, counters, timestamps — the same normalization
+    prefix_templates applies) collapse to the min-conv_id survivor.
+    Emits one row per distinct masked conversation: duplicate count,
+    survivor id, survivor turn count — the transcript-granularity twin
+    of functions.dedup.exact_dedup, and the whole-conversation
+    complement of turn_dedup (which scrubs single repeated turns).
+
+    Scale shape: one conv_id exchange to assemble the masked
+    fingerprint (collect_list bounded by conversation length, never
+    corpus size), then a map-side combinable groupBy on the
+    fingerprint — no window over the hot fp key, so a corpus-wide
+    template conversation collapses per map task before the
+    shuffle."""
+    masked = F.regexp_replace(F.col("text"), "[0-9]+", "0")
+    pc = fin.groupBy("conv_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("turn_idx"), masked.alias("m")))
+                    ),
+                    lambda x: x["m"],
+                ),
+                "\n",
+            )
+        ).alias("conv_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+    )
+    return pc.groupBy("conv_fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+        F.min("conv_id").alias("keep_conv"),
+        F.min_by("n_turns", "conv_id").alias("n_turns"),
+    )
+
+
+def q_conv_dedup(spark, sf_dir):
+    """Conversation-level masked exact dedup off the ingested lake
+    (see conv_dedup): replay the change feed (CDC axis), then collapse
+    template-identical conversations from the FINAL state (corpus
+    axis)."""
+    fin = _replayed_fin(spark, sf_dir)
+    return conv_dedup(fin)
+
+
 def q_validator_checksum(spark, sf_dir):
     """sync_diff checksum law end-to-end (tests/sharding/run.sh:9-18
     BIT_XOR(CRC32) analog): replay the feed into the lake, then reduce
@@ -1302,6 +1564,9 @@ QUERIES = {
     "cdc_preference_incremental": q_preference_incremental,
     "cdc_prefix_templates": q_prefix_templates,
     "cdc_tool_transitions": q_tool_transitions,
+    "cdc_best_of_history": q_best_of_history,
+    "cdc_sft_loss_masks": q_sft_loss_masks,
+    "cdc_conv_dedup": q_conv_dedup,
     "cdc_validator_checksum": q_validator_checksum,
     "cdc_lineage_counts": q_lineage_counts,
     "cdc_checkpoint_locations": q_checkpoint_locations,
@@ -1451,6 +1716,9 @@ FROM fin
     ),
     "cdc_prefix_templates": _with_feed(_PREFIX_TPL),
     "cdc_tool_transitions": _with_feed(_TOOL_TRANS),
+    "cdc_best_of_history": _with_feed(_BEST_OF),
+    "cdc_sft_loss_masks": _with_feed(_LOSS_MASKS),
+    "cdc_conv_dedup": _with_feed(_CONV_DEDUP),
     "cdc_convo_hygiene": _with_feed(
         _FINAL_CTE
         + """,

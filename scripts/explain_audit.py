@@ -25,6 +25,11 @@ Checks (prints PASS/FAIL lines + the formatted plans):
 10. unigram-LM scoring joins tokens only by equi-join (the sole
     nested-loop is the broadcast of the ONE-ROW corpus totals) and
     turn dedup is a single fingerprint exchange — both JVM-only.
+11. preference-pair mining is one key exchange, join-free;
+    prefix-template detection equi-joins only — both JVM-only.
+12. best-of-history mining shares the preference-pairs class (one
+    key exchange, join-free); loss-mask spans are one conv_id
+    exchange; conversation dedup has no nested-loop join — JVM-only.
 """
 
 from __future__ import annotations
@@ -320,6 +325,36 @@ def main() -> int:
         failures.append("pref-prefix-shapes")
         print(p11a)
         print(p11b)
+
+    # 12. best-of-history shares preference_pairs' single-exchange
+    # class (both windows + the per-key count reuse ONE (conv_id,
+    # turn_idx) hash partitioning, join-free); loss-mask spans and
+    # conversation dedup stay JVM-only with no nested-loop join
+    from dm_spark.queries_cdc import best_of_history, conv_dedup, sft_loss_masks
+
+    p12a = plan_of(best_of_history(split2), "simple")
+    p12b = plan_of(sft_loss_masks(fin2), "simple")
+    p12c = plan_of(conv_dedup(fin2), "simple")
+    ok12 = (
+        p12a.count("Exchange") == 1
+        and "Join" not in p12a
+        and p12b.count("Exchange") == 1
+        and not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p12c)
+        and not re.search(
+            r"MapInPandas|ArrowEvalPython|BatchEvalPython", p12a + p12b + p12c
+        )
+    )
+    print(
+        f"{'PASS' if ok12 else 'FAIL'} best-of-history single key exchange "
+        f"(exchanges={p12a.count('Exchange')}, join-free), loss-mask single "
+        f"conv_id exchange (exchanges={p12b.count('Exchange')}), conv-dedup "
+        "equi-only, all JVM-only"
+    )
+    if not ok12:
+        failures.append("best-of-history-shapes")
+        print(p12a)
+        print(p12b)
+        print(p12c)
 
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0

@@ -624,3 +624,100 @@ def test_sample_hash_overflow_safe_for_huge_ids(spark):
     got = {r["doc_id"]: r["h"] for r in df.select("doc_id", sample_hash(F.col("doc_id")).alias("h")).collect()}
     law = lambda i: (((i % 2147483647) * 2654435761) % (1 << 32)) % 1000  # noqa: E731
     assert got == {i: law(i) for i in ids}
+
+
+def test_best_of_history_argmax_laws(spark):
+    """Pin the rejection-sampling mining laws: the winner is the
+    version with the most DISTINCT whitespace tokens across the whole
+    history (repetition collapses under the distinct count), score
+    ties break toward the NEWEST version, deleted-at-end and
+    non-assistant keys emit nothing, and best_is_lww=0 exactly where
+    an older draft out-scores the LWW survivor."""
+    import datetime as dt
+    import hashlib
+
+    from dm_spark.queries_cdc import best_of_history
+
+    t0 = dt.datetime(2026, 1, 1)
+    ts = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # (a,1): the older draft has 3 distinct tokens, the final edit
+        # repeats itself (2 distinct of 4) -> best is the OLD draft
+        ("a", 1, "I", "assistant", "alpha beta gamma", ts(1), 1, 1),
+        ("a", 1, "U", "assistant", "ok ok fine fine", ts(2), 1, 2),
+        # (a,2): score tie (both 2 distinct) -> newest wins, is_lww=1
+        ("a", 2, "I", "assistant", "x y", ts(1), 1, 3),
+        ("a", 2, "U", "assistant", "p q", ts(2), 1, 4),
+        # (a,3): deleted at end -> nothing
+        ("a", 3, "I", "assistant", "gone", ts(1), 1, 5),
+        ("a", 3, "D", "assistant", "gone", ts(2), 1, 6),
+        # (a,4): final role user -> nothing
+        ("a", 4, "I", "user", "question", ts(1), 1, 7),
+        # (a,5): single version -> best IS the LWW row, n_versions=1
+        ("a", 5, "I", "assistant", "only one here", ts(1), 1, 8),
+    ]
+    split = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, op string, role string, "
+        "text string, ts timestamp, file_seq long, pos long",
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r for r in best_of_history(split).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert set(out) == {("a", 1), ("a", 2), ("a", 5)}
+    a1 = out[("a", 1)]
+    assert (a1["best_score"], a1["n_versions"], a1["best_is_lww"]) == (3, 2, 0)
+    assert a1["best_fp"] == md5("alpha beta gamma")
+    a2 = out[("a", 2)]
+    assert (a2["best_score"], a2["best_is_lww"]) == (2, 1)
+    assert a2["best_fp"] == md5("p q")
+    a5 = out[("a", 5)]
+    assert (a5["n_versions"], a5["best_is_lww"]) == (1, 1)
+
+
+def test_sft_loss_masks_span_geometry(spark):
+    """Spans are half-open token offsets into the turn_idx-ordered
+    'role: text' concatenation: contiguous (each start equals the
+    previous end), first start is 0, widths equal the line token
+    count (role prefix counts as one token), and loss_mask marks
+    exactly the assistant turns."""
+    from dm_spark.queries_cdc import sft_loss_masks
+
+    fin = spark.createDataFrame(
+        [
+            ("c", 0, "user", "hi there"),          # 'user: hi there' = 3 tokens
+            ("c", 1, "assistant", "hello"),         # 2 tokens
+            ("c", 2, "tool", "a b c"),              # 4 tokens
+            ("c", 3, "assistant", "done now ok"),   # 4 tokens
+            ("d", 0, "user", "solo"),               # independent conversation
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): (r["start_tok"], r["end_tok"], r["loss_mask"])
+        for r in sft_loss_masks(fin).collect()
+    }
+    assert out[("c", 0)] == (0, 3, 0)
+    assert out[("c", 1)] == (3, 5, 1)
+    assert out[("c", 2)] == (5, 9, 0)
+    assert out[("c", 3)] == (9, 13, 1)
+    assert out[("d", 0)] == (0, 2, 0)
+
+
+def test_conv_dedup_masked_collapse(spark):
+    """Conversations identical up to digit runs collapse to the
+    min-conv_id survivor; a differing text keeps its own cluster; the
+    survivor's turn count rides along."""
+    from dm_spark.queries_cdc import conv_dedup
+
+    fin = spark.createDataFrame(
+        [
+            ("a", 0, "click #11"), ("a", 1, "buy #12"),
+            ("b", 0, "click #99"), ("b", 1, "buy #7"),   # masked twin of a
+            ("c", 0, "click #5"),  ("c", 1, "sell #5"),  # differs at turn 1
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = {r["keep_conv"]: r for r in conv_dedup(fin).collect()}
+    assert set(out) == {"a", "c"}
+    assert (out["a"]["n_convs"], out["a"]["n_turns"]) == (2, 2)
+    assert (out["c"]["n_convs"], out["c"]["n_turns"]) == (1, 2)

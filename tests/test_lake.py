@@ -643,3 +643,23 @@ def test_downstream_more_column_fills_declared_default(spark, lake):
     )
     r = lake.read().collect()[0]
     assert (r.rating, r.note) == (9, None)
+
+
+def test_binlog_file_seq_999999_rollover(spark, lake):
+    """Reference tests/binlog_999999: replication must keep ordering
+    when the binlog file sequence crosses 999999 -> 1000000 (filename
+    mysql-bin.999999 rolls to mysql-bin.1000000). file_seq is a plain
+    bigint here so the ordering is arithmetic, but the LWW tiebreak
+    and the reported checkpoint must both advance across the boundary
+    — pinned against a same-ts pair straddling it."""
+    b = spark.createDataFrame(
+        [
+            ch("k", 1, "I", "pre-roll", 999_999, 4, 1),
+            ch("k", 1, "U", "post-roll", 1_000_000, 1, 1),  # same ts: file_seq decides
+        ],
+        CHANGE_DDL,
+    )
+    lake.merge_into(b, batch_id=0)
+    assert rows(lake.read()) == [("k", 1, "post-roll")]
+    cp = lake.global_checkpoint()
+    assert (cp["file_seq"], cp["pos"]) == (1_000_000, 1)
