@@ -251,3 +251,150 @@ def preference_pairs_from_index(index: LakeTable) -> DataFrame:
         F.col("u1_text").alias("chosen"),
         F.col("u2_text").alias("rejected"),
     )
+
+
+# ------------------------------------------------------------ best-of index
+
+BEST_INDEX_SCHEMA = [
+    ("conv_id", "string"),
+    ("turn_idx", "int"),
+    ("b_score", "bigint"),
+    ("b_text", "string"),
+    ("b_ts", "timestamp"),
+    ("b_fs", "bigint"),
+    ("b_pos", "bigint"),
+    ("l_op", "string"),
+    ("l_role", "string"),
+    ("l_text", "string"),
+    ("l_ts", "timestamp"),
+    ("l_fs", "bigint"),
+    ("l_pos", "bigint"),
+]
+
+
+def create_best_index(spark, path: str, n_buckets: int = 32) -> LakeTable:
+    """Best-of-history state: one row per (conv_id, turn_idx) holding
+    the reward-argmax non-delete version seen so far (b_*) and the
+    latest event overall (l_*) — the provably sufficient compact state
+    for exact incremental maintenance of
+    queries_cdc.best_of_history's selection law (minus the
+    history-dependent n_versions count; see
+    incremental_best_of_batch). Bucketed on the key so per-batch folds
+    are bucketed equi-joins."""
+    return LakeTable.create(
+        spark, path, BEST_INDEX_SCHEMA, ["conv_id", "turn_idx"], n_buckets=n_buckets
+    )
+
+
+def _bo_score(text_col):
+    from dm_spark.functions.text import tokens
+
+    return F.size(F.array_distinct(tokens(F.coalesce(text_col, F.lit(""))))).cast(
+        "bigint"
+    )
+
+
+def incremental_best_of_batch(
+    index: LakeTable, batch: DataFrame, batch_seq: int = 0
+) -> None:
+    """Fold one flattened change batch (op/conv_id/turn_idx/role/text +
+    ts/file_seq/pos or _cdc_* lineage) into the best-of index —
+    O(batch) per step, no history rescan (same state-table stance as
+    incremental_preference_batch).
+
+    EXACTNESS (why this state is sufficient under ANY arrival order
+    and redelivery): both components are pure semilattice folds. The
+    winner is argmax over all non-delete versions of
+    (score, ts, fs, pos) — a max, so folding in any order yields the
+    global max, and redelivered duplicates are absorbed idempotently.
+    The emission gate needs only the latest event's (op, role, text) —
+    argmax over ALL events of (ts, fs, pos), the same semilattice.
+    Unlike the preference fold (which must argue three retained
+    versions suffice), nothing here approximates: the fold equals the
+    global law exactly — except n_versions, because a COUNT is not
+    redelivery-idempotent, so the incremental surface omits it (the
+    same disclosure preference_pairs_from_index makes for
+    n_superseded).
+
+    Plan shape: one bucketed key join to pull touched state, then ONE
+    hash aggregate per key (max + max_by) — the pseudo-best row rides
+    op='B' so it is excluded from the latest-event argmax without an
+    extra column, and 'B' can never collide with a real binlog op."""
+    fs = "_cdc_file_seq" if "_cdc_file_seq" in batch.columns else "file_seq"
+    ps = "_cdc_pos" if "_cdc_pos" in batch.columns else "pos"
+    rows = batch.select(
+        "conv_id", "turn_idx", "op", "role", "text",
+        _bo_score(F.col("text")).alias("score"),
+        F.col("ts").alias("ts"), F.col(fs).alias("fs"), F.col(ps).alias("pos"),
+    )
+    keys = rows.select("conv_id", "turn_idx").distinct()
+    st = index.read().join(keys, ["conv_id", "turn_idx"])  # touched keys only
+    pseudo = (
+        st.where(F.col("b_fs").isNotNull())
+        .select(
+            "conv_id", "turn_idx", F.lit("B").alias("op"),
+            F.lit(None).cast("string").alias("role"),
+            F.col("b_text").alias("text"), F.col("b_score").alias("score"),
+            F.col("b_ts").alias("ts"), F.col("b_fs").alias("fs"),
+            F.col("b_pos").alias("pos"),
+        )
+        .unionByName(
+            st.select(
+                "conv_id", "turn_idx", F.col("l_op").alias("op"),
+                F.col("l_role").alias("role"), F.col("l_text").alias("text"),
+                _bo_score(F.col("l_text")).alias("score"),
+                F.col("l_ts").alias("ts"), F.col("l_fs").alias("fs"),
+                F.col("l_pos").alias("pos"),
+            )
+        )
+    )
+    u = rows.unionByName(pseudo)
+    agg = u.groupBy("conv_id", "turn_idx").agg(
+        F.max(
+            F.when(F.col("op") != "D", F.struct("score", "ts", "fs", "pos", "text"))
+        ).alias("b"),
+        F.max_by(
+            F.struct("op", "role", "text", "ts", "fs", "pos"),
+            F.when(F.col("op") != "B", F.struct("ts", "fs", "pos")),
+        ).alias("l"),
+    )
+    out = agg.select(
+        "conv_id", "turn_idx",
+        F.col("b.score").alias("b_score"), F.col("b.text").alias("b_text"),
+        F.col("b.ts").alias("b_ts"),
+        F.col("b.fs").cast("bigint").alias("b_fs"),
+        F.col("b.pos").cast("bigint").alias("b_pos"),
+        F.col("l.op").alias("l_op"), F.col("l.role").alias("l_role"),
+        F.col("l.text").alias("l_text"), F.col("l.ts").alias("l_ts"),
+        F.col("l.fs").cast("bigint").alias("l_fs"),
+        F.col("l.pos").cast("bigint").alias("l_pos"),
+        F.lit("U").alias("op"),
+        F.timestamp_micros(F.lit(batch_seq)).alias("_cdc_ts"),
+        F.lit(batch_seq).cast("bigint").alias("_cdc_file_seq"),
+        F.lit(0).cast("bigint").alias("_cdc_pos"),
+    )
+    index.merge_into(out, batch_id=batch_seq)
+
+
+def best_of_from_index(index: LakeTable) -> DataFrame:
+    """Materialize the best-of selections from the accumulated index:
+    keys whose latest event is a surviving assistant turn emit their
+    reward-argmax version. Equals queries_cdc.best_of_history (minus
+    the history-dependent n_versions count) over the full replayed
+    stream — the cdc_best_of_incremental oracle law."""
+    st = index.read()
+    return st.where(
+        (F.col("l_op") != "D")
+        & (F.col("l_role") == "assistant")
+        & F.col("b_fs").isNotNull()
+    ).select(
+        "conv_id", "turn_idx",
+        F.col("b_score").alias("best_score"),
+        F.md5(F.coalesce(F.col("b_text"), F.lit(""))).alias("best_fp"),
+        (
+            F.coalesce(F.col("b_text"), F.lit(""))
+            == F.coalesce(F.col("l_text"), F.lit(""))
+        )
+        .cast("int")
+        .alias("best_is_lww"),
+    )

@@ -1238,6 +1238,46 @@ def q_best_of_history(spark, sf_dir):
     return best_of_history(_routed_batch(spark, sf_dir))
 
 
+def q_best_of_incremental(spark, sf_dir):
+    """Incremental best-of-history maintenance (see
+    functions.incremental.incremental_best_of_batch): the change feed
+    is folded into the compact (argmax, latest-event) state table
+    batch by batch — O(batch) per step, no history rescan — and the
+    materialized selections must equal the global best_of_history law
+    over the full stream (the DuckDB oracle runs the global window
+    twin minus the history-dependent n_versions count). The
+    arrival-order/redelivery laws are pinned in
+    tests/test_incremental_dedup.py."""
+    from dm_spark.functions.incremental import (
+        best_of_from_index,
+        create_best_index,
+        incremental_best_of_batch,
+    )
+
+    batch = _routed_batch(spark, sf_dir)
+    index = create_best_index(spark, tempfile.mkdtemp(prefix="dm_best_"), n_buckets=16)
+    b = batch.withColumn(
+        "__ord", F.col("_cdc_file_seq") * 1_000_000 + F.col("_cdc_pos")
+    )
+    mm = b.agg(F.min("__ord"), F.max("__ord")).collect()[0]
+    if mm[0] is None:
+        return best_of_from_index(index)
+    lo_all, hi_all = int(mm[0]), int(mm[1])
+    n_batches = 4
+    width = max(1, (hi_all - lo_all + n_batches) // n_batches)
+    cuts = [lo_all + width * i for i in range(1, n_batches) if lo_all + width * i < hi_all]
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        part = b
+        if lo is not None:
+            part = part.where(F.col("__ord") > lo)
+        if hi is not None:
+            part = part.where(F.col("__ord") <= hi)
+        incremental_best_of_batch(index, part.drop("__ord"), batch_seq=i)
+        lo = hi
+    return best_of_from_index(index)
+
+
 def sft_loss_masks(fin):
     """Token-offset loss-mask spans over any (conv_id, turn_idx, role,
     text) frame: render each turn as its packed 'role: text' line and
@@ -1565,6 +1605,7 @@ QUERIES = {
     "cdc_prefix_templates": q_prefix_templates,
     "cdc_tool_transitions": q_tool_transitions,
     "cdc_best_of_history": q_best_of_history,
+    "cdc_best_of_incremental": q_best_of_incremental,
     "cdc_sft_loss_masks": q_sft_loss_masks,
     "cdc_conv_dedup": q_conv_dedup,
     "cdc_validator_checksum": q_validator_checksum,
@@ -1717,6 +1758,14 @@ FROM fin
     "cdc_prefix_templates": _with_feed(_PREFIX_TPL),
     "cdc_tool_transitions": _with_feed(_TOOL_TRANS),
     "cdc_best_of_history": _with_feed(_BEST_OF),
+    # incremental maintenance must equal the global law (minus the
+    # history-dependent, non-redelivery-idempotent n_versions count)
+    "cdc_best_of_incremental": _with_feed(
+        _BEST_OF.replace(
+            "SELECT conv_id, turn_idx, n_versions, score AS best_score,",
+            "SELECT conv_id, turn_idx, score AS best_score,",
+        )
+    ),
     "cdc_sft_loss_masks": _with_feed(_LOSS_MASKS),
     "cdc_conv_dedup": _with_feed(_CONV_DEDUP),
     "cdc_convo_hygiene": _with_feed(

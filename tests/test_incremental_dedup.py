@@ -205,3 +205,89 @@ def test_streaming_incremental_preference_fold(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 10
+
+
+def _best_rows():
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    ts = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    return [
+        # (a,1): old draft out-scores the final edit => best is OLD
+        ("a", 1, "I", "assistant", "alpha beta gamma", ts(1), 1, 1),
+        ("a", 1, "U", "assistant", "ok ok fine fine", ts(2), 1, 2),
+        # (a,2): score tie => newest wins
+        ("a", 2, "I", "assistant", "x y", ts(1), 1, 3),
+        ("a", 2, "U", "assistant", "p q", ts(2), 1, 4),
+        # (a,3): ends deleted => nothing
+        ("a", 3, "I", "assistant", "gone here", ts(1), 1, 5),
+        ("a", 3, "D", "assistant", "gone here", ts(2), 1, 6),
+        # (a,4): user key => nothing
+        ("a", 4, "I", "user", "question", ts(1), 1, 7),
+        # (a,5): NULL-text winner, older scored draft exists => the
+        # draft wins the argmax, is_lww=0
+        ("a", 5, "I", "assistant", "w1 w2", ts(1), 1, 8),
+        ("a", 5, "U", "assistant", None, ts(2), 1, 9),
+    ]
+
+
+def _fold_best(spark, tmp_path, name, batches):
+    from dm_spark.functions.incremental import (
+        best_of_from_index,
+        create_best_index,
+        incremental_best_of_batch,
+    )
+
+    idx = create_best_index(spark, str(tmp_path / name), n_buckets=4)
+    for i, rows in enumerate(batches):
+        incremental_best_of_batch(
+            idx, spark.createDataFrame(rows, _PREF_DDL), batch_seq=i
+        )
+    return {
+        (r["conv_id"], r["turn_idx"]): (
+            r["best_score"], r["best_fp"], r["best_is_lww"]
+        )
+        for r in best_of_from_index(idx).collect()
+    }
+
+
+def test_incremental_best_of_equals_global(spark, tmp_path):
+    """Folding ordered batches equals the global window law (minus
+    n_versions, which a count cannot maintain idempotently)."""
+    from dm_spark.queries_cdc import best_of_history
+
+    rows = _best_rows()
+    want = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["best_score"], r["best_fp"], r["best_is_lww"]
+        )
+        for r in best_of_history(
+            spark.createDataFrame(rows, _PREF_DDL)
+        ).collect()
+    }
+    got = _fold_best(spark, tmp_path, "bo_ordered", [rows[:4], rows[4:7], rows[7:]])
+    assert got == want
+    assert set(got) == {("a", 1), ("a", 2), ("a", 5)}
+    assert got[("a", 1)][0] == 3 and got[("a", 1)][2] == 0  # old draft wins
+    assert got[("a", 2)][2] == 1  # tie -> newest IS the LWW row
+    assert got[("a", 5)][2] == 0  # scored draft beats the NULL-text winner
+
+
+def test_incremental_best_of_out_of_order_and_redelivery(spark, tmp_path):
+    """The (argmax, latest-event) state is a pure semilattice: any
+    arrival order and any redelivery converge to the global law."""
+    from dm_spark.queries_cdc import best_of_history
+
+    rows = _best_rows()
+    want = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["best_score"], r["best_fp"], r["best_is_lww"]
+        )
+        for r in best_of_history(
+            spark.createDataFrame(rows, _PREF_DDL)
+        ).collect()
+    }
+    late_first = [rows[1::2], rows[0::2]]  # newer halves land first
+    assert _fold_best(spark, tmp_path, "bo_late", late_first) == want
+    redelivered = [rows[:5], rows[5:], rows[:5]]  # batch 0 replayed
+    assert _fold_best(spark, tmp_path, "bo_redeliver", redelivered) == want
