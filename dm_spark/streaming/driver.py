@@ -45,6 +45,7 @@ class CdcStreamDriver:
         compact_every: int | None = None,
         max_inline_ddl_per_batch: int = 1000,
         epoch: int = 0,
+        track_txn_intervals: bool = False,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -97,6 +98,17 @@ class CdcStreamDriver:
         if os.path.exists(self._applied_unlock_op_path):
             with open(self._applied_unlock_op_path) as f:
                 self._applied_unlock_op = json.load(f)
+        # GTID-set analog (opt-in, dm_spark/lineage.py): the applied
+        # txn_id interval set, folded per micro-batch and persisted
+        # beside the checkpoint — a semilattice, so crash-replayed
+        # batches are absorbed idempotently; `ctl status` reports any
+        # gap (a transaction below the high water that never applied)
+        self.track_txn_intervals = track_txn_intervals
+        self._txn_intervals_path = os.path.join(checkpoint_dir, "txn_intervals.json")
+        self.txn_intervals: list[list[int]] = []
+        if track_txn_intervals and os.path.exists(self._txn_intervals_path):
+            with open(self._txn_intervals_path) as f:
+                self.txn_intervals = json.load(f)["intervals"]
         # MoR maintenance: fold delta files back into base every N
         # batches (the rewrite_data_files scheduling a table service
         # would own on a real lakehouse)
@@ -210,6 +222,7 @@ class CdcStreamDriver:
                 due = sorted([*due, *inline], key=lambda e: e.loc())
                 self.runner.replay(batch_df.where(F.col("op") != "Q"), due)
                 self._save_runner_state()
+                self._fold_txn_intervals(batch_df)
                 self.batch_stats.append({"batch_id": batch_id, "ddls": len(due)})
                 return
             # plain pipeline has no DDL surface: query events drop here
@@ -242,6 +255,7 @@ class CdcStreamDriver:
                 )
             if multi_pass:
                 flat.unpersist()
+            self._fold_txn_intervals(batch_df)
         finally:
             if multi_pass:
                 batch_df.unpersist()
@@ -680,6 +694,29 @@ class CdcStreamDriver:
         with open(tmp, "w") as f:
             json.dump(self.runner.state_json(), f)
         os.replace(tmp, self._runner_state_path)
+
+    def _fold_txn_intervals(self, batch_df: DataFrame) -> None:
+        """Opt-in GTID-set analog: fold this batch's applied txn_id
+        intervals into the persisted set (dm_spark/lineage.py).
+        Interval union is a semilattice, so a crash anywhere between
+        the lake merge, this write, and the stream-checkpoint commit
+        replays the batch into an identical set — the file on disk is
+        always a correct LOWER BOUND of what was applied, and gaps
+        below the high water are real holes, never write-ordering
+        artifacts. Query events fold too (a GTID covers DDL
+        transactions)."""
+        if not self.track_txn_intervals:
+            return
+        from dm_spark.lineage import batch_txn_intervals, merge_intervals
+
+        self.txn_intervals = merge_intervals(
+            self.txn_intervals, batch_txn_intervals(batch_df)
+        )
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        tmp = f"{self._txn_intervals_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"intervals": self.txn_intervals}, f)
+        os.replace(tmp, self._txn_intervals_path)
 
     @staticmethod
     def _lag_sec(lake: LakeTable) -> float | None:

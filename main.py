@@ -101,8 +101,26 @@ def _task_status(cp_dir: str, control: dict, lake_dirs: list[str]) -> dict:
                 applied_ops[name] = json.load(f).get("id")
         except FileNotFoundError:
             pass
+    txn = None
+    try:
+        with open(os.path.join(cp_dir, "txn_intervals.json")) as f:
+            iv = json.load(f)["intervals"]
+        from dm_spark.lineage import covered_count, interval_gaps
+
+        txn = {
+            "n_intervals": len(iv),
+            "span": [iv[0][0], iv[-1][1]] if iv else None,
+            "covered": covered_count(iv),
+            # the GTID-set completeness verdict: any gap is a txn below
+            # the high water that never applied — a lost relay chunk,
+            # a skipped batch, or a skip-op that swallowed a whole txn
+            "gaps": interval_gaps(iv),
+        }
+    except FileNotFoundError:
+        pass
     status = {
         "stage": stage,
+        "applied_txns": txn,
         # the paused-on-error detail the handle-error flow pivots on:
         # which error blocked the task (the remedy is `ctl binlog
         # skip|replace <loc>` / `ctl unlock`)
