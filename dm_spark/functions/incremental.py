@@ -116,9 +116,17 @@ def create_pref_index(spark, path: str, n_buckets: int = 32) -> LakeTable:
     )
 
 
-def incremental_preference_batch(
-    index: LakeTable, batch: DataFrame, batch_seq: int = 0
-) -> None:
+def _next_fold_seq(index: LakeTable) -> int:
+    """The engine-owned fold ordinal: strictly increasing per applied
+    fold, independent of the caller's batch numbering. State folds are
+    semilattices — redelivery is absorbed by the fold itself, so the
+    merge gate must NEVER skip one (a caller-supplied non-increasing
+    batch id silently discarded folds; review r5). The stamp also
+    guarantees the merged state row wins LWW over the stored row."""
+    return index._load_meta().last_batch_id + 1  # noqa: SLF001
+
+
+def incremental_preference_batch(index: LakeTable, batch: DataFrame) -> None:
     """Fold one flattened change batch (op/conv_id/turn_idx/role/text +
     ts/file_seq/pos or _cdc_* lineage) into the preference index —
     O(batch) per step, no corpus rescan (same state-table stance as
@@ -139,6 +147,7 @@ def incremental_preference_batch(
     are value-identical duplicates and change nothing."""
     from pyspark.sql import Window
 
+    batch_seq = _next_fold_seq(index)
     fs = "_cdc_file_seq" if "_cdc_file_seq" in batch.columns else "file_seq"
     ps = "_cdc_pos" if "_cdc_pos" in batch.columns else "pos"
     rows = batch.select(
@@ -287,16 +296,13 @@ def create_best_index(spark, path: str, n_buckets: int = 32) -> LakeTable:
 
 
 def _bo_score(text_col):
-    from dm_spark.functions.text import tokens
+    # the ONE best-of reward law, shared with queries_cdc.best_of_history
+    from dm_spark.functions.text import distinct_token_count
 
-    return F.size(F.array_distinct(tokens(F.coalesce(text_col, F.lit(""))))).cast(
-        "bigint"
-    )
+    return distinct_token_count(text_col)
 
 
-def incremental_best_of_batch(
-    index: LakeTable, batch: DataFrame, batch_seq: int = 0
-) -> None:
+def incremental_best_of_batch(index: LakeTable, batch: DataFrame) -> None:
     """Fold one flattened change batch (op/conv_id/turn_idx/role/text +
     ts/file_seq/pos or _cdc_* lineage) into the best-of index —
     O(batch) per step, no history rescan (same state-table stance as
@@ -320,6 +326,7 @@ def incremental_best_of_batch(
     hash aggregate per key (max + max_by) — the pseudo-best row rides
     op='B' so it is excluded from the latest-event argmax without an
     extra column, and 'B' can never collide with a real binlog op."""
+    batch_seq = _next_fold_seq(index)
     fs = "_cdc_file_seq" if "_cdc_file_seq" in batch.columns else "file_seq"
     ps = "_cdc_pos" if "_cdc_pos" in batch.columns else "pos"
     rows = batch.select(
@@ -398,3 +405,232 @@ def best_of_from_index(index: LakeTable) -> DataFrame:
         .cast("int")
         .alias("best_is_lww"),
     )
+
+
+# ------------------------------------------------------------ minhash index
+
+class MinHashIndex:
+    """Incremental MinHash-LSH near-dup state: the streaming complement
+    of the one-shot pair generator (functions.dedup.minhash_lsh_pairs),
+    same family stance as the fingerprint index above — at 100 TB
+    nobody re-LSH-joins the world per micro-batch.
+
+    State = two bucketed LakeTables under one root:
+      postings  (band, bucket, doc_id)   keyed on all three — the LSH
+                buckets of every KEPT doc; insert-only, idempotent
+                under redelivery (the merge identity dedups).
+      sigs      (doc_id, sig)            keyed on doc_id — kept docs'
+                MinHash signatures, for candidate verification.
+    Only KEPT docs enter the index, so index growth is O(distinct
+    content), and a doc once kept is never retroactively re-labeled
+    (first-writer-wins, immutable decisions — same contract as
+    incremental_dedup_batch).
+
+    Per-batch fold cost: one signature pass over the batch (Arrow
+    kernel), one (band, bucket) equi-join against the postings (only
+    the batch's buckets), one doc_id join for the old signatures, and
+    a candidate-bounded within-batch closure — never a corpus rescan.
+
+    Verification is by SIGNATURE-ESTIMATED Jaccard (matching
+    positions / n_hashes), not exact shingle Jaccard: the index stores
+    signatures (n_hashes longs per kept doc), not shingle sets (O(doc
+    tokens) — unaffordable as persistent state at corpus scale). The
+    estimator's std error is ~sqrt(t(1-t)/n_hashes) (≈0.06 at
+    n_hashes=64, t=0.5); callers needing the exact law run the
+    one-shot generator over the flagged clusters.
+
+    Banding/bucketing law is SHARED with minhash_lsh_pairs
+    (dedup.banded_signature), so a doc pair collides in the index iff
+    it collides in the one-shot generator. Parameters are pinned in
+    params.json at create time and re-validated on open — folding with
+    drifted parameters would silently partition the corpus into
+    incompatible bucket spaces.
+    """
+
+    PARAMS = ("n_hashes", "bands", "k", "seed")
+
+    def __init__(self, spark, root: str):
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(root, "params.json")) as f:
+            self.params = _json.load(f)
+        self.postings = LakeTable(spark, _os.path.join(root, "postings"))
+        self.sigs = LakeTable(spark, _os.path.join(root, "sigs"))
+
+    @classmethod
+    def create(
+        cls,
+        spark,
+        root: str,
+        n_hashes: int = 64,
+        bands: int = 16,
+        k: int = 3,
+        seed: int = 42,
+        n_buckets: int = 32,
+    ) -> "MinHashIndex":
+        import json as _json
+        import os as _os
+
+        if n_hashes % bands:
+            raise ValueError("bands must divide n_hashes")
+        _os.makedirs(root, exist_ok=True)
+        tmp = _os.path.join(root, "params.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(
+                {"n_hashes": n_hashes, "bands": bands, "k": k, "seed": seed}, f
+            )
+        _os.replace(tmp, _os.path.join(root, "params.json"))
+        LakeTable.create(
+            spark,
+            _os.path.join(root, "postings"),
+            [("band", "int"), ("bucket", "bigint"), ("doc_id", "bigint")],
+            ["band", "bucket", "doc_id"],
+            n_buckets=n_buckets,
+        )
+        LakeTable.create(
+            spark,
+            _os.path.join(root, "sigs"),
+            [("doc_id", "bigint"), ("sig", "array<bigint>")],
+            ["doc_id"],
+            n_buckets=n_buckets,
+        )
+        return cls(spark, root)
+
+    def fold(
+        self,
+        batch: DataFrame,
+        threshold: float = 0.5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Classify one batch against the accumulated index and fold
+        the kept docs in. Returns (doc_id, keep_id, is_dup) for every
+        batch row.
+
+        Law, in decision order:
+        1. a doc_id already IN the index stays kept (immutability —
+           redelivering a kept doc can never re-label it a dup, even
+           if similar docs were indexed since);
+        2. a doc whose estimated Jaccard against some indexed doc
+           reaches `threshold` is a dup of its best match (highest
+           estimate, min doc_id tiebreak). `is_dup` is immutable for
+           a given arrival order; `keep_id` names the best CURRENT
+           keeper, which can differ across redeliveries as the index
+           grows (disclosed, same as the reference's resolveTo);
+        3. the remaining batch docs resolve among themselves: near-dup
+           pairs (band collision + estimate >= threshold) close
+           transitively (dedup.dup_clusters) and the min-id of each
+           component is kept, the rest are its dups;
+        4. kept docs' postings + signatures merge into the index
+           (insert of an existing identity is a value-identical no-op,
+           so redelivered folds converge)."""
+        from dm_spark.functions.dedup import (
+            banded_signature,
+            dup_clusters,
+            minhash_signatures,
+        )
+
+        P = self.params
+        nh = P["n_hashes"]
+        # one Arrow signature pass per fold, referenced by candidates /
+        # verification / inserts: localCheckpoint materializes the
+        # micro-batch's signatures (O(batch) rows of n_hashes longs)
+        # instead of re-running the kernel per consumer
+        sig = minhash_signatures(
+            batch, nh, P["k"], text_col, id_col, P["seed"]
+        ).localCheckpoint()
+        banded = banded_signature(sig, nh, P["bands"])
+        old_sigs = self.sigs.read().select(
+            F.col("doc_id").alias("old_id"), F.col("sig").alias("old_sig")
+        )
+
+        est = F.size(
+            F.filter(
+                F.zip_with("sig", "old_sig", lambda a, b: a == b), lambda m: m
+            )
+        ) / F.lit(float(nh))
+        # rule 1: already-kept ids keep themselves
+        kept_before = sig.join(
+            old_sigs.select(F.col("old_id").alias("id")), "id", "left_semi"
+        ).select("id")
+        # rule 2: best index match over the batch's colliding buckets
+        cand_old = (
+            banded.join(kept_before, "id", "left_anti")
+            .join(
+                self.postings.read().withColumnRenamed("doc_id", "old_id"),
+                ["band", "bucket"],
+            )
+            .select("id", "old_id")
+            .distinct()
+        )
+        matched = (
+            cand_old.join(sig, "id")
+            .join(old_sigs, "old_id")
+            .select("id", "old_id", est.alias("est"))
+            .where(F.col("est") >= threshold)
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    "old_id", F.struct(F.col("est"), -F.col("old_id"))
+                ).alias("keep_id")
+            )
+        )
+        # rule 3: transitive min-id survivor among the still-unresolved
+        rest = (
+            banded.join(kept_before, "id", "left_anti")
+            .join(matched.select("id"), "id", "left_anti")
+        )
+        pairs = (
+            rest.alias("x")
+            .join(
+                rest.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+            .join(sig.select(F.col("id").alias("id_a"), "sig"), "id_a")
+            .join(
+                sig.select(F.col("id").alias("id_b"), F.col("sig").alias("old_sig")),
+                "id_b",
+            )
+            .where(est >= threshold)
+            .select("id_a", "id_b")
+        )
+        clusters = dup_clusters(pairs)  # (id, cluster_id), graph verts only
+        flags = (
+            sig.select("id")
+            .join(matched, "id", "left")
+            .join(clusters, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("keep_id", "cluster_id", "id").alias("keep_id"),
+                (F.coalesce("keep_id", "cluster_id", "id") != F.col("id")).alias(
+                    "is_dup"
+                ),
+            )
+        )
+        kept_now = flags.where(~F.col("is_dup")).select(
+            F.col(id_col).alias("id")
+        )
+        lineage = [
+            F.lit("I").alias("op"),
+            F.timestamp_micros(F.lit(0)).alias("_cdc_ts"),
+            F.lit(0).cast("bigint").alias("_cdc_file_seq"),
+            F.lit(0).cast("bigint").alias("_cdc_pos"),
+        ]
+        self.postings.merge_into(
+            banded.join(kept_now, "id", "left_semi").select(
+                "band", "bucket", F.col("id").alias("doc_id"), *lineage
+            ),
+            batch_id=_next_fold_seq(self.postings),
+        )
+        self.sigs.merge_into(
+            sig.join(kept_now, "id", "left_semi").select(
+                F.col("id").alias("doc_id"), "sig", *lineage
+            ),
+            batch_id=_next_fold_seq(self.sigs),
+        )
+        return flags

@@ -30,6 +30,17 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def distinct_token_count(col: Column) -> Column:
+    """Repetition-penalized informativeness: distinct whitespace tokens
+    (NULL text scores 0). THE shared reward law of best-of-history
+    mining — queries_cdc.best_of_history (the global argmax) and
+    functions.incremental.incremental_best_of_batch (the semilattice
+    fold) must score identically or the incremental index converges to
+    a different argmax than the oracle, so both import this single
+    definition (review r5)."""
+    return F.size(F.array_distinct(tokens(F.coalesce(col, F.lit(""))))).cast("bigint")
+
+
 def stopword_count(col: Column) -> Column:
     sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     return F.size(F.filter(tokens(col), lambda x: F.array_contains(sw, F.lower(x))))

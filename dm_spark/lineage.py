@@ -17,10 +17,18 @@ the shape of a GTID set's per-server interval list
 two anti-joins (no global sort), the driver merges them into a bounded
 list and persists it beside the checkpoint. Because interval union is
 a pure semilattice, redelivered batches are absorbed idempotently and
-arrival order never matters; a hole — a relay chunk lost, a batch
-skipped past, an operator's skip-op swallowing a whole transaction —
-shows up as a gap below the high water and is reported by
-:func:`interval_gaps` / `main.py ctl status`.
+arrival order never matters; a hole — a relay chunk lost or a batch
+skipped past — shows up as a gap below the high water and is reported
+by :func:`interval_gaps` / `main.py ctl status`.
+
+The set tracks DELIVERED transactions, matching MySQL GTID semantics
+where a deliberately skipped transaction still enters the executed set
+(DM injects an empty txn for it, syncer/handle_error.go): the driver
+folds the raw micro-batch, so rows later dropped by block/allow
+filters, routes, or a `ctl binlog skip` error-op are still counted as
+handled. That is the correct completeness question — "did every txn
+REACH the applier" — not "did every txn mutate the table", which
+filters legitimately make false.
 
 Scale shape: the per-batch fold is `distinct` on txn_id (map-side
 combinable) plus two self-equi-joins on (txn±1) — fully parallel, no
@@ -51,26 +59,35 @@ def batch_txn_intervals(
     the set (anti-join against the set shifted +1) and an island END
     iff t+1 is absent (anti-join against the set shifted -1) — two
     bucketed equi-joins, no global window, so the fold never funnels
-    the batch through one partition. Only the endpoints come back to
-    the driver, capped at `cap` islands."""
+    the batch through one partition. Both anti-joins ride ONE Spark
+    job (side-tagged union, single collect) over a persisted distinct
+    set, so the micro-batch is scanned once, not four times. Only the
+    endpoints come back to the driver, capped at `cap` islands."""
     d = (
         df.select(F.col(txn_col).cast("long").alias("t"))
         .where(F.col("t").isNotNull())
         .distinct()
+        .persist()
     )
-    starts_df = d.join(d.select((F.col("t") + 1).alias("t")), "t", "left_anti")
-    ends_df = d.join(d.select((F.col("t") - 1).alias("t")), "t", "left_anti")
-    starts = [r["t"] for r in starts_df.limit(cap + 1).collect()]
-    if len(starts) > cap:
+    try:
+        starts_df = d.join(
+            d.select((F.col("t") + 1).alias("t")), "t", "left_anti"
+        ).select(F.lit("s").alias("k"), "t")
+        ends_df = d.join(
+            d.select((F.col("t") - 1).alias("t")), "t", "left_anti"
+        ).select(F.lit("e").alias("k"), "t")
+        rows = starts_df.unionAll(ends_df).limit(2 * cap + 2).collect()
+    finally:
+        d.unpersist()
+    starts = sorted(r["t"] for r in rows if r["k"] == "s")
+    ends = sorted(r["t"] for r in rows if r["k"] == "e")
+    if len(starts) > cap or len(ends) > cap:
         raise RuntimeError(
             f"batch folds to more than {cap} applied-txn intervals — the "
             "feed's txn ids are not arriving dense (wild reordering, or "
             "txn_id is not a dense counter); raise the cap only if driver "
             "memory allows, otherwise fix the feed's txn ordering"
         )
-    ends = [r["t"] for r in ends_df.limit(cap + 1).collect()]
-    starts.sort()
-    ends.sort()
     assert len(starts) == len(ends), "island starts/ends must pair up"
     return [[s, e] for s, e in zip(starts, ends)]
 
@@ -99,9 +116,10 @@ def merge_intervals(
 
 def interval_gaps(intervals: list[list[int]]) -> list[list[int]]:
     """The holes strictly inside the covered span: transactions below
-    the high water that were never applied. A healthy exactly-once
-    stream has NONE — any entry here is a lost relay chunk, a skipped
-    batch, or an error operator that swallowed whole transactions, and
+    the high water that were never DELIVERED to the applier. A healthy
+    exactly-once stream has NONE — any entry here is a lost relay chunk
+    or a batch skipped past (deliberately filtered/skip-op'd txns do
+    NOT appear here; they were delivered, see module docstring), and
     `ctl status` surfaces it."""
     return [
         [intervals[i][1] + 1, intervals[i + 1][0] - 1]

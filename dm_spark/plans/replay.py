@@ -319,7 +319,23 @@ class ReplayRunner:
         ):
             applied = []
             for act in self.error_ops.resolve(action):
-                applied += self._optimistic_sync(ev.source_table, act)
+                tbl = act.get("source_table") or ev.source_table
+                if act["action"] == "add_generated_column":
+                    # same replacement hatch as _apply_resolved: a
+                    # `ctl binlog replace` can swap a generated-column
+                    # ADD in for a plain column DDL on an optimistic
+                    # table too — registry.apply would raise 'unknown
+                    # ddl action' with the at-most-once op spent
+                    self._register_generated([act["column"]], tbl)
+                    self.applied_ddl.append(act)
+                    applied.append(act)
+                elif act["action"] in ("add_column", "widen_type", "drop_column"):
+                    applied += self._optimistic_sync(ev.source_table, act)
+                else:
+                    # a replacement outside the optimistic-joinable set
+                    # (e.g. rename) applies exactly as it would on a
+                    # non-optimistic table
+                    applied += self._apply_one(tbl, act)
             return applied
         return self._apply_resolved(ev.source_table, action)
 

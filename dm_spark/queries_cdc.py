@@ -320,8 +320,8 @@ _CONV_DEDUP = (
     + """,
 pc AS (
   SELECT conv_id,
-         md5(string_agg(regexp_replace(text, '[0-9]+', '0', 'g'), chr(10)
-             ORDER BY turn_idx)) AS conv_fp,
+         md5(string_agg(coalesce(regexp_replace(text, '[0-9]+', '0', 'g'),
+             chr(0)), chr(10) ORDER BY turn_idx)) AS conv_fp,
          CAST(count(*) AS BIGINT) AS n_turns
   FROM fin GROUP BY 1
 )
@@ -1035,7 +1035,7 @@ def q_preference_incremental(spark, sf_dir):
             part = part.where(F.col("__ord") > lo)
         if hi is not None:
             part = part.where(F.col("__ord") <= hi)
-        incremental_preference_batch(index, part.drop("__ord"), batch_seq=i)
+        incremental_preference_batch(index, part.drop("__ord"))
         lo = hi
     return preference_pairs_from_index(index)
 
@@ -1172,7 +1172,7 @@ def best_of_history(split):
     audit)."""
     from pyspark.sql import Window
 
-    from dm_spark.functions.text import tokens
+    from dm_spark.functions.text import distinct_token_count
 
     fs = "_cdc_file_seq" if "_cdc_file_seq" in split.columns else "file_seq"
     ps = "_cdc_pos" if "_cdc_pos" in split.columns else "pos"
@@ -1181,9 +1181,8 @@ def best_of_history(split):
         .orderBy(F.col("ts").desc(), F.col(fs).desc(), F.col(ps).desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    score = F.size(
-        F.array_distinct(tokens(F.coalesce(F.col("text"), F.lit(""))))
-    ).cast("bigint")
+    # the ONE reward law, shared with the incremental fold (_bo_score)
+    score = distinct_token_count(F.col("text"))
     t = split.select(
         "conv_id",
         "turn_idx",
@@ -1273,7 +1272,7 @@ def q_best_of_incremental(spark, sf_dir):
             part = part.where(F.col("__ord") > lo)
         if hi is not None:
             part = part.where(F.col("__ord") <= hi)
-        incremental_best_of_batch(index, part.drop("__ord"), batch_seq=i)
+        incremental_best_of_batch(index, part.drop("__ord"))
         lo = hi
     return best_of_from_index(index)
 
@@ -1353,6 +1352,13 @@ def conv_dedup(fin):
                     lambda x: x["m"],
                 ),
                 "\n",
+                # NULL-text turns contribute a NUL sentinel instead of
+                # silently vanishing: array_join would skip them while
+                # the DuckDB twin's string_agg over an all-NULL conv
+                # returns NULL (md5(NULL)=NULL) — divergent fps for
+                # NULL-bearing conversations (review r5). The twin
+                # coalesces to chr(0) so both sides see the sentinel.
+                "\x00",
             )
         ).alias("conv_fp"),
         F.count(F.lit(1)).cast("bigint").alias("n_turns"),

@@ -205,7 +205,12 @@ class CdcStreamDriver:
         # common tail shape — single target, MoR append — is a single
         # pass, and caching ~100s of MB per micro-batch was pure
         # overhead (profiled: ~25% of live-tail batch time).
-        multi_pass = self.runner is not None or len(self.lakes) > 1
+        multi_pass = (
+            self.runner is not None
+            or len(self.lakes) > 1
+            # the txn-interval fold re-scans the raw batch after the merge
+            or self.track_txn_intervals
+        )
         if multi_pass:
             batch_df.persist()
         try:
@@ -899,9 +904,21 @@ class CdcStreamDriver:
                     uop
                     and uop != self._applied_unlock_op
                 )
+                ctl_key = json.dumps(ctl, sort_keys=True)
+                if (
+                    needs_settle
+                    and ctl_key == getattr(self, "_settle_failed_ctl", None)
+                ):
+                    # the settle already failed under THIS exact control
+                    # state: idle until the operator changes something
+                    # instead of replaying the poison batch every poll
+                    # tick (~4 Hz of full query startups; review r5)
+                    time.sleep(poll_sec)
+                    continue
                 if needs_settle and not self._checkpoint_settled():
                     try:
                         self._settle_inflight()
+                        self._settle_failed_ctl = None
                         if getattr(self, "_settle_blocked", False):
                             self._settle_blocked = False
                             self._write_blocked_sidecar(None)
@@ -924,6 +941,9 @@ class CdcStreamDriver:
                                 "registry on resume"
                             )
                             self._apply_schema_op(ctl)
+                            # the op changed the registry: the retry on
+                            # the next tick is the designed replay-under-
+                            # fixed-registry, so no idle gate here
                         else:
                             self._write_blocked_sidecar(
                                 f"in-flight batch cannot settle: {err} — "
@@ -931,6 +951,7 @@ class CdcStreamDriver:
                                 "failing batch first (ctl binlog "
                                 "skip/replace or ctl schema set), or stop"
                             )
+                            self._settle_failed_ctl = ctl_key
                         time.sleep(poll_sec)
                         continue
                 self._apply_config_patch(ctl, paused=True)
@@ -939,6 +960,7 @@ class CdcStreamDriver:
                 time.sleep(poll_sec)
                 continue
             self.paused = False
+            self._settle_failed_ctl = None
             if getattr(self, "_settle_blocked", False):
                 # operator resumed past a failed settle: the stale
                 # cannot-settle sidecar must not outlive the pause

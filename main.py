@@ -112,8 +112,10 @@ def _task_status(cp_dir: str, control: dict, lake_dirs: list[str]) -> dict:
             "span": [iv[0][0], iv[-1][1]] if iv else None,
             "covered": covered_count(iv),
             # the GTID-set completeness verdict: any gap is a txn below
-            # the high water that never applied — a lost relay chunk,
-            # a skipped batch, or a skip-op that swallowed a whole txn
+            # the high water that never REACHED the applier — a lost
+            # relay chunk or a batch skipped past. Deliberately
+            # filtered / skip-op'd txns were delivered and do NOT show
+            # here (GTID semantics: DM injects an empty txn for skips)
             "gaps": interval_gaps(iv),
         }
     except FileNotFoundError:

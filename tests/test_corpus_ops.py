@@ -721,3 +721,26 @@ def test_conv_dedup_masked_collapse(spark):
     assert set(out) == {"a", "c"}
     assert (out["a"]["n_convs"], out["a"]["n_turns"]) == (2, 2)
     assert (out["c"]["n_convs"], out["c"]["n_turns"]) == (1, 2)
+
+
+def test_conv_dedup_null_text_sentinel(spark):
+    """NULL-text turns contribute a sentinel, never vanish: an all-NULL
+    conversation gets a non-null fp DISTINCT from an empty-string
+    conversation's, and a NULL mid-turn distinguishes from the same
+    conversation without it (array_join's silent NULL-skip previously
+    conflated all three AND diverged from the DuckDB twin's NULL
+    string_agg; review r5)."""
+    from dm_spark.queries_cdc import conv_dedup
+
+    fin = spark.createDataFrame(
+        [
+            ("n", 0, None),
+            ("e", 0, ""),
+            ("m", 0, "hi"), ("m", 1, None), ("m", 2, "bye"),
+            ("s", 0, "hi"), ("s", 1, "bye"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = {r["keep_conv"]: r["conv_fp"] for r in conv_dedup(fin).collect()}
+    assert set(out) == {"n", "e", "m", "s"}  # four distinct clusters
+    assert all(fp is not None for fp in out.values())

@@ -253,7 +253,9 @@ def test_pause_route_patch_on_unsettleable_batch_refused_not_crashed(
     the route patch, and recover once the operator fixes the batch
     (`ctl binlog skip`), finishing with the exact oracle state. The
     pre-fix behavior crashed run_continuous despite block_on_error
-    (review r5-2)."""
+    (review r5-2). Also pins the retry gate: while control.json is
+    unchanged after a failed settle, the driver must NOT replay the
+    poison batch every poll tick (the ~4 Hz settle spin, review r5)."""
     cfg = TaskConfig(
         routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")]
     )
@@ -280,6 +282,14 @@ def test_pause_route_patch_on_unsettleable_batch_refused_not_crashed(
         )
 
     err: list = []
+    settle_calls: list = []
+    orig_settle = drv._settle_inflight
+
+    def counting_settle():
+        settle_calls.append(time.time())
+        return orig_settle()
+
+    drv._settle_inflight = counting_settle
 
     def run():
         try:
@@ -321,6 +331,14 @@ def test_pause_route_patch_on_unsettleable_batch_refused_not_crashed(
         assert t.is_alive(), f"driver crashed instead of refusing: {err}"
         # patch NOT applied while unsettleable
         assert getattr(drv, "_applied_patch", None) != route_patch
+        # no settle spin: control.json unchanged => no further replays
+        # of the poison batch (poll_sec=0.1, so a spin would add ~15)
+        n_before = len(settle_calls)
+        time.sleep(1.5)
+        assert len(settle_calls) == n_before, (
+            f"settle retried {len(settle_calls) - n_before} times with "
+            "control.json unchanged — the poison-batch replay spin is back"
+        )
         # remedy: skip the poison event, then resume
         assert mainmod.ctl([cp, "binlog", "skip", "0:500"]) == 0
         deadline = time.time() + 120

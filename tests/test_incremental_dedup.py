@@ -97,10 +97,8 @@ def _fold(spark, tmp_path, name, batches):
     )
 
     idx = create_pref_index(spark, str(tmp_path / name), n_buckets=4)
-    for i, rows in enumerate(batches):
-        incremental_preference_batch(
-            idx, spark.createDataFrame(rows, _PREF_DDL), batch_seq=i
-        )
+    for rows in batches:
+        incremental_preference_batch(idx, spark.createDataFrame(rows, _PREF_DDL))
     return {
         (r["conv_id"], r["turn_idx"]): (r["chosen"], r["rejected"])
         for r in preference_pairs_from_index(idx).collect()
@@ -183,7 +181,7 @@ def test_streaming_incremental_preference_fold(spark, sf_dir, tmp_path):
 
     def fold(bdf, bid):
         incremental_preference_batch(
-            idx, pipe.transform(bdf).drop("target_table"), batch_seq=bid
+            idx, pipe.transform(bdf).drop("target_table")
         )
 
     q = (
@@ -239,10 +237,8 @@ def _fold_best(spark, tmp_path, name, batches):
     )
 
     idx = create_best_index(spark, str(tmp_path / name), n_buckets=4)
-    for i, rows in enumerate(batches):
-        incremental_best_of_batch(
-            idx, spark.createDataFrame(rows, _PREF_DDL), batch_seq=i
-        )
+    for rows in batches:
+        incremental_best_of_batch(idx, spark.createDataFrame(rows, _PREF_DDL))
     return {
         (r["conv_id"], r["turn_idx"]): (
             r["best_score"], r["best_fp"], r["best_is_lww"]

@@ -1,0 +1,103 @@
+"""Incremental MinHash-LSH index (functions.incremental.MinHashIndex):
+kept-doc immutability, redelivery convergence, within-batch transitive
+closure, shared banding law with the one-shot generator, and parameter
+pinning. The streaming complement of minhash_lsh_pairs — the reference
+analog is DM's per-batch causality closure (syncer/causality.go:60-92)
+lifted to corpus dedup state."""
+
+from __future__ import annotations
+
+import pytest
+
+from dm_spark.functions.incremental import MinHashIndex
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _flags(df):
+    return {r["doc_id"]: (r["keep_id"], r["is_dup"]) for r in df.collect()}
+
+
+LONG_A = "the quick brown fox jumps over the lazy dog near the old river bank " * 3
+LONG_A2 = LONG_A.replace("lazy", "sleepy")  # one token off: Jaccard ~0.9
+LONG_B = "entirely different content about spark shuffles and arrow batches " * 3
+
+
+def test_minhash_index_fold_and_first_writer_wins(spark, tmp_path):
+    idx = MinHashIndex.create(spark, str(tmp_path / "mh"), n_buckets=4)
+
+    b1 = _flags(
+        idx.fold(_docs(spark, [(10, LONG_A), (20, LONG_A), (30, LONG_B)]))
+    )
+    assert b1[10] == (10, False)  # within-batch min-id survivor
+    assert b1[20] == (10, True)
+    assert b1[30] == (30, False)
+    assert idx.sigs.read().count() == 2  # only kept docs indexed
+
+    # batch 2: a SMALLER id with near-dup content — the indexed keeper
+    # holds (immutability), the newcomer is its dup; novel content keeps
+    novel = "completely unrelated prose on lakes and manifests and buckets " * 3
+    b2 = _flags(idx.fold(_docs(spark, [(1, LONG_A2), (40, novel)])))
+    assert b2[1] == (10, True)  # NOT relabeled to keep_id 1
+    assert b2[40][1] is False
+    assert idx.sigs.read().count() == 3
+
+
+def test_minhash_index_redelivery_converges(spark, tmp_path):
+    idx = MinHashIndex.create(spark, str(tmp_path / "mh"), n_buckets=4)
+    batch = _docs(spark, [(5, LONG_A), (6, LONG_A), (7, LONG_B)])
+    first = _flags(idx.fold(batch))
+    postings_n = idx.postings.read().count()
+    replay = _flags(idx.fold(batch))
+    assert replay == first  # identical flags on redelivery
+    assert idx.postings.read().count() == postings_n  # no index growth
+    assert idx.sigs.read().count() == 2
+
+
+def test_minhash_index_within_batch_transitive_closure(spark, tmp_path):
+    # A~B and B~C collide but A and C may not: the component min wins
+    # for ALL three (dup_clusters closure inside the fold). One-token
+    # hops (Jaccard ~0.7 each, ~0.45 across) with threshold 0.4 keep
+    # each hop solidly above the cut under the seeded estimator.
+    mid = LONG_A.replace("lazy", "sleepy")
+    far = mid.replace("brown", "grey")
+    idx = MinHashIndex.create(spark, str(tmp_path / "mh"), n_buckets=4)
+    out = _flags(
+        idx.fold(_docs(spark, [(3, far), (2, mid), (1, LONG_A)]), threshold=0.4)
+    )
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3][1] is True  # pulled in transitively
+
+
+def test_minhash_index_matches_one_shot_banding_law(spark, tmp_path):
+    """A pair collides in the incremental index iff it collides in the
+    one-shot generator: both bucket via dedup.banded_signature with the
+    same pinned params, so the exact-dup decisions agree."""
+    from dm_spark.functions.dedup import dup_clusters, minhash_lsh_pairs
+
+    rows = [
+        (1, LONG_A), (2, LONG_A), (3, LONG_B),
+        (4, LONG_A2), (5, LONG_B + " tail"), (6, "short one-off text"),
+    ]
+    oneshot = dup_clusters(
+        minhash_lsh_pairs(_docs(spark, rows), threshold=0.5)
+    )
+    global_dups = {
+        r["id"]: r["cluster_id"] for r in oneshot.collect() if r["id"] != r["cluster_id"]
+    }
+    idx = MinHashIndex.create(spark, str(tmp_path / "mh"), n_buckets=4)
+    inc = _flags(idx.fold(_docs(spark, rows), threshold=0.5))
+    inc_dups = {i: k for i, (k, d) in inc.items() if d}
+    assert inc_dups == global_dups
+
+
+def test_minhash_index_params_pinned(spark, tmp_path):
+    root = str(tmp_path / "mh")
+    MinHashIndex.create(spark, root, n_hashes=32, bands=8, k=4, seed=7)
+    reopened = MinHashIndex(spark, root)
+    assert reopened.params == {"n_hashes": 32, "bands": 8, "k": 4, "seed": 7}
+    with pytest.raises(ValueError, match="bands must divide"):
+        MinHashIndex.create(spark, str(tmp_path / "bad"), n_hashes=64, bands=7)

@@ -1028,3 +1028,27 @@ def test_replace_with_generated_column_add_registers_not_crashes(spark, runner):
     cols = runner.lake.read().columns
     assert "gcol" not in cols and "bad" not in cols
     assert runner.lake.read().count() == 1
+
+
+def test_optimistic_replace_with_generated_column_add(spark, tmp_path):
+    """The same replacement hatch on an OPTIMISTIC-group table: a `ctl
+    binlog replace` swapping a generated-column ADD in for a plain
+    column DDL must route to the generated registration, not to
+    registry.apply's unknown-action error — the optimistic branch
+    previously bypassed _apply_resolved's routing (review r5)."""
+    cfg = TaskConfig(routes=[RouteRule(pattern="shard_*.t", target="transcripts")])
+    lake = LakeTable.create(spark, str(tmp_path / "lake_og"), SCHEMA, KEY, n_buckets=4)
+    runner = ReplayRunner(
+        pipeline=ApplyPipeline(cfg), lake=lake,
+        optimistic_group=["shard_0.t", "shard_1.t"],
+    )
+    runner.error_ops.set_replace(
+        0, 3, [{"action": "add_generated_column", "column": "gcol"}]
+    )
+    feed = ev(spark, [("I", "a", 1, "v1", "shard_0.t", 0, 1)])
+    ddls = [DdlEvent("add_column", "shard_0.t", 0, 3, column="bad", new_type="json")]
+    runner.replay(feed, ddls)
+    assert any(a["action"] == "add_generated_column" for a in runner.applied_ddl)
+    cols = lake.read().columns
+    assert "gcol" not in cols and "bad" not in cols
+    assert rows(lake) == [("a", 1, "v1")]
