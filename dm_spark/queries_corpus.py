@@ -376,6 +376,40 @@ def q_doc_incremental_dedup(spark, sf_dir):
     return index.read().select("fp", "keep_id")
 
 
+def q_doc_incremental_minhash(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup: fold the corpus through the
+    persistent postings+signature index in 3 id-ordered batches —
+    per-batch cost O(batch), no corpus re-LSH — and return every doc's
+    (keep_id, is_dup) verdict. Rows-only by design (engine-internal
+    hash law); the shared-banding agreement with the one-shot
+    generator and the first-writer/redelivery/closure laws are pinned
+    in test_minhash_index."""
+    import tempfile
+
+    from dm_spark.functions.incremental import MinHashIndex
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    idx = MinHashIndex.create(
+        spark, tempfile.mkdtemp(prefix="dm_q_mhidx_"), n_buckets=16
+    )
+    step = hi // 3 + 1
+    parts = []
+    for i in range(3):
+        batch = docs.where(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+        # checkpoint each fold's verdicts: flags are lazy over the
+        # index state AT FOLD TIME, and later folds mutate the index
+        parts.append(idx.fold(batch, threshold=0.5).localCheckpoint())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "doc_id", "keep_id", F.col("is_dup").cast("int").alias("is_dup")
+    )
+
+
 def q_doc_vocab_topk(spark, sf_dir):
     """Vocabulary induction: corpus-wide top-200 tokens by occurrence
     (total order: count DESC, token ASC — boundary ties can't split
@@ -704,6 +738,7 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_incremental_dedup": q_doc_incremental_dedup,
+    "doc_incremental_minhash": q_doc_incremental_minhash,
     "doc_vocab_topk": q_doc_vocab_topk,
     "doc_mix_report": q_doc_mix_report,
     "doc_temp_mix": q_doc_temp_mix,
