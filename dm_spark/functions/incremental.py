@@ -612,8 +612,15 @@ class MinHashIndex:
                 ),
             )
         )
-        kept_now = flags.where(~F.col("is_dup")).select(
-            F.col(id_col).alias("id")
+        # merge only NEWLY kept docs: rule-1 ids are already indexed
+        # (a true redelivery would re-merge value-identical rows; a
+        # same-id-different-content arrival would race the stored
+        # signature on an equal-lineage LWW tie — excluding them keeps
+        # the indexed signature immutable, matching the decision law)
+        kept_now = (
+            flags.where(~F.col("is_dup"))
+            .select(F.col(id_col).alias("id"))
+            .join(kept_before, "id", "left_anti")
         )
         lineage = [
             F.lit("I").alias("op"),

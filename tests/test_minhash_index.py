@@ -94,6 +94,22 @@ def test_minhash_index_matches_one_shot_banding_law(spark, tmp_path):
     assert inc_dups == global_dups
 
 
+def test_minhash_index_indexed_signature_immutable(spark, tmp_path):
+    """A doc_id already in the index stays kept AND its stored
+    signature does not change, even if the id is redelivered with
+    different content — decisions and index state are immutable
+    (first-writer-wins on the id, same stance as the fingerprint
+    index; a re-merge would race the stored sig on an equal-lineage
+    LWW tie)."""
+    idx = MinHashIndex.create(spark, str(tmp_path / "mh"), n_buckets=4)
+    idx.fold(_docs(spark, [(5, LONG_A)]))
+    sig_before = idx.sigs.read().collect()[0]["sig"]
+    out = _flags(idx.fold(_docs(spark, [(5, LONG_B)])))  # same id, new text
+    assert out[5] == (5, False)  # rule 1: stays kept
+    rows = idx.sigs.read().collect()
+    assert len(rows) == 1 and rows[0]["sig"] == sig_before
+
+
 def test_minhash_index_params_pinned(spark, tmp_path):
     root = str(tmp_path / "mh")
     MinHashIndex.create(spark, root, n_hashes=32, bands=8, k=4, seed=7)
