@@ -110,6 +110,64 @@ def test_minhash_index_indexed_signature_immutable(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["sig"] == sig_before
 
 
+def test_minhash_index_streaming_fold(spark, tmp_path):
+    """The index folds straight off a file stream (foreachBatch, one
+    file per trigger): cross-batch near-dups resolve to the FIRST
+    arrival (stream order, not min id), and a full redelivery through
+    a fresh checkpoint leaves the index bit-identical — near-dup state
+    maintained by the tail itself, not a separate batch job."""
+    import os
+    import time
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    files = [
+        [(10, LONG_A), (11, LONG_B)],
+        [(5, LONG_A2), (21, "a genuinely novel third document body " * 3)],
+        [(30, LONG_B), (31, LONG_A)],
+    ]
+    for i, rows in enumerate(files):
+        staging = str(tmp_path / f"stage-{i}")
+        _docs(spark, rows).coalesce(1).write.parquet(staging)
+        src = next(
+            os.path.join(staging, n)
+            for n in os.listdir(staging)
+            if n.endswith(".parquet")
+        )
+        # flat files only (the file source does not recurse), admitted
+        # by MODIFICATION TIME: stamp strictly increasing mtimes or
+        # batch order scrambles
+        dst = os.path.join(docs_dir, f"chunk-{i}.parquet")
+        os.rename(src, dst)
+        t = time.time() + i
+        os.utime(dst, (t, t))
+
+    idx = MinHashIndex.create(spark, str(tmp_path / "mh"), n_buckets=4)
+
+    def run_stream(cp):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(docs_dir)
+            .writeStream.foreachBatch(lambda bdf, bid: idx.fold(bdf))
+            .option("checkpointLocation", str(tmp_path / cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(timeout=300)
+
+    run_stream("cp1")
+    kept = sorted(r["doc_id"] for r in idx.sigs.read().select("doc_id").collect())
+    # 5 arrived AFTER 10: first-writer-wins keeps 10, not the min id
+    assert kept == [10, 11, 21]
+    postings_n = idx.postings.read().count()
+
+    run_stream("cp2")  # fresh checkpoint = full redelivery
+    kept2 = sorted(r["doc_id"] for r in idx.sigs.read().select("doc_id").collect())
+    assert kept2 == kept
+    assert idx.postings.read().count() == postings_n
+
+
 def test_minhash_index_params_pinned(spark, tmp_path):
     root = str(tmp_path / "mh")
     MinHashIndex.create(spark, root, n_hashes=32, bands=8, k=4, seed=7)
