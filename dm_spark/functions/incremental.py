@@ -455,6 +455,18 @@ class MinHashIndex:
 
         with open(_os.path.join(root, "params.json")) as f:
             self.params = _json.load(f)
+        # re-validate on open: a truncated / hand-edited / clobbered
+        # params.json must fail HERE, not as silently-deflated
+        # estimates in a drifted bucket space
+        if set(self.params) != set(self.PARAMS) or not all(
+            isinstance(self.params[p], int) for p in self.PARAMS
+        ):
+            raise ValueError(
+                f"{root}/params.json is corrupt: expected integer keys "
+                f"{self.PARAMS}, got {self.params!r}"
+            )
+        if self.params["n_hashes"] % self.params["bands"]:
+            raise ValueError(f"{root}/params.json: bands must divide n_hashes")
         self.postings = LakeTable(spark, _os.path.join(root, "postings"))
         self.sigs = LakeTable(spark, _os.path.join(root, "sigs"))
 
@@ -474,6 +486,14 @@ class MinHashIndex:
 
         if n_hashes % bands:
             raise ValueError("bands must divide n_hashes")
+        # refuse BEFORE touching params.json: overwriting an existing
+        # index's params would silently re-bucket future folds into a
+        # space incompatible with the stored signatures
+        if _os.path.exists(_os.path.join(root, "params.json")):
+            raise FileExistsError(
+                f"MinHash index already exists at {root} — open it with "
+                "MinHashIndex(spark, root) instead of create()"
+            )
         _os.makedirs(root, exist_ok=True)
         tmp = _os.path.join(root, "params.json.tmp")
         with open(tmp, "w") as f:
@@ -531,6 +551,15 @@ class MinHashIndex:
             minhash_signatures,
         )
 
+        # the index schemas pin doc_id as bigint: fail FAST on a
+        # non-integral id instead of a mid-merge ANSI cast error (or,
+        # with ANSI off, a silent NULL-key collapse of the sigs table)
+        id_type = batch.schema[id_col].dataType.typeName()
+        if id_type not in ("long", "integer", "short", "byte"):
+            raise TypeError(
+                f"MinHashIndex.fold: {id_col} must be an integral type "
+                f"(index state is keyed bigint), got {id_type}"
+            )
         P = self.params
         nh = P["n_hashes"]
         # one Arrow signature pass per fold, referenced by candidates /
@@ -598,20 +627,33 @@ class MinHashIndex:
             )
             .where(est >= threshold)
             .select("id_a", "id_b")
+            .localCheckpoint()
         )
-        clusters = dup_clusters(pairs)  # (id, cluster_id), graph verts only
-        flags = (
-            sig.select("id")
-            .join(matched, "id", "left")
-            .join(clusters, "id", "left")
-            .select(
+        # steady-state tail batches usually have NO within-batch pairs:
+        # skip the iterative closure machinery entirely then (the
+        # checkpoint above makes isEmpty() a metadata probe, and feeds
+        # dup_clusters a materialized edge list otherwise)
+        base = sig.select("id").join(matched, "id", "left")
+        if pairs.isEmpty():
+            flags = base.select(
+                F.col("id").alias(id_col),
+                F.coalesce("keep_id", "id").alias("keep_id"),
+                (F.coalesce("keep_id", "id") != F.col("id")).alias("is_dup"),
+            )
+        else:
+            clusters = dup_clusters(pairs)  # (id, cluster_id), verts only
+            flags = base.join(clusters, "id", "left").select(
                 F.col("id").alias(id_col),
                 F.coalesce("keep_id", "cluster_id", "id").alias("keep_id"),
                 (F.coalesce("keep_id", "cluster_id", "id") != F.col("id")).alias(
                     "is_dup"
                 ),
             )
-        )
+        # one evaluation of the candidate/match/cluster subtree per
+        # fold: the postings merge, the sigs merge AND the caller all
+        # read flags — without this each would re-run the joins and
+        # re-scan the postings/sigs parquet independently
+        flags = flags.localCheckpoint()
         # merge only NEWLY kept docs: rule-1 ids are already indexed
         # (a true redelivery would re-merge value-identical rows; a
         # same-id-different-content arrival would race the stored

@@ -329,12 +329,18 @@ class ReplayRunner:
                     self._register_generated([act["column"]], tbl)
                     self.applied_ddl.append(act)
                     applied.append(act)
-                elif act["action"] in ("add_column", "widen_type", "drop_column"):
-                    applied += self._optimistic_sync(ev.source_table, act)
+                elif (
+                    act["action"] in ("add_column", "widen_type", "drop_column")
+                    and tbl in self.optimistic_group
+                ):
+                    # honor the table the replacement names (same as
+                    # _apply_resolved): only group members join the
+                    # optimistic schema sync
+                    applied += self._optimistic_sync(tbl, act)
                 else:
                     # a replacement outside the optimistic-joinable set
-                    # (e.g. rename) applies exactly as it would on a
-                    # non-optimistic table
+                    # (e.g. rename), or one naming a non-group table,
+                    # applies exactly as on a non-optimistic table
                     applied += self._apply_one(tbl, act)
             return applied
         return self._apply_resolved(ev.source_table, action)

@@ -399,9 +399,9 @@ def q_doc_incremental_minhash(spark, sf_dir):
         batch = docs.where(
             (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
         )
-        # checkpoint each fold's verdicts: flags are lazy over the
-        # index state AT FOLD TIME, and later folds mutate the index
-        parts.append(idx.fold(batch, threshold=0.5).localCheckpoint())
+        # fold() returns checkpointed verdicts, so each part is pinned
+        # to the index state AT FOLD TIME even as later folds mutate it
+        parts.append(idx.fold(batch, threshold=0.5))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

@@ -175,3 +175,27 @@ def test_minhash_index_params_pinned(spark, tmp_path):
     assert reopened.params == {"n_hashes": 32, "bands": 8, "k": 4, "seed": 7}
     with pytest.raises(ValueError, match="bands must divide"):
         MinHashIndex.create(spark, str(tmp_path / "bad"), n_hashes=64, bands=7)
+    # create() on an existing index refuses BEFORE touching params.json
+    # — overwriting would silently re-bucket future folds into a space
+    # incompatible with the stored signatures (review r5)
+    with pytest.raises(FileExistsError, match="already exists"):
+        MinHashIndex.create(spark, root, n_hashes=128)
+    assert MinHashIndex(spark, root).params["n_hashes"] == 32  # unpoisoned
+    # a clobbered params.json fails loudly on OPEN, not as silently
+    # deflated estimates in a drifted bucket space
+    import json
+
+    with open(f"{root}/params.json", "w") as f:
+        json.dump({"n_hashes": 32}, f)
+    with pytest.raises(ValueError, match="corrupt"):
+        MinHashIndex(spark, root)
+
+
+def test_minhash_index_rejects_non_integral_ids(spark, tmp_path):
+    """Index state is keyed bigint: a string id must fail fast with a
+    clear TypeError, not a mid-merge ANSI cast error (or a NULL-key
+    sigs collapse with ANSI off; review r5)."""
+    idx = MinHashIndex.create(spark, str(tmp_path / "mh"), n_buckets=4)
+    bad = spark.createDataFrame([("a", "text")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral"):
+        idx.fold(bad)

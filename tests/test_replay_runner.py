@@ -1030,6 +1030,43 @@ def test_replace_with_generated_column_add_registers_not_crashes(spark, runner):
     assert runner.lake.read().count() == 1
 
 
+def test_optimistic_replace_naming_other_table_routes_there(spark, tmp_path):
+    """A `ctl binlog replace` at an optimistic-group location whose
+    replacement SQL names a DIFFERENT (non-group) table must apply to
+    THAT table's lake — same contract as _apply_resolved ('a
+    replacement composed from SQL names its own table'). The pre-fix
+    branch passed ev.source_table to the optimistic sync, joining the
+    named table's column into the group's lake instead (review r5)."""
+    cfg = TaskConfig(routes=[
+        RouteRule(pattern="shard_*.t", target="transcripts"),
+        RouteRule(pattern="other.x", target="other_t"),
+    ])
+    group_lake = LakeTable.create(
+        spark, str(tmp_path / "lake_g"), SCHEMA, KEY, n_buckets=4
+    )
+    other_lake = LakeTable.create(
+        spark, str(tmp_path / "lake_x"), SCHEMA, KEY, n_buckets=4
+    )
+    runner = ReplayRunner(
+        pipeline=ApplyPipeline(cfg),
+        lakes={"transcripts": group_lake, "other_t": other_lake},
+        optimistic_group=["shard_0.t", "shard_1.t"],
+    )
+    runner.error_ops.set_replace(
+        0, 3, [{
+            "action": "add_column", "column": "extra", "new_type": "int",
+            "source_table": "other.x",
+        }]
+    )
+    applied = runner.handle_ddl(
+        DdlEvent("add_column", "shard_0.t", 0, 3, column="bad", new_type="json")
+    )
+    assert [a["action"] for a in applied] == ["add_column"]
+    assert "extra" in other_lake.read().columns
+    assert "extra" not in group_lake.read().columns  # NOT joined into the group
+    assert "bad" not in group_lake.read().columns
+
+
 def test_optimistic_replace_with_generated_column_add(spark, tmp_path):
     """The same replacement hatch on an OPTIMISTIC-group table: a `ctl
     binlog replace` swapping a generated-column ADD in for a plain
