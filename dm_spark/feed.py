@@ -107,6 +107,11 @@ def change_feed(spark: SparkSession, sf_dir: str, km_every: int | None = 9) -> D
     Pure column arithmetic — stays in whole-stage codegen; the parquet
     scan only reads (event_id, user_id, event_type, ts).
     """
+    # NOTE: no adaptive repartition here (scan.py) — measured at sf0.1:
+    # the envelope+flatten work per merge batch (~0.14s single-task) is
+    # cheaper than the exchange + extra AQE stage it would buy
+    # (~+0.5s/job); the corpus readers with heavy per-row kernels are
+    # where parallelize_scan pays.
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     eid, uid = F.col("event_id"), F.col("user_id")
     # parquet naive timestamps surface as TIMESTAMP_NTZ in Spark 4;

@@ -218,27 +218,52 @@ def cosine_topk_lsh(
       live in exactly one bucket per table, so candidate volume stays
       bounded at ~n_tables * n_probes * bucket_size per query, FLAT in
       corpus size (probes no longer grow with plane count)."""
+    # Candidate generation runs on the NARROW signature rows alone
+    # (id, table, bucket — 20 bytes), and the pair set is dedup'd
+    # BEFORE any vector is attached (guide §2.3/§8: decide with small
+    # rows, move the payload once): with L tables x P probes the same
+    # near pair collides many times, and the old shape both shuffled
+    # the dim-wide `_v` arrays through the candidate join AND evaluated
+    # the interpreted higher-order-function cosine once per DUPLICATE
+    # candidate. Now the exact cosine — the same expression, so results
+    # are bit-identical — runs once per DISTINCT pair, after the dedup.
+    # localCheckpoint: one Python pass computes the signatures; the
+    # self-join reads the materialized rows instead of running the
+    # kernel once per join side.
     sig = lsh_signatures(
         df, n_planes, id_col, vec_col, n_tables=n_tables,
         n_probes=n_probes if multiprobe else 1,
-    )
-    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
-    members = base.join(sig.where("is_home").drop("is_home"), "id")
-    queries = base.join(sig.drop("is_home"), "id") if multiprobe else members
-    a, b = queries.alias("a"), members.alias("b")
-    pairs = (
-        a.join(
-            b,
+    ).localCheckpoint()
+    home = sig.where("is_home").select("id", "table", "bucket")
+    probes = sig.select("id", "table", "bucket") if multiprobe else home
+    cand = (
+        probes.alias("a")
+        .join(
+            home.alias("b"),
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") != F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id"),
-            F.col("b.id").alias("nbr"),
-            (_dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))).alias("cos"),
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("nbr"))
+        .distinct()
+    )
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    pairs = (
+        cand.join(
+            base.select(F.col("id"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")),
+            "id",
         )
-        .dropDuplicates(["id", "nbr"])
+        .join(
+            base.select(
+                F.col("id").alias("nbr"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+            ),
+            "nbr",
+        )
+        .select(
+            "id",
+            "nbr",
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
     return (
@@ -283,22 +308,25 @@ def embedding_near_dup_pairs_lsh(
             df, "embedding_near_dup_pairs_lsh"
         )
         n_planes = max(3, int(math.log2(max(n, 128) / 64)))
+    # narrow candidate generation + dedup BEFORE vectors attach — same
+    # restructure as cosine_topk_lsh (guide §2.3/§8); the exact cosine
+    # expression is unchanged and symmetric per element, so the verify
+    # is bit-identical to the old per-duplicate evaluation.
     sig = lsh_signatures(
         df, n_planes, id_col, vec_col, n_tables=n_tables,
         n_probes=n_probes if multiprobe else 1,
-    )
-    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
-    members = base.join(sig.where("is_home").drop("is_home"), "id")
-    left = base.join(sig.drop("is_home"), "id") if multiprobe else members
-    a, b = left.alias("a"), members.alias("b")
+    ).localCheckpoint()
+    home = sig.where("is_home").select("id", "table", "bucket")
+    probes = sig.select("id", "table", "bucket") if multiprobe else home
     # candidate join is a.id != b.id (NOT a.id < b.id): multiprobe rows
     # live only on the probe side, so an ordered join would miss every
     # pair reachable only via the HIGHER id's probe landing in the
     # lower id's home bucket — roughly half the multiprobe-only
-    # candidates. Pairs normalize to (least, greatest) afterwards.
-    return (
-        a.join(
-            b,
+    # candidates. Pairs normalize to (least, greatest) before dedup.
+    cand = (
+        probes.alias("a")
+        .join(
+            home.alias("b"),
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") != F.col("b.id")),
@@ -306,11 +334,27 @@ def embedding_near_dup_pairs_lsh(
         .select(
             F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
             F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            (_dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))).alias("cos"),
         )
-        .where(F.col("cos") >= min_cos)
-        .select("id_a", "id_b")
         .distinct()
+    )
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    return (
+        cand.join(
+            base.select(
+                F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+            ),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+            ),
+            "id_b",
+        )
+        .where(
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))) >= min_cos
+        )
+        .select("id_a", "id_b")
     )
 
 
@@ -463,20 +507,40 @@ def cosine_topk_ivf(
                     "is_home": np.tile(np.arange(n_probe) == 0, len(pdf))}
             yield pd.DataFrame(rows)
 
-    lists = df.mapInPandas(assign_lists, schema="id long, list_id long, is_home boolean")
-    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    # one Python pass for the list assignment, then narrow candidate
+    # generation + dedup BEFORE vectors attach — same restructure as
+    # cosine_topk_lsh (guide §2.3/§8); the exact cosine expression is
+    # unchanged so results are bit-identical.
+    lists = df.mapInPandas(
+        assign_lists, schema="id long, list_id long, is_home boolean"
+    ).localCheckpoint()
     # members: home list only; queries: all probed lists
-    members = lists.where("is_home").select("id", "list_id").join(base, "id")
-    queries = lists.select("id", "list_id").join(base, "id")
-    a, b = queries.alias("a"), members.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.list_id") == F.col("b.list_id")) & (F.col("a.id") != F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id"),
-            F.col("b.id").alias("nbr"),
-            (_dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))).alias("cos"),
+    cand = (
+        lists.select("id", "list_id").alias("a")
+        .join(
+            lists.where("is_home").select("id", "list_id").alias("b"),
+            (F.col("a.list_id") == F.col("b.list_id")) & (F.col("a.id") != F.col("b.id")),
         )
-        .dropDuplicates(["id", "nbr"])
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("nbr"))
+        .distinct()
+    )
+    base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    pairs = (
+        cand.join(
+            base.select(F.col("id"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")),
+            "id",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("nbr"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+            ),
+            "nbr",
+        )
+        .select(
+            "id",
+            "nbr",
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
     return (

@@ -31,10 +31,20 @@ from dm_spark.functions.text import (
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from dm_spark.scan import parallelize_scan
+
+    # shingle hashing / signature kernels are per-row heavy; a
+    # one-row-group fixture scan would run them single-core (scan.py)
+    return parallelize_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark, sf_dir):
+    # NOT parallelize_scan'd: the embedding kernels are mapInPandas —
+    # splitting a small fixture over 32 partitions costs a python
+    # worker spin-up (~0.15-0.3s incl. numpy import, reuse=false) per
+    # task per python stage, which MEASURED as a net loss at sf0.1
+    # (emb_ann_lsh 7.1 -> 8.2s); the doc readers win because their
+    # heavy per-row work (shingle hashing) is JVM codegen.
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -566,9 +576,13 @@ def q_emb_near_dup_lsh(spark, sf_dir):  # rows-only (recall < 1 by design)
     with the corpus, so bucket size — and the per-vector candidate
     volume — stays flat as data grows; pairs recall vs the exact
     baseline is pinned in test_similarity_recall."""
+    from dm_spark.functions.similarity import _estimate_rows
+
     embs = _embs(spark, sf_dir)
+    # footer-exact row count (zero-job) — a plain parquet scan's footer
+    # sum IS the count, so the derived plane count is unchanged
     return embedding_near_dup_pairs_lsh(
-        embs, min_cos=0.4, n_tables=4, n_rows=embs.count()
+        embs, min_cos=0.4, n_tables=4, n_rows=_estimate_rows(embs, "q_emb_near_dup_lsh")
     )
 
 
@@ -591,8 +605,10 @@ def q_emb_ann_ivf(spark, sf_dir):  # rows-only (recall < 1 by design)
     keeps the shipped default in the right place on both curves."""
     import math
 
+    from dm_spark.functions.similarity import _estimate_rows
+
     embs = _embs(spark, sf_dir)
-    n = embs.count()
+    n = _estimate_rows(embs, "q_emb_ann_ivf")  # footer-exact, zero-job
     n_lists = max(8, n // 64)
     n_probe = min(n_lists, max(6, math.ceil(2 * math.sqrt(n_lists))))
     return cosine_topk_ivf(
@@ -609,8 +625,10 @@ def q_emb_ann_lsh(spark, sf_dir):  # rows-only (recall < 1 by design)
     plateaued at 0.67, VERDICT r02 #1)."""
     import math
 
+    from dm_spark.functions.similarity import _estimate_rows
+
     embs = _embs(spark, sf_dir)
-    n = embs.count()
+    n = _estimate_rows(embs, "q_emb_ann_lsh")  # footer-exact, zero-job
     planes = max(3, int(math.log2(max(n, 128) / 64)))
     return cosine_topk_lsh(embs, k=3, n_planes=planes, n_tables=4).select(
         "vec_id", "rank", "neighbor_id"

@@ -175,12 +175,17 @@ def main() -> int:
     # introduced by the decode itself (r4 flat-kernel rewrite)
     from dm_spark.sources.decode import decode_wire, to_wire
 
-    p6 = plan_of(decode_wire(to_wire(feedmod.change_feed(spark, sf))), "simple")
+    wire = to_wire(feedmod.change_feed(spark, sf))
+    p6 = plan_of(decode_wire(wire), "simple")
     n_py = len(re.findall(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p6))
-    ok6 = n_py == 1 and "Exchange" not in p6
+    # the decode itself must add NO exchange on top of the wire feed's
+    # plan (the feed may carry the adaptive small-scan repartition,
+    # scan.py — that exchange belongs to the source, not the decode)
+    n_ex6 = p6.count("Exchange") - plan_of(wire, "simple").count("Exchange")
+    ok6 = n_py == 1 and n_ex6 == 0
     print(
         f"{'PASS' if ok6 else 'FAIL'} decode plan: one Python node, "
-        f"JVM restruct, no exchange (python_nodes={n_py})"
+        f"JVM restruct, no added exchange (python_nodes={n_py}, added_exchanges={n_ex6})"
     )
     if not ok6:
         failures.append("decode-plan")
@@ -226,14 +231,19 @@ def main() -> int:
     p8b = plan_of(
         ApplyPipeline(cfg_s).transform(feedmod.change_feed(spark, sf)), "simple"
     )
+    # the scrub must add no exchange on top of the plain pipeline's
+    # plan (p4: same feed, same flatten — only the feed's adaptive
+    # small-scan repartition may appear in either)
+    n_ex8 = p8b.count("Exchange") - p4.count("Exchange")
     ok8 = (
         p8a.count("Exchange") == 1
-        and "Exchange" not in p8b
+        and n_ex8 == 0
         and not re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p8b)
     )
     print(
         f"{'PASS' if ok8 else 'FAIL'} r5 shapes: hygiene single exchange "
-        f"(exchanges={p8a.count('Exchange')}), scrub codegen-only no shuffle"
+        f"(exchanges={p8a.count('Exchange')}), scrub codegen-only, no added "
+        f"shuffle (added_exchanges={n_ex8})"
     )
     if not ok8:
         failures.append("r5-shapes")
