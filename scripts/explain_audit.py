@@ -177,7 +177,7 @@ def main() -> int:
 
     wire = to_wire(feedmod.change_feed(spark, sf))
     p6 = plan_of(decode_wire(wire), "simple")
-    n_py = len(re.findall(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p6))
+    n_py = len(re.findall(r"MapInPandas|MapInArrow|ArrowEvalPython|BatchEvalPython", p6))
     # the decode itself must add NO exchange on top of the wire feed's
     # plan (the feed may carry the adaptive small-scan repartition,
     # scan.py — that exchange belongs to the source, not the decode)
@@ -238,7 +238,7 @@ def main() -> int:
     ok8 = (
         p8a.count("Exchange") == 1
         and n_ex8 == 0
-        and not re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p8b)
+        and not re.search(r"MapInPandas|MapInArrow|ArrowEvalPython|BatchEvalPython", p8b)
     )
     print(
         f"{'PASS' if ok8 else 'FAIL'} r5 shapes: hygiene single exchange "
@@ -266,7 +266,7 @@ def main() -> int:
     ok9 = (
         p9a.count("Exchange") == 1
         and p9b.count("Exchange") == 1
-        and not re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p9a + p9b)
+        and not re.search(r"MapInPandas|MapInArrow|ArrowEvalPython|BatchEvalPython", p9a + p9b)
     )
     print(
         f"{'PASS' if ok9 else 'FAIL'} sft/context-window single conv_id exchange "
@@ -294,7 +294,7 @@ def main() -> int:
         and n_bnlj == 1
         and p10b.count("Exchange") == 1
         and "Join" not in p10b
-        and not re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p10a + p10b)
+        and not re.search(r"MapInPandas|MapInArrow|ArrowEvalPython|BatchEvalPython", p10a + p10b)
     )
     print(
         f"{'PASS' if ok10 else 'FAIL'} lm-score equi-join + one broadcast-totals "
@@ -324,7 +324,7 @@ def main() -> int:
         p11a.count("Exchange") == 1
         and "Join" not in p11a
         and not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p11b)
-        and not re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", p11a + p11b)
+        and not re.search(r"MapInPandas|MapInArrow|ArrowEvalPython|BatchEvalPython", p11a + p11b)
     )
     print(
         f"{'PASS' if ok11 else 'FAIL'} preference-pairs single key exchange "
@@ -351,7 +351,7 @@ def main() -> int:
         and p12b.count("Exchange") == 1
         and not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p12c)
         and not re.search(
-            r"MapInPandas|ArrowEvalPython|BatchEvalPython", p12a + p12b + p12c
+            r"MapInPandas|MapInArrow|ArrowEvalPython|BatchEvalPython", p12a + p12b + p12c
         )
     )
     print(
