@@ -59,6 +59,51 @@ from dm_spark.operators.identity import ladder_identity_expr
 
 LINEAGE_COLS = ["_cdc_ts", "_cdc_file_seq", "_cdc_pos"]
 HASH_SEED_COL = "__dm_bucket"
+
+# ------------------------------------------------------------------ AQE guard
+# The merge/compact write plan is union -> fixed repartition(B) ->
+# window -> filter -> write: no joins, and AQE never coalesces an
+# explicit repartition, so adaptive execution cannot improve the plan
+# at ANY scale — it only inserts a QueryStage materialization barrier
+# and a replanning pass per micro-batch (measured at sf0.1: ~0.4-0.7s
+# per 4-merge replay query; the per-batch latency also rides every
+# streaming trigger). AQE is therefore toggled off around these
+# actions and restored after. Depth-counted per session so the
+# multi-target merge thread pool (plans/replay.py) cannot interleave
+# a restore under a sibling's toggle; DM_SPARK_MERGE_AQE=keep opts
+# out for callers that merge join-heavy upstream plans.
+import threading as _threading
+from contextlib import contextmanager as _contextmanager
+
+_AQE_LOCK = _threading.Lock()
+_AQE_STATE: dict[int, list] = {}  # id(spark) -> [depth, prev_value]
+
+
+@_contextmanager
+def _merge_aqe_off(spark):
+    if os.environ.get("DM_SPARK_MERGE_AQE") == "keep":
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    sid = id(spark)
+    with _AQE_LOCK:
+        st = _AQE_STATE.setdefault(sid, [0, None])
+        if st[0] == 0:
+            try:
+                st[1] = spark.conf.get(key)
+            except Exception:  # noqa: BLE001
+                st[1] = "true"
+            spark.conf.set(key, "false")
+        st[0] += 1
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            st = _AQE_STATE[sid]
+            st[0] -= 1
+            if st[0] == 0:
+                spark.conf.set(key, st[1])
+                del _AQE_STATE[sid]
 # failpoint seam (the reference's gofail analog, used all over its
 # integration suites): tests inject a stall between the manifest write
 # and the HEAD swap to exercise the fencing re-read; None in production
@@ -828,17 +873,18 @@ class LakeTable:
         # batch must never OOM the executor at scale.
         from pyspark.storagelevel import StorageLevel
 
-        if meta.write_mode == "mor":
-            return self._merge_mor(changes, meta, batch_id)
-        if not prune:
-            # bulk path is single-pass (stats ride the write job as
-            # observed metrics) — no second pass, so no cache needed
-            return self._merge_persisted(changes, meta, batch_id, bexpr, prune)
-        changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            return self._merge_persisted(changes, meta, batch_id, bexpr, prune)
-        finally:
-            changes.unpersist()
+        with _merge_aqe_off(self.spark):
+            if meta.write_mode == "mor":
+                return self._merge_mor(changes, meta, batch_id)
+            if not prune:
+                # bulk path is single-pass (stats ride the write job as
+                # observed metrics) — no second pass, so no cache needed
+                return self._merge_persisted(changes, meta, batch_id, bexpr, prune)
+            changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                return self._merge_persisted(changes, meta, batch_id, bexpr, prune)
+            finally:
+                changes.unpersist()
 
     @staticmethod
     def _tolerant(changes: DataFrame, meta: _Meta) -> DataFrame:
@@ -963,6 +1009,10 @@ class LakeTable:
         base = self._read_files(meta, entries, with_lineage=True, with_op=True)
         if base is None:
             return 0
+        with _merge_aqe_off(self.spark):
+            return self._compact_exec(meta, targets, payload, base)
+
+    def _compact_exec(self, meta, targets, payload, base) -> int:
         kexprs = _merge_key_exprs(meta)
         nkeys = [f"__k{i}" for i in range(len(kexprs))]
         for n, c in zip(nkeys, kexprs):

@@ -1179,7 +1179,7 @@ ORACLES = {
              CAST((1000000 * s) // tot_s AS BIGINT) AS temp_ppm
       FROM per, tot
     """,
-    "doc_bpe_tokens": """
+    "doc_bpe_tokens": r"""
       WITH t AS (
         SELECT doc_id,
           regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks

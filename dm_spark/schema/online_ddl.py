@@ -41,9 +41,20 @@ def classify(source_table: str) -> tuple[str, str | None]:
 
 
 def filter_online_ddl_tables(df: DataFrame, table_col: str = "source_table") -> DataFrame:
-    """Drop DMLs on ghost and trash tables (syncer/filter.go:74-78)."""
+    """Drop DMLs on ghost and trash tables (syncer/filter.go:74-78).
+
+    The regexes only ever match names ending in one of five fixed
+    suffixes, so each RLIKE is gated behind cheap endswith checks
+    (short-circuited in codegen) — this filter sits in EVERY pipeline
+    (online_ddl defaults on) and the ungated version paid two Java
+    regex evaluations per event; identical semantics because match ⊆
+    suffix."""
     c = F.col(table_col)
-    return df.filter(~(c.rlike(GHOST_RE) | c.rlike(TRASH_RE)))
+    ghost_sfx = c.endswith("_gho") | c.endswith("_new")
+    trash_sfx = c.endswith("_ghc") | c.endswith("_del") | c.endswith("_old")
+    return df.filter(
+        ~((ghost_sfx & c.rlike(GHOST_RE)) | (trash_sfx & c.rlike(TRASH_RE)))
+    )
 
 
 @dataclass
