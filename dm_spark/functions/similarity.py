@@ -27,6 +27,37 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _dot_fixed(a, b, dim: int | None):
+    """Dot product unrolled to a fixed-dimension codegen expression.
+
+    Catalyst evaluates higher-order functions (zip_with/aggregate)
+    interpreted, with a lambda closure and an intermediate array per
+    row — measured ~1us per 64-dim pair, which dominated the ANN
+    rerank (3.07M candidate pairs at sf0.1). The unrolled
+    sum(a[i]*b[i]) is plain codegen arithmetic, an order of magnitude
+    cheaper. BIT-IDENTICAL to `_dot`: the sum is built left-
+    associative in element order, exactly the fold order of
+    `aggregate` (whose 0.0 seed is exact under IEEE +), and a per-row
+    size guard falls back to `_dot` for rows that do not have exactly
+    `dim` elements on both sides (element_at past the end would yield
+    null where the fold yields a partial sum). `dim=None` (unknown,
+    e.g. non-uniform corpora with no cheap probe) returns `_dot`."""
+    if not dim:
+        return _dot(a, b)
+    terms = [a[i] * b[i] for i in range(dim)]
+    unrolled = terms[0]
+    for t in terms[1:]:
+        unrolled = unrolled + t
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), unrolled).otherwise(_dot(a, b))
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality from ONE row (a single-row scan job, ~0.1s
+    — it buys the unrolled codegen dot above). None on an empty input."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
+    return int(row[0]["d"]) if row else None
+
+
 # sizing estimates read at most this many parquet footers; beyond it a
 # deterministic subset extrapolates (footers are metadata-only reads,
 # but a 100 TB table can have 10^6 files)
@@ -230,9 +261,18 @@ def cosine_topk_lsh(
     # localCheckpoint: one Python pass computes the signatures; the
     # self-join reads the materialized rows instead of running the
     # kernel once per join side.
-    sig = lsh_signatures(
-        df, n_planes, id_col, vec_col, n_tables=n_tables,
-        n_probes=n_probes if multiprobe else 1,
+    from dm_spark.scan import parallelize_scan
+
+    # the signature rows inherit the scan's partitioning — a one-file
+    # fixture leaves ONE partition, and the candidate distinct's
+    # map-side partial aggregation then runs single-task (measured
+    # 2.6s of a 3.0s join+distinct at sf0.1). Spread the NARROW sig
+    # rows after the Python kernel (no-op on multi-file inputs).
+    sig = parallelize_scan(
+        lsh_signatures(
+            df, n_planes, id_col, vec_col, n_tables=n_tables,
+            n_probes=n_probes if multiprobe else 1,
+        )
     ).localCheckpoint()
     home = sig.where("is_home").select("id", "table", "bucket")
     probes = sig.select("id", "table", "bucket") if multiprobe else home
@@ -248,6 +288,7 @@ def cosine_topk_lsh(
         .distinct()
     )
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    dim = _probe_dim(df, vec_col)
     pairs = (
         cand.join(
             base.select(F.col("id"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")),
@@ -262,7 +303,7 @@ def cosine_topk_lsh(
         .select(
             "id",
             "nbr",
-            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+            (_dot_fixed(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb"))).alias("cos"),
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
@@ -312,9 +353,18 @@ def embedding_near_dup_pairs_lsh(
     # restructure as cosine_topk_lsh (guide §2.3/§8); the exact cosine
     # expression is unchanged and symmetric per element, so the verify
     # is bit-identical to the old per-duplicate evaluation.
-    sig = lsh_signatures(
-        df, n_planes, id_col, vec_col, n_tables=n_tables,
-        n_probes=n_probes if multiprobe else 1,
+    from dm_spark.scan import parallelize_scan
+
+    # the signature rows inherit the scan's partitioning — a one-file
+    # fixture leaves ONE partition, and the candidate distinct's
+    # map-side partial aggregation then runs single-task (measured
+    # 2.6s of a 3.0s join+distinct at sf0.1). Spread the NARROW sig
+    # rows after the Python kernel (no-op on multi-file inputs).
+    sig = parallelize_scan(
+        lsh_signatures(
+            df, n_planes, id_col, vec_col, n_tables=n_tables,
+            n_probes=n_probes if multiprobe else 1,
+        )
     ).localCheckpoint()
     home = sig.where("is_home").select("id", "table", "bucket")
     probes = sig.select("id", "table", "bucket") if multiprobe else home
@@ -338,6 +388,7 @@ def embedding_near_dup_pairs_lsh(
         .distinct()
     )
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    dim = _probe_dim(df, vec_col)
     return (
         cand.join(
             base.select(
@@ -352,7 +403,7 @@ def embedding_near_dup_pairs_lsh(
             "id_b",
         )
         .where(
-            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))) >= min_cos
+            (_dot_fixed(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb"))) >= min_cos
         )
         .select("id_a", "id_b")
     )
@@ -511,8 +562,12 @@ def cosine_topk_ivf(
     # generation + dedup BEFORE vectors attach — same restructure as
     # cosine_topk_lsh (guide §2.3/§8); the exact cosine expression is
     # unchanged so results are bit-identical.
-    lists = df.mapInPandas(
-        assign_lists, schema="id long, list_id long, is_home boolean"
+    from dm_spark.scan import parallelize_scan
+
+    # spread the narrow list rows after the Python kernel — same
+    # single-partition distinct bottleneck as cosine_topk_lsh
+    lists = parallelize_scan(
+        df.mapInPandas(assign_lists, schema="id long, list_id long, is_home boolean")
     ).localCheckpoint()
     # members: home list only; queries: all probed lists
     cand = (
@@ -525,6 +580,7 @@ def cosine_topk_ivf(
         .distinct()
     )
     base = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "_v", "_norm")
+    dim = _probe_dim(df, vec_col)
     pairs = (
         cand.join(
             base.select(F.col("id"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")),
@@ -539,7 +595,7 @@ def cosine_topk_ivf(
         .select(
             "id",
             "nbr",
-            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+            (_dot_fixed(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb"))).alias("cos"),
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("nbr").asc())
