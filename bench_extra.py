@@ -91,6 +91,66 @@ def run_explain(suffix: str, names: list[str]) -> None:
     spark.stop()
 
 
+def profile_replay(reps: int = 2) -> None:
+    """Phase-level wall breakdown of the replay-through-lake shape at
+    SF_DIR (guide §1.5: the merges are ACTIONS — a plan capture of the
+    returned DataFrame only shows the final read, so the per-phase wall
+    is the evidence for the merge-path numbers in OPTIMIZATION_r06.md)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from dm_spark import queries_cdc as qc
+    from dm_spark.lake import LakeTable
+
+    spark = _spark()
+    entrymod._pin_session(spark)
+    for rep in range(reps):
+        marks: list[tuple[str, float]] = []
+        t = time.time()
+
+        def mark(label: str) -> None:
+            nonlocal t
+            now = time.time()
+            marks.append((label, round(now - t, 3)))
+            t = now
+
+        spark.sparkContext.setJobDescription(f"profile_replay:rep{rep}")
+        batch = qc._routed_batch(spark, SF_DIR)  # noqa: SLF001
+        mark("build_batch_df")
+        lake = LakeTable.create(
+            spark, tempfile.mkdtemp(prefix="dm_prof_"), qc.SCHEMA, qc.KEY, n_buckets=16
+        )
+        mark("lake_create")
+        b = batch.withColumn(
+            "__ord", F.col("_cdc_file_seq") * 1_000_000 + F.col("_cdc_pos")
+        )
+        fb = qc._feed_ord_bounds(SF_DIR)  # noqa: SLF001
+        if fb is None:
+            mm = b.agg(F.min("__ord"), F.max("__ord")).collect()[0]
+            fb = (int(mm[0]), int(mm[1]))
+        mark("ord_bounds")
+        lo_all, hi_all = fb
+        width = max(1, (hi_all - lo_all + 4) // 4)
+        cuts = [lo_all + width * i for i in range(1, 4) if lo_all + width * i < hi_all]
+        lo = None
+        for i, hi in enumerate([*cuts, None]):
+            part = b
+            if lo is not None:
+                part = part.where(F.col("__ord") > lo)
+            if hi is not None:
+                part = part.where(F.col("__ord") <= hi)
+            lake.merge_into(part.drop("__ord"), batch_id=i, prune=False)
+            mark(f"merge_{i}")
+            lo = hi
+        n = qc._final_us(lake).count()  # noqa: SLF001
+        mark(f"final_read_n={n}")
+        print(json.dumps({"rep": rep, "phases": marks,
+                          "total": round(sum(s for _, s in marks), 3)}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "headline"
     if cmd == "headline":
@@ -101,5 +161,7 @@ if __name__ == "__main__":
         suffix = sys.argv[2]
         names = sys.argv[3:] or HEADLINE
         run_explain(suffix, names)
+    elif cmd == "profile_replay":
+        profile_replay(int(sys.argv[2]) if len(sys.argv) > 2 else 2)
     else:
         raise SystemExit(f"unknown command {cmd}")

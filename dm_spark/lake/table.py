@@ -896,15 +896,22 @@ class LakeTable:
         suites; the reference's generated INSERT simply omits unknown
         columns and the downstream TiDB applies ITS default,
         syncer/dml.go — the default-fill mirrors that exactly)."""
+        # ONE select, not a withColumn per field: each withColumn copies
+        # and re-analyzes the whole logical plan driver-side — measured
+        # overhead on the per-batch merge path (guide §1.2 step 2; the
+        # resulting projection is identical)
         have = set(changes.columns)
-        for f_ in meta.fields():
-            if f_["name"] not in have:
-                changes = changes.withColumn(
-                    f_["name"], F.lit(f_.get("default")).cast(f_["type"])
-                )
-            else:
-                changes = changes.withColumn(f_["name"], F.col(f_["name"]).cast(f_["type"]))
-        return changes
+        declared = {f_["name"] for f_ in meta.fields()}
+        cols = [
+            (
+                F.col(f_["name"]).cast(f_["type"]).alias(f_["name"])
+                if f_["name"] in have
+                else F.lit(f_.get("default")).cast(f_["type"]).alias(f_["name"])
+            )
+            for f_ in meta.fields()
+        ]
+        passthrough = [F.col(c) for c in changes.columns if c not in declared]
+        return changes.select(*cols, *passthrough)
 
     def _resolve_lww(self, rep: DataFrame, meta: _Meta, payload: list[str], nkeys: list[str]) -> DataFrame:
         """One-shuffle-reused LWW resolution; keeps op (tombstones)."""
@@ -960,8 +967,9 @@ class LakeTable:
         )
         kexprs = _merge_key_exprs(meta)
         nkeys = [f"__k{i}" for i in range(len(kexprs))]
-        for n, c in zip(nkeys, kexprs):
-            inc = inc.withColumn(n, c)
+        inc = inc.select(
+            "*", *[c.alias(n) for n, c in zip(nkeys, kexprs)]
+        )
         obs = Observation()
         rep = inc.repartition(self._merge_slots(meta), *[F.col(n) for n in nkeys])
         out = (
@@ -1015,8 +1023,9 @@ class LakeTable:
     def _compact_exec(self, meta, targets, payload, base) -> int:
         kexprs = _merge_key_exprs(meta)
         nkeys = [f"__k{i}" for i in range(len(kexprs))]
-        for n, c in zip(nkeys, kexprs):
-            base = base.withColumn(n, c)
+        base = base.select(
+            "*", *[c.alias(n) for n, c in zip(nkeys, kexprs)]
+        )
         rep = base.repartition(self._merge_slots(meta), *[F.col(n) for n in nkeys])
         out = (
             self._resolve_lww(rep, meta, payload, nkeys)
@@ -1053,8 +1062,9 @@ class LakeTable:
         if base is not None:
             kexprs = _merge_key_exprs(meta)
             nkeys = [f"__k{i}" for i in range(len(kexprs))]
-            for n, c in zip(nkeys, kexprs):
-                base = base.withColumn(n, c)
+            base = base.select(
+                "*", *[c.alias(n) for n, c in zip(nkeys, kexprs)]
+            )
             rep = base.repartition(self._merge_slots(meta), *[F.col(n) for n in nkeys])
             out = (
                 self._resolve_lww(rep, meta, payload, nkeys)
@@ -1159,7 +1169,9 @@ class LakeTable:
         key = meta.key
         payload = [f["name"] for f in meta.fields()]
         changes = self._tolerant(changes, meta)
-        inc = changes.withColumn(HASH_SEED_COL, bexpr)
+        # the bucket column only feeds the prune pass; the bulk path
+        # repartitions on the key exprs directly (slot == bucket)
+        inc = changes.withColumn(HASH_SEED_COL, bexpr) if prune else changes
 
         obs_in = None
         loc = None
@@ -1222,8 +1234,9 @@ class LakeTable:
         # reference's per-queue ordered apply, syncer/dml_worker.go).
         kexprs = _merge_key_exprs(meta)
         nkeys = [f"__k{i}" for i in range(len(kexprs))]
-        for n, c in zip(nkeys, kexprs):
-            merged = merged.withColumn(n, c)
+        merged = merged.select(
+            "*", *[c.alias(n) for n, c in zip(nkeys, kexprs)]
+        )
         obs = Observation()
         rep = merged.repartition(self._merge_slots(meta), *[F.col(n) for n in nkeys])
         resolved = self._resolve_lww(rep, meta, payload, nkeys)

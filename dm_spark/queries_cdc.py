@@ -8,6 +8,7 @@ as epoch microseconds (bigint) so value hashing is engine-stable.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -333,6 +334,62 @@ FROM pc GROUP BY 1
 )
 
 
+def _events_eid_bounds(sf_dir: str) -> tuple[int, int] | None:
+    """(min, max) event_id of `<sf_dir>/events.parquet` from parquet
+    FOOTER statistics — zero Spark jobs, zero data scan (guide §1/§6).
+
+    The replay queries only need feed-location bounds to place their
+    equal-width batch cuts, and every location component is a strictly
+    increasing function of event_id (file_seq = eid//1000, pos =
+    eid%1000, txn_id = eid//10), so footer min/max of event_id gives the
+    EXACT same bounds the old min/max aggregation job computed — one
+    full feed-derivation job saved per replay query. Returns None when
+    statistics are unavailable (callers fall back to the agg job)."""
+    from dm_spark.scan import parquet_column_bounds
+
+    b = parquet_column_bounds(os.path.join(sf_dir, "events.parquet"), "event_id")
+    return (int(b[0]), int(b[1])) if b is not None else None
+
+
+def _eid_ord(eid: int) -> int:
+    """The replay split ordinal of an event: __ord = file_seq * 1e6 +
+    pos = (eid // 1000) * 1_000_000 + eid % 1000 — strictly increasing
+    in eid (single source for the footer-bounds fast path)."""
+    return (eid // 1000) * 1_000_000 + (eid % 1000)
+
+
+def _feed_ord_bounds(sf_dir: str) -> tuple[int, int] | None:
+    b = _events_eid_bounds(sf_dir)
+    return (_eid_ord(b[0]), _eid_ord(b[1])) if b else None
+
+
+def _feed_txn_bounds(sf_dir: str) -> tuple[int, int] | None:
+    b = _events_eid_bounds(sf_dir)
+    return (b[0] // 10, b[1] // 10) if b else None
+
+
+def _fixture_buckets(sf_dir: str, default: int = 16) -> int:
+    """Scale-adaptive bucket count for the transient replay-fixture
+    lakes: ~25k feed events per bucket, power of two in [4, 32] (guide
+    §2: derive partitioning from input size instead of a constant tuned
+    for one scale). The bucket count only shapes the physical layout —
+    merge task count and files per commit — never the replayed state;
+    at the small driver sfs 4 buckets cut the per-commit fixed cost
+    (measured at sf0.1: 4-merge replay 3.4 -> 3.0s vs n_buckets=16),
+    while a larger generated sf scales back up to 32 write slots.
+    Production tables size n_buckets by target bucket bytes instead
+    (lake/table.py docstring); this law is for the bounded fixtures."""
+    from dm_spark.scan import parquet_num_rows
+
+    n = parquet_num_rows(os.path.join(sf_dir, "events.parquet"))
+    if n is None:
+        return default
+    nb = 4
+    while nb < 32 and n > nb * 25_000:
+        nb *= 2
+    return nb
+
+
 def _flat(df: DataFrame) -> DataFrame:
     return df.selectExpr(*_FLAT_COLS)
 
@@ -344,30 +401,56 @@ def _final_us(lake: LakeTable) -> DataFrame:
 
 
 def _replay_through_lake(
-    spark: SparkSession, batch: DataFrame, n_batches: int = 4, n_buckets: int = 16,
+    spark: SparkSession, batch: DataFrame, n_batches: int = 4,
+    n_buckets: int | None = None,
     schema=None, key=None, write_mode: str = "cow", compact_after: bool = False,
     pre_reduce: int | None = None, unique_keys=None, change_feed: bool = False,
+    sf_dir: str | None = None,
 ) -> LakeTable:
+    # sf_dir powers the two footer fast paths: scale-adaptive bucket
+    # count and the ord-bound cuts below (both zero-scan; None keeps
+    # the old fixed-16 + agg-job behavior)
+    if n_buckets is None:
+        n_buckets = _fixture_buckets(sf_dir) if sf_dir else 16
+    ord_bounds = _feed_ord_bounds(sf_dir) if sf_dir else None
     lake = LakeTable.create(
         spark, tempfile.mkdtemp(prefix="dm_q_"), schema or SCHEMA, key or KEY,
         n_buckets=n_buckets, write_mode=write_mode, unique_keys=unique_keys,
         change_feed=change_feed,
     )
-    # NOT persisted: the upstream here is pure JVM column math over one
-    # parquet scan, and each bulk merge is single-pass — re-deriving a
-    # range is cheaper than writing the whole flattened feed into the
-    # block cache (profiled at sf0.1: 12.5s -> 10.1s). Persist an
-    # expensive upstream (pandas-UDF decode) at the CALLER if needed.
     batch = batch.withColumn(
         "__ord", F.col("_cdc_file_seq") * 1_000_000 + F.col("_cdc_pos")
     )
-    # equal-width location cuts from one min/max agg — cheaper than
-    # an approxQuantile pass; batch sizes may skew but replay
-    # semantics only need contiguous location ranges
-    mm = batch.agg(F.min("__ord"), F.max("__ord")).collect()[0]
-    if mm[0] is None:  # fully-filtered feed: an empty lake is the answer
-        return lake
-    lo_all, hi_all = int(mm[0]), int(mm[1])
+    # localCheckpoint, not persist(): .persist() keeps the full lineage,
+    # so every merge ACTION still re-optimizes the scan+envelope+explode
+    # subtree driver-side (~0.2-0.3s/action — the dominant per-merge
+    # cost at bench scale, measured via noop isolation: the warm
+    # upstream compute is only ~0.05s); the eager local checkpoint
+    # materializes the flattened batch ONCE and truncates the plan, so
+    # each of the n_batches merges plans over a leaf scan. Measured at
+    # sf0.1: replay 3.9 -> 3.2s warm, 13.0 -> 4.2s cold (first-plan
+    # codegen paid once, not five times). Scale shape: one bounded
+    # batch materialized per replay — the same "materialize an
+    # expensive/reused upstream" rule the ANN candidate paths apply
+    # (guide §3.3/§5).
+    batch = batch.localCheckpoint(eager=True)
+    # equal-width location cuts. `ord_bounds` (parquet-footer bounds,
+    # see _feed_ord_bounds) skips the min/max aggregation job — for the
+    # unfiltered feed the bounds are EXACT (same cuts, same batches);
+    # for a filtered feed they may be wider, which only shifts the cut
+    # positions: the final state is cut-invariant because batches stay
+    # contiguous increasing location ranges and the fixture feeds'
+    # LWW order (ts, file_seq, pos) is consistent with location order
+    # (ts monotone in event_id), so a later batch can never lose LWW
+    # to — nor resurrect a delete from — an earlier one. The DuckDB
+    # oracle (global single-window law) pins this at every sf.
+    if ord_bounds is None:
+        mm = batch.agg(F.min("__ord"), F.max("__ord")).collect()[0]
+        if mm[0] is None:  # fully-filtered feed: an empty lake is the answer
+            return lake
+        lo_all, hi_all = int(mm[0]), int(mm[1])
+    else:
+        lo_all, hi_all = ord_bounds
     width = max(1, (hi_all - lo_all + n_batches) // n_batches)
     cuts = [
         lo_all + width * i
@@ -406,7 +489,11 @@ def _routed_batch(spark, sf_dir):
 def _replayed_fin(spark, sf_dir):
     """FINAL replayed state (conv_id, turn_idx, role, text, tool,
     ts_us) — the frame every off-the-lake composite aggregates."""
-    return _final_us(_replay_through_lake(spark, _routed_batch(spark, sf_dir)))
+    return _final_us(
+        _replay_through_lake(
+            spark, _routed_batch(spark, sf_dir), sf_dir=sf_dir
+        )
+    )
 
 
 # ------------------------------------------------------------------ queries
@@ -418,7 +505,14 @@ def q_feed_decode(spark, sf_dir):
 def q_wire_decode(spark, sf_dir):
     """Round-trip through the wire format: envelope -> JSON wire rows ->
     Arrow-batched pandas decode -> envelope (the go-mysql decode analog).
-    Must be value-identical to the direct feed."""
+    Must be value-identical to the direct feed.
+
+    NOT parallelize_scan'd (measured at sf0.1, r6): spreading the
+    one-row-group fixture over 32 tasks costs a python worker spin-up
+    per task for the mapInArrow kernel (reuse=false, session.py), a net
+    LOSS (1.2s -> 2.4s warmed) — the Arrow-native kernel clears 100k
+    events on one core faster than 32 cold workers start. The JVM twin
+    below has no workers and DOES take the floor."""
     from dm_spark.sources.decode import decode_wire, to_wire
 
     return _flat(decode_wire(to_wire(change_feed(spark, sf_dir))))
@@ -428,10 +522,14 @@ def q_wire_decode_jvm(spark, sf_dir):
     """Same wire round-trip decoded fully JVM-side (from_json inside
     whole-stage codegen, zero Python workers) — the fast path for a
     static wire schema; must be value-identical to the pandas decode
-    (shared oracle)."""
+    (shared oracle). Same adaptive scan floor as q_wire_decode: the
+    from_json parse is the per-row-heavy stage here."""
+    from dm_spark.scan import parallelize_scan
     from dm_spark.sources.decode import decode_wire_jvm, to_wire
 
-    return _flat(decode_wire_jvm(to_wire(change_feed(spark, sf_dir))))
+    return _flat(
+        decode_wire_jvm(to_wire(parallelize_scan(change_feed(spark, sf_dir))))
+    )
 
 
 def q_generated_prune(spark, sf_dir):
@@ -511,7 +609,9 @@ def q_dedup_lww_salted(spark, sf_dir):
 
 def q_replay_merge(spark, sf_dir):
     batch = _routed_batch(spark, sf_dir)
-    return _final_us(_replay_through_lake(spark, batch))
+    return _final_us(
+        _replay_through_lake(spark, batch, sf_dir=sf_dir)
+    )
 
 
 def q_replay_scrubbed(spark, sf_dir):
@@ -534,7 +634,9 @@ def q_replay_scrubbed(spark, sf_dir):
         ],
     )
     batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
-    return _final_us(_replay_through_lake(spark, batch))
+    return _final_us(
+        _replay_through_lake(spark, batch, sf_dir=sf_dir)
+    )
 
 
 def q_convo_hygiene(spark, sf_dir):
@@ -608,9 +710,12 @@ def q_change_feed_chain(spark, sf_dir):
     pipeline consume incremental table deltas instead of rescanning at
     every step."""
     batch = _routed_batch(spark, sf_dir)
-    lake1 = _replay_through_lake(spark, batch, change_feed=True)
+    lake1 = _replay_through_lake(
+        spark, batch, change_feed=True, sf_dir=sf_dir
+    )
     lake2 = LakeTable.create(
-        spark, tempfile.mkdtemp(prefix="dm_q_"), SCHEMA, KEY, n_buckets=16
+        spark, tempfile.mkdtemp(prefix="dm_q_"), SCHEMA, KEY,
+        n_buckets=_fixture_buckets(sf_dir)
     )
     lake2.merge_into(lake1.changes().drop("_change_version"), prune=False)
     return _final_us(lake2)
@@ -625,9 +730,13 @@ def q_change_feed_chain_mor(spark, sf_dir):
     from dm_spark.streaming import replicate_lake_poll
 
     batch = _routed_batch(spark, sf_dir)
-    lake1 = _replay_through_lake(spark, batch, write_mode="mor", change_feed=True)
+    lake1 = _replay_through_lake(
+        spark, batch, write_mode="mor", change_feed=True,
+        sf_dir=sf_dir,
+    )
     lake2 = LakeTable.create(
-        spark, tempfile.mkdtemp(prefix="dm_q_"), SCHEMA, KEY, n_buckets=16
+        spark, tempfile.mkdtemp(prefix="dm_q_"), SCHEMA, KEY,
+        n_buckets=_fixture_buckets(sf_dir)
     )
     replicate_lake_poll(spark, lake1, lake2, "q_chain_mor")
     return _final_us(lake2)
@@ -639,7 +748,11 @@ def q_replay_merge_salted(spark, sf_dir):
     shuffle) — must be state-identical to the plain replay (shared
     oracle)."""
     batch = _routed_batch(spark, sf_dir)
-    return _final_us(_replay_through_lake(spark, batch, pre_reduce=16))
+    return _final_us(
+        _replay_through_lake(
+            spark, batch, pre_reduce=16, sf_dir=sf_dir
+        )
+    )
 
 
 def q_replay_merge_mor(spark, sf_dir):
@@ -647,7 +760,10 @@ def q_replay_merge_mor(spark, sf_dir):
     + tombstones + compaction) — shares the CoW oracle, proving the two
     storage modes are state-equivalent."""
     batch = _routed_batch(spark, sf_dir)
-    lake = _replay_through_lake(spark, batch, write_mode="mor", compact_after=True)
+    lake = _replay_through_lake(
+        spark, batch, write_mode="mor", compact_after=True,
+        sf_dir=sf_dir,
+    )
     return _final_us(lake)
 
 
@@ -664,7 +780,9 @@ def q_replay_filtered(spark, sf_dir):
         routes=[RouteRule(pattern="shard_*.transcripts_*", target="transcripts")],
     )
     batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
-    return _final_us(_replay_through_lake(spark, batch))
+    return _final_us(
+        _replay_through_lake(spark, batch, sf_dir=sf_dir)
+    )
 
 
 def q_shard_merge_mapped(spark, sf_dir):
@@ -673,7 +791,9 @@ def q_shard_merge_mapped(spark, sf_dir):
         column_mappings=[shard_prefix_rule("shard_*.transcripts_*")],
     )
     batch = ApplyPipeline(cfg).transform(change_feed(spark, sf_dir)).drop("target_table")
-    return _final_us(_replay_through_lake(spark, batch))
+    return _final_us(
+        _replay_through_lake(spark, batch, sf_dir=sf_dir)
+    )
 
 
 def q_safe_mode_replay(spark, sf_dir):
@@ -682,9 +802,12 @@ def q_safe_mode_replay(spark, sf_dir):
     cfg = TaskConfig(routes=list(_ROUTES))
     feed = change_feed(spark, sf_dir)
     batch = ApplyPipeline(cfg).transform(feed).drop("target_table")
-    lake = _replay_through_lake(spark, batch)
-    mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
-    cut = mm[0] + (mm[1] - mm[0]) * 4 // 5
+    lake = _replay_through_lake(spark, batch, sf_dir=sf_dir)
+    tb = _feed_txn_bounds(sf_dir)
+    if tb is None:
+        mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
+        tb = (mm[0], mm[1])
+    cut = tb[0] + (tb[1] - tb[0]) * 4 // 5
     tail = ApplyPipeline(cfg).transform(feed.where(F.col("txn_id") > cut)).drop("target_table")
     lake.merge_into(tail)  # redelivery, no batch gate
     return _final_us(lake)
@@ -699,7 +822,9 @@ def q_key_change_replay(spark, sf_dir):
     cfg = TaskConfig(routes=list(_ROUTES))
     feed = change_feed(spark, sf_dir, km_every=1)
     batch = ApplyPipeline(cfg).transform(feed).drop("target_table")
-    return _final_us(_replay_through_lake(spark, batch))
+    return _final_us(
+        _replay_through_lake(spark, batch, sf_dir=sf_dir)
+    )
 
 
 def _uk_feed(spark, sf_dir):
@@ -737,7 +862,7 @@ def q_uk_identity_replay(spark, sf_dir):
     batch = flatten_changes(feed, key=KEY, unique_keys=[["uk_id"]])
     lake = _replay_through_lake(
         spark, batch, schema=SCHEMA + [("uk_id", "string")], key=KEY,
-        unique_keys=[["uk_id"]],
+        unique_keys=[["uk_id"]], sf_dir=sf_dir,
     )
     return lake.read().select(
         "conv_id", "turn_idx", "uk_id", "role", "text", "tool",
@@ -1017,14 +1142,23 @@ def q_preference_incremental(spark, sf_dir):
     )
 
     batch = _routed_batch(spark, sf_dir)
-    index = create_pref_index(spark, tempfile.mkdtemp(prefix="dm_pref_"), n_buckets=16)
+    index = create_pref_index(
+        spark, tempfile.mkdtemp(prefix="dm_pref_"), n_buckets=_fixture_buckets(sf_dir)
+    )
     b = batch.withColumn(
         "__ord", F.col("_cdc_file_seq") * 1_000_000 + F.col("_cdc_pos")
     )
-    mm = b.agg(F.min("__ord"), F.max("__ord")).collect()[0]
-    if mm[0] is None:
-        return preference_pairs_from_index(index)
-    lo_all, hi_all = int(mm[0]), int(mm[1])
+    # materialize the flattened feed once (plan truncation — same
+    # measured rationale as _replay_through_lake): each fold makes
+    # multiple passes over its range and replans per action otherwise
+    b = b.localCheckpoint(eager=True)
+    fb = _feed_ord_bounds(sf_dir)  # exact footer bounds: unfiltered feed
+    if fb is None:
+        mm = b.agg(F.min("__ord"), F.max("__ord")).collect()[0]
+        if mm[0] is None:
+            return preference_pairs_from_index(index)
+        fb = (int(mm[0]), int(mm[1]))
+    lo_all, hi_all = fb
     n_batches = 4
     width = max(1, (hi_all - lo_all + n_batches) // n_batches)
     cuts = [lo_all + width * i for i in range(1, n_batches) if lo_all + width * i < hi_all]
@@ -1254,14 +1388,23 @@ def q_best_of_incremental(spark, sf_dir):
     )
 
     batch = _routed_batch(spark, sf_dir)
-    index = create_best_index(spark, tempfile.mkdtemp(prefix="dm_best_"), n_buckets=16)
+    index = create_best_index(
+        spark, tempfile.mkdtemp(prefix="dm_best_"), n_buckets=_fixture_buckets(sf_dir)
+    )
     b = batch.withColumn(
         "__ord", F.col("_cdc_file_seq") * 1_000_000 + F.col("_cdc_pos")
     )
-    mm = b.agg(F.min("__ord"), F.max("__ord")).collect()[0]
-    if mm[0] is None:
-        return best_of_from_index(index)
-    lo_all, hi_all = int(mm[0]), int(mm[1])
+    # materialize the flattened feed once (plan truncation — same
+    # measured rationale as _replay_through_lake): each fold makes
+    # multiple passes over its range and replans per action otherwise
+    b = b.localCheckpoint(eager=True)
+    fb = _feed_ord_bounds(sf_dir)  # exact footer bounds: unfiltered feed
+    if fb is None:
+        mm = b.agg(F.min("__ord"), F.max("__ord")).collect()[0]
+        if mm[0] is None:
+            return best_of_from_index(index)
+        fb = (int(mm[0]), int(mm[1]))
+    lo_all, hi_all = fb
     n_batches = 4
     width = max(1, (hi_all - lo_all + n_batches) // n_batches)
     cuts = [lo_all + width * i for i in range(1, n_batches) if lo_all + width * i < hi_all]
@@ -1389,7 +1532,7 @@ def q_validator_checksum(spark, sf_dir):
     from dm_spark.validator import checksum_digests
 
     batch = _routed_batch(spark, sf_dir)
-    lake = _replay_through_lake(spark, batch)
+    lake = _replay_through_lake(spark, batch, sf_dir=sf_dir)
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts_us"]
     return checksum_digests(_final_us(lake), cols)
 
@@ -1416,13 +1559,17 @@ def q_ddl_evolution(spark, sf_dir):
     widen turn_idx to bigint (optimistic shard-DDL semantics:
     pkg/shardddl/optimism/lock.go:115 schema join -> table-global ALTER)."""
     feed = change_feed(spark, sf_dir)
-    mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
-    mid = (mm[0] + mm[1]) // 2
+    tb = _feed_txn_bounds(sf_dir)  # footer-exact (txn_id = eid // 10)
+    if tb is None:
+        mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
+        tb = (mm[0], mm[1])
+    mid = (tb[0] + tb[1]) // 2
     cfg = TaskConfig(routes=list(_ROUTES))
     pipe = ApplyPipeline(cfg)
 
     lake = LakeTable.create(
-        spark, tempfile.mkdtemp(prefix="dm_ddl_"), SCHEMA, KEY, n_buckets=16
+        spark, tempfile.mkdtemp(prefix="dm_ddl_"), SCHEMA, KEY,
+        n_buckets=_fixture_buckets(sf_dir)
     )
     a = pipe.transform(feed.where(F.col("txn_id") <= mid)).drop("target_table")
     lake.merge_into(a, batch_id=0)
@@ -1469,13 +1616,17 @@ def q_ddl_default_backfill(spark, sf_dir):
     from dm_spark.schema.ddl_parser import parse_ddl
 
     feed = change_feed(spark, sf_dir)
-    mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
-    mid = (mm[0] + mm[1]) // 2
+    tb = _feed_txn_bounds(sf_dir)  # footer-exact (txn_id = eid // 10)
+    if tb is None:
+        mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
+        tb = (mm[0], mm[1])
+    mid = (tb[0] + tb[1]) // 2
     cfg = TaskConfig(routes=list(_ROUTES))
     pipe = ApplyPipeline(cfg)
 
     lake = LakeTable.create(
-        spark, tempfile.mkdtemp(prefix="dm_dflt_"), SCHEMA, KEY, n_buckets=16
+        spark, tempfile.mkdtemp(prefix="dm_dflt_"), SCHEMA, KEY,
+        n_buckets=_fixture_buckets(sf_dir)
     )
     a = pipe.transform(feed.where(F.col("txn_id") <= mid)).drop("target_table")
     lake.merge_into(a, batch_id=0)
@@ -1509,12 +1660,16 @@ def q_optimistic_ddl(spark, sf_dir):
     from dm_spark.plans import DdlEvent, ReplayRunner
 
     feed = change_feed(spark, sf_dir)
-    mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
-    mid = (mm[0] + mm[1]) // 2
+    tb = _feed_txn_bounds(sf_dir)  # footer-exact (txn_id = eid // 10)
+    if tb is None:
+        mm = feed.agg(F.min("txn_id"), F.max("txn_id")).collect()[0]
+        tb = (mm[0], mm[1])
+    mid = (tb[0] + tb[1]) // 2
     cfg = TaskConfig(routes=list(_ROUTES))
     pipe = ApplyPipeline(cfg)
     lake = LakeTable.create(
-        spark, tempfile.mkdtemp(prefix="dm_opt_"), SCHEMA, KEY, n_buckets=16
+        spark, tempfile.mkdtemp(prefix="dm_opt_"), SCHEMA, KEY,
+        n_buckets=_fixture_buckets(sf_dir)
     )
     runner = ReplayRunner(
         pipeline=pipe,
@@ -1560,7 +1715,8 @@ def q_ddl_filtered(spark, sf_dir):
     )
     pipe = ApplyPipeline(cfg)
     lake = LakeTable.create(
-        spark, tempfile.mkdtemp(prefix="dm_df_"), SCHEMA, KEY, n_buckets=16
+        spark, tempfile.mkdtemp(prefix="dm_df_"), SCHEMA, KEY,
+        n_buckets=_fixture_buckets(sf_dir)
     )
     runner = ReplayRunner(pipeline=pipe, lake=lake)
     ddls = [

@@ -38,6 +38,39 @@ def _docs(spark, sf_dir):
     return parallelize_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _doc_buckets(sf_dir, default: int = 16) -> int:
+    """Scale-adaptive bucket count for the incremental-index fixture
+    lakes (~25k docs per bucket, power of two in [4, 32]) — same law
+    and rationale as queries_cdc._fixture_buckets; bucket count only
+    shapes layout, never results."""
+    from dm_spark.scan import parquet_num_rows
+
+    n = parquet_num_rows(f"{sf_dir}/documents.parquet")
+    if n is None:
+        return default
+    nb = 4
+    while nb < 32 and n > nb * 25_000:
+        nb *= 2
+    return nb
+
+
+def _doc_id_max(spark, sf_dir) -> int:
+    """max(doc_id) for the incremental-fold batch windows, from parquet
+    FOOTER statistics when available (zero Spark jobs — guide §1/§6; the
+    batch cuts only need the upper bound), falling back to the agg job."""
+    from dm_spark.scan import parquet_column_bounds
+
+    b = parquet_column_bounds(f"{sf_dir}/documents.parquet", "doc_id")
+    if b is not None:
+        return int(b[1])
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+        or 0
+    )
+
+
 def _embs(spark, sf_dir):
     # NOT parallelize_scan'd: the embedding kernels are mapInPandas —
     # splitting a small fixture over 32 partitions costs a python
@@ -375,8 +408,10 @@ def q_doc_incremental_dedup(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-    index = create_fp_index(spark, tempfile.mkdtemp(prefix="dm_q_fpidx_"), n_buckets=16)
+    hi = _doc_id_max(spark, sf_dir)
+    index = create_fp_index(
+        spark, tempfile.mkdtemp(prefix="dm_q_fpidx_"), n_buckets=_doc_buckets(sf_dir)
+    )
     step = hi // 5 + 1
     for i in range(5):
         batch = docs.where(
@@ -399,9 +434,9 @@ def q_doc_incremental_minhash(spark, sf_dir):
     from dm_spark.functions.incremental import MinHashIndex
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    hi = _doc_id_max(spark, sf_dir)
     idx = MinHashIndex.create(
-        spark, tempfile.mkdtemp(prefix="dm_q_mhidx_"), n_buckets=16
+        spark, tempfile.mkdtemp(prefix="dm_q_mhidx_"), n_buckets=_doc_buckets(sf_dir)
     )
     step = hi // 3 + 1
     parts = []

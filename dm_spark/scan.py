@@ -58,3 +58,69 @@ def parallelize_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     except Exception:  # noqa: BLE001 — unreadable/non-parquet: leave as-is
         return df
     return df.repartition(target)
+
+
+def parquet_num_rows(path: str) -> int | None:
+    """Total row count of a parquet file (or directory of part files)
+    from FOOTER metadata — zero Spark jobs. None when unreadable."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        paths = [path]
+    elif os.path.isdir(path):
+        paths = [
+            os.path.join(path, fn) for fn in os.listdir(path) if fn.endswith(".parquet")
+        ]
+    else:
+        return None
+    try:
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def parquet_column_bounds(path: str, column: str) -> tuple | None:
+    """(min, max) of `column` over a parquet file (or directory of part
+    files) from FOOTER statistics — zero Spark jobs, zero data scan
+    (guide §1/§6). Returns None when the path, column or statistics are
+    missing; callers fall back to an aggregation job. Used by queries
+    whose only need is a split/cut bound over a column the fixtures
+    store with exact row-group statistics (event_id, doc_id)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        paths = [path]
+    elif os.path.isdir(path):
+        paths = [
+            os.path.join(path, fn) for fn in os.listdir(path) if fn.endswith(".parquet")
+        ]
+    else:
+        return None
+    lo = hi = None
+    for p in paths:
+        try:
+            md = pq.ParquetFile(p).metadata
+        except Exception:  # noqa: BLE001 — unreadable: fall back to the agg
+            return None
+        if md.num_row_groups == 0:
+            continue
+        col_idx = None
+        for i in range(md.num_columns):
+            if md.row_group(0).column(i).path_in_schema == column:
+                col_idx = i
+                break
+        if col_idx is None:
+            return None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return lo, hi
