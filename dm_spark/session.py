@@ -12,6 +12,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_master_with_failures(master: str, failures: int) -> str:
+    """local[N] -> local[N,F]: local mode defaults to task
+    maxFailures=1, where ONE lost/killed python worker fails the whole
+    job — a real cluster runs with maxFailures=4 and simply retries
+    the task. The bracket syntax is the only way to set it in local
+    mode (the spark.task.maxFailures conf is ignored there); the core
+    count stays exactly the caller's. Pairs with the worker
+    idle-timeout kill in get_spark so a wedged worker self-heals:
+    kill -> task retry -> job completes (slower, never hung).
+    DM_SPARK_TASK_MAX_FAILURES=1 restores fail-fast; non-local and
+    already-bracketed masters pass through untouched."""
+    import re
+
+    if failures > 1 and re.fullmatch(r"local\[(\d+|\*)\]", master):
+        return f"{master[:-1]},{failures}]"
+    return master
+
+
 def get_spark(
     app_name: str = "dm_spark",
     master: str | None = None,
@@ -22,6 +40,9 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master == "local[*]" and cpus:
         master = f"local[{cpus}]"
+    master = _local_master_with_failures(
+        master, int(os.environ.get("DM_SPARK_TASK_MAX_FAILURES", "4"))
+    )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("DM_SPARK_SHUFFLE_PARTITIONS", "32"))
     b = (
@@ -55,6 +76,22 @@ def get_spark(
             os.environ.get("DM_SPARK_PY_WORKER_REUSE", "false"),
         )
     )
+    # wedged-python-worker self-healing (Spark 4.1): a worker that
+    # produces NOTHING for this long while its task waits on it is
+    # killed by the JVM reader, failing the task; the local[N,F]
+    # translation above then retries it. Observed on this box
+    # (2026-08-22): an intermittent full-duplex wedge — worker blocked
+    # in tcp send, JVM reader select'ing forever — froze a 4-core
+    # decode+apply leg >11 min (the same stall class CLAUDE.md
+    # documents at 33-44s, unbounded variant). The timed run degrades
+    # by ~the timeout instead of hanging until an external kill. Our
+    # kernels stream a batch every few ms, so 300s of silence is
+    # unambiguous. DM_SPARK_PY_WORKER_IDLE_TIMEOUT=0 disables.
+    idle = os.environ.get("DM_SPARK_PY_WORKER_IDLE_TIMEOUT", "300")
+    if int(idle) > 0:
+        b = b.config("spark.python.worker.idleTimeoutSeconds", idle).config(
+            "spark.python.worker.killOnIdleTimeout", "true"
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
