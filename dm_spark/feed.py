@@ -112,18 +112,30 @@ def _envelope(
     ]
 
 
-def change_feed(spark: SparkSession, sf_dir: str, km_every: int | None = 9) -> DataFrame:
+def change_feed(
+    spark: SparkSession, sf_dir: str, km_every: int | None = 9,
+    parallelize: bool = False,
+) -> DataFrame:
     """Deterministic change feed derived from `<sf_dir>/events.parquet`.
 
     Pure column arithmetic — stays in whole-stage codegen; the parquet
     scan only reads (event_id, user_id, event_type, ts).
+
+    `parallelize=False` default — measured at sf0.1: the
+    envelope+flatten work per merge batch (~0.14s single-task) is
+    cheaper than the exchange + extra stage it would buy (~+0.5s/job);
+    the corpus readers with heavy per-row kernels are where
+    parallelize_scan pays. `parallelize=True` applies the adaptive
+    floor (scan.py) to the RAW narrow scan, so the exchange carries
+    ~40B/event and the envelope struct build itself spreads — for
+    consumers whose per-event work downstream is heavy (the wire
+    round-trip) on a few-row-group input. Values identical either way.
     """
-    # NOTE: no adaptive repartition here (scan.py) — measured at sf0.1:
-    # the envelope+flatten work per merge batch (~0.14s single-task) is
-    # cheaper than the exchange + extra AQE stage it would buy
-    # (~+0.5s/job); the corpus readers with heavy per-row kernels are
-    # where parallelize_scan pays.
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if parallelize:
+        from dm_spark.scan import parallelize_scan
+
+        ev = parallelize_scan(ev)
     eid, uid = F.col("event_id"), F.col("user_id")
     # parquet naive timestamps surface as TIMESTAMP_NTZ in Spark 4;
     # session TZ is pinned UTC so this cast is value-preserving

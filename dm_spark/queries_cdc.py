@@ -507,28 +507,37 @@ def q_wire_decode(spark, sf_dir):
     Arrow-batched pandas decode -> envelope (the go-mysql decode analog).
     Must be value-identical to the direct feed.
 
-    NOT parallelize_scan'd (measured at sf0.1, r6): spreading the
-    one-row-group fixture over 32 tasks costs a python worker spin-up
-    per task for the mapInArrow kernel (reuse=false, session.py), a net
-    LOSS (1.2s -> 2.4s warmed) — the Arrow-native kernel clears 100k
-    events on one core faster than 32 cold workers start. The JVM twin
-    below has no workers and DOES take the floor."""
+    Scan-parallelism is SIZE-GATED (footer row count, zero scan):
+    below ~300k events the Arrow-native kernel clears the feed on one
+    core faster than 32 cold python workers start (reuse=false,
+    session.py; measured at sf0.1/100k: 1.2s single-task vs 2.4s
+    parallel), while at 10x that the single task is the bottleneck
+    (measured on a 1M-event fixture: 4.3s single vs ~1.3s parallel) —
+    the crossover is where per-row work outweighs worker spin-up.
+    The repartition sits UNDER the
+    envelope build (change_feed(parallelize=True)) so the exchange
+    carries the narrow raw rows, not the built structs; it is a no-op
+    once the input has enough row-groups of its own."""
+    from dm_spark.scan import parquet_num_rows
     from dm_spark.sources.decode import decode_wire, to_wire
 
-    return _flat(decode_wire(to_wire(change_feed(spark, sf_dir))))
+    n = parquet_num_rows(os.path.join(sf_dir, "events.parquet"))
+    feed = change_feed(spark, sf_dir, parallelize=bool(n and n >= 300_000))
+    return _flat(decode_wire(to_wire(feed)))
 
 
 def q_wire_decode_jvm(spark, sf_dir):
     """Same wire round-trip decoded fully JVM-side (from_json inside
     whole-stage codegen, zero Python workers) — the fast path for a
     static wire schema; must be value-identical to the pandas decode
-    (shared oracle). Same adaptive scan floor as q_wire_decode: the
-    from_json parse is the per-row-heavy stage here."""
-    from dm_spark.scan import parallelize_scan
+    (shared oracle). Takes the adaptive scan floor UNDER the envelope
+    unconditionally: the per-row to_json/from_json work is the heavy
+    stage and there are no python workers to spin up, so the narrow
+    raw-scan exchange is cheap at every size."""
     from dm_spark.sources.decode import decode_wire_jvm, to_wire
 
     return _flat(
-        decode_wire_jvm(to_wire(parallelize_scan(change_feed(spark, sf_dir))))
+        decode_wire_jvm(to_wire(change_feed(spark, sf_dir, parallelize=True)))
     )
 
 
