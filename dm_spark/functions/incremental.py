@@ -604,11 +604,22 @@ class MinHashIndex:
                     "old_id", F.struct(F.col("est"), -F.col("old_id"))
                 ).alias("keep_id")
             )
+            # pinned: the matched subtree (postings bucket-join +
+            # distinct + index-sigs verify) otherwise re-runs once per
+            # consumer — BOTH sides of the rest self-join below plus
+            # the flags base (Catalyst shares no duplicated subtrees
+            # across join branches; same class as the ngram hot-list).
+            # O(batch) rows, deterministic (max_by tiebreaker).
+            .localCheckpoint()
         )
         # rule 3: transitive min-id survivor among the still-unresolved
+        # — also pinned: rest feeds its own self-join's build AND probe
+        # side; without this the kept_before semi-join and the matched
+        # anti-join each evaluate twice inside the pairs job.
         rest = (
             banded.join(kept_before, "id", "left_anti")
             .join(matched.select("id"), "id", "left_anti")
+            .localCheckpoint()
         )
         pairs = (
             rest.alias("x")
